@@ -1,0 +1,78 @@
+"""Oracle-checked operator catalog.
+
+Every operator from SURVEY.md §2 (plus the scale extensions) is exposed
+here as a named query: a PySpark builder ``(spark, sf_dir) -> DataFrame``
+and, where SQL-expressible, an equivalent ANSI-SQL string for the DuckDB
+oracle.  ``__spark_entry__.py`` re-exports this registry to the driver.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value hash, with columns sorted by name):
+
+- every computed column is aliased identically on both sides;
+- double-typed aggregates are ``round``-ed identically on both sides so
+  floating summation order (parallel Spark vs sequential DuckDB) cannot
+  flip the hash;
+- timestamps are cast to ``date`` or truncated where exposed, and the
+  Spark session runs in UTC (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: QueryFn
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None -> rows-only check
+    tags: list[str] = field(default_factory=list)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
+    """Decorator registering a query builder under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = Query(name, fn, oracle, tags or [])
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: q.spark_fn for name, q in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imported for their @register side effects.
+    from ffiec_pq_spark.queries import core_relational  # noqa: F401
+    from ffiec_pq_spark.queries import reshape  # noqa: F401
+    from ffiec_pq_spark.queries import integrity  # noqa: F401
+    from ffiec_pq_spark.queries import dedup  # noqa: F401
+    from ffiec_pq_spark.queries import similarity  # noqa: F401
+    from ffiec_pq_spark.queries import text  # noqa: F401
+    from ffiec_pq_spark.queries import temporal  # noqa: F401
+    from ffiec_pq_spark.queries import ffiec_shaped  # noqa: F401
+
+    _LOADED = True
