@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — all as declarative DataFrame
+plans (no Python UDFs; the per-doc work is array expressions, the
+pairing work is joins/aggregations Catalyst can schedule at 100 TB).
+
+Scale design
+------------
+- Exact dedup: one shuffle on the content hash (map-side combine).
+- Exact Jaccard: explode distinct shingles -> self-equi-join on shingle
+  -> group by pair.  The join key is the shingle, so common-shingle skew
+  is the risk at scale; ``max_shingle_df`` drops ultra-common shingles
+  (stopword-like) the way search engines drop high-df terms, which both
+  bounds skew and removes pairs that share only noise.
+- MinHash: per-doc signature via one explode + one groupBy(doc) with
+  ``min_by`` per permutation (array-typed agg, no per-perm shuffle);
+  LSH bands -> join docs sharing a band bucket -> verify candidates with
+  exact Jaccard.  Candidate count, not n^2, drives cost.
+- SimHash: 60 per-bit conditional sums in a single groupBy pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.functions.hashing import hash60
+from ffiec_pq_spark.operators.text import fingerprint_md5, shingles, tokens
+
+# Permutation constants for MinHash: mh_i = (a_i*(h mod P) + b_i) mod P
+# with P = 2^31 - 1.  Keeping every operand under 2^31 means a*h < 2^62:
+# no signed-64 overflow in Spark AND no overflow error in the SQL oracle
+# (DuckDB raises on BIGINT overflow rather than wrapping).
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    """Deterministic (i, a, b) permutation constants (golden-ratio stride —
+    fixed, reproducible cross-engine; no RNG so oracle SQL can inline them)."""
+    phi = 0x9E3779B97F4A7C15
+    out = []
+    for i in range(n_perm):
+        a = ((seed + 1) * phi * (2 * i + 1)) % (MINHASH_PRIME - 1) + 1
+        b = ((seed + 7) * phi * (i + 1) * 2654435761) % MINHASH_PRIME
+        out.append((i, a, b))
+    return out
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) content: (content_hash, rep_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs + per-doc set size."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard).
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct shingle sets.
+    """
+    sh = doc_shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 32,
+    seed: int = 42,
+    hash_fn=hash60,
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, sig array<long> of length n_perm).
+
+    One explode + one groupBy(id); each permutation is an aggregate
+    expression (``min((a*h + b) % P)``), so the whole signature is one
+    shuffle regardless of n_perm.
+    """
+    perms = perm_params(n_perm, seed)
+    hashed = doc_shingles(df, text_col, id_col, k).select(
+        "id", hash_fn(F.col("shingle")).alias("h")
+    )
+    mins = [
+        F.min(
+            (F.lit(a) * (F.col("h") % F.lit(MINHASH_PRIME)) + F.lit(b))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"mh{i}")
+        for i, a, b in perms
+    ]
+    sig = hashed.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"mh{i}" for i, _, _ in perms]).alias("sig"))
+
+
+def lsh_candidates(
+    signatures: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >= 1 band.
+
+    Band key = md5 of the band's slice of the signature; join on
+    (band_idx, band_key) then distinct pairs.  At scale the band join is
+    the only shuffle and its key space is wide (band hash), so no skew.
+    """
+    bands = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", bi * rows_per_band + ri + 1).cast("string")
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    l = bands.select(F.col("id").alias("id_a"), "band", "bkey")
+    r = bands.select(F.col("id").alias("id_b"), "band", "bkey")
+    return (
+        l.join(r, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: candidates from banding, then exact
+    Jaccard verification of candidates only: (id_a, id_b, jaccard)."""
+    assert n_perm % n_bands == 0
+    sig = minhash_signatures(df, text_col, id_col, k, n_perm, seed)
+    cand = lsh_candidates(sig, n_bands, n_perm // n_bands)
+    sh = doc_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # intersection counts computed only for LSH candidate pairs (semi join)
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+    hash_fn=hash60,
+) -> DataFrame:
+    """60-bit SimHash per doc: (id, simhash long).
+
+    Token-level: hash each distinct token, sum +1/-1 per bit position in
+    one grouped pass (n_bits conditional-sum aggregates), then assemble
+    the sign bits into an integer.  60 bits keeps the result positive in
+    signed-64 on both Spark and the SQL oracle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).select("id", hash_fn(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    assembled = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        assembled = term if assembled is None else assembled + term
+    return agg.select("id", assembled.alias("simhash"))

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine`` / ``dot``: pure column expressions (``zip_with`` +
+  ``aggregate`` left-fold in doubles — deterministic, codegen'd, no UDF).
+- ``ann_topk_bruteforce``: score every row against a probe vector and
+  take top-k.  Spark plans this as TakeOrderedAndProject: per-partition
+  local top-k then a k-row merge on the driver — no global sort, so the
+  same plan is the right baseline at any scale.
+- ``cosine_pairs_within``: all-pairs cosine above a threshold *within a
+  partition key* (e.g. label or LSH bucket) — the pruned near-dup path.
+- ``hyperplane_lsh_buckets``: random-hyperplane signature (sign bits of
+  dot products with fixed pseudo-random planes) giving each vector a
+  bucket key; bucket-join + verify = the scale path for ANN when a full
+  cross join is infeasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a deterministic left fold in doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_topk_bruteforce(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to a constant probe vector."""
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), probe_col), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs_within(
+    df: DataFrame,
+    part_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold, restricted to equal
+    ``part_col`` (label / bucket) — turns O(n²) into Σ O(n_bucket²)."""
+    a = df.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "part")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "part",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def _pseudo_plane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (no RNG: values
+    from a fixed integer mix so Spark and tests agree byte-for-byte)."""
+    vals = []
+    x = (plane_idx + 1) * 0x9E3779B97F4A7C15 % (2**61 - 1)
+    for _ in range(dim):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        vals.append(((x >> 11) / float(2**52)) * 2.0 - 1.0)
+    return vals
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket) where bucket = sign-bit signature against n_planes
+    fixed hyperplanes.  Cosine-similar vectors land in the same bucket
+    with high probability; bucket-join + exact verify = scalable ANN."""
+    sig = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _pseudo_plane(dim, p)])
+        bit = (dot(F.col(vec_col), plane) > 0).cast("long") * F.lit(2**p).cast("long")
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    probe: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-pruned top-k: score only vectors in the probe's bucket.
+
+    Trades recall for a ~2^n_planes scan reduction; at 100 TB this (or
+    an IVF variant over k-means centroids) is the serving path, with
+    ``ann_topk_bruteforce`` as the ground-truth baseline.
+    """
+    buckets = hyperplane_lsh_buckets(df, dim, n_planes, vec_col, id_col)
+    probe_bucket = 0
+    for p in range(n_planes):
+        plane = _pseudo_plane(dim, p)
+        if sum(a * b for a, b in zip(probe, plane)) > 0:
+            probe_bucket += 2**p
+    cand = df.join(
+        buckets.filter(F.col("bucket") == probe_bucket),
+        df[id_col] == buckets.id,
+        "left_semi",
+    )
+    return ann_topk_bruteforce(cand, probe, k, vec_col, id_col)

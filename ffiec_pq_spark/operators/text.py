@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, language-ID heuristic, quality scoring, fingerprinting,
+shingling.  Everything is a built-in column expression (no Python UDFs)
+so the hot path stays inside whole-stage codegen at 100 TB.
+
+Each helper returns a ``Column`` (composable) and has an exact SQL
+mirror used by the oracle-checked queries in
+``ffiec_pq_spark/queries/text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# distinct-marker sets for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "zai", "le", "he"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace (canonical form for fingerprints)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: split on word boundaries and digits
+    (a cheap BPE proxy: counts word pieces + punctuation runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(c, r"(?<=[a-z])(?=[A-Z])|[^A-Za-z0-9]+|(?<=[0-9])(?=[A-Za-z])")
+    return F.size(F.filter(pieces, lambda x: x != F.lit("")))
+
+
+def marker_score(col: Column | str, markers: list[str]) -> Column:
+    """|distinct tokens ∩ markers| — the language-ID score primitive."""
+    return F.size(F.array_intersect(tokens(col), F.array(*[F.lit(m) for m in markers])))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: marker_score(col, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """distinct-stopword hits / token count."""
+    return marker_score(col, STOPWORDS) / F.greatest(token_count(col), F.lit(1))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?]"), 0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword
+    presence - punctuation excess.  (Formula is arbitrary but fixed; the
+    oracle mirrors it exactly.)"""
+    n_tok = token_count(col).cast("double")
+    len_band = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(col) * 5.0
+    punct_pen = F.least(punct_count(col).cast("double") / F.greatest(n_tok, F.lit(1.0)), F.lit(1.0))
+    return F.round(
+        F.greatest(
+            F.least(0.5 * len_band + 0.5 * F.least(sw, F.lit(1.0)) - 0.2 * punct_pen, F.lit(1.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle array (may contain duplicates; wrap in
+    ``array_distinct`` for set semantics).
+
+    Pure expression — ``transform(sequence(...))`` over the token array,
+    no explode/shuffle, so it composes into any downstream plan.
+    """
+    w = tokens(col)
+    n = F.size(w)
+    return F.when(n < k, F.array(F.concat_ws(" ", w))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    """DuckDB mirror of :func:`shingles` (oracle side)."""
+    w = f"string_split_regex(trim({expr}), '\\s+')"
+    return (
+        f"CASE WHEN len({w}) < {k} THEN [array_to_string({w}, ' ')] "
+        f"ELSE list_transform(generate_series(1, len({w}) - {k - 1}), "
+        f"i -> array_to_string(list_slice({w}, i, i + {k - 1}), ' ')) END"
+    )

@@ -1,0 +1,154 @@
+"""Event-time operators over keyed, timestamped tables: tumbling
+rollups, sessionization, as-of joins, top-k per group.
+
+The reference is strictly batch (SURVEY.md §2.10) — these are the
+scale-extension operators a training-data/event pipeline needs, built on
+window functions and single-shuffle aggregations.  The streaming
+(watermarked) variants live in ``ffiec_pq_spark.streaming``.
+
+Scale notes
+-----------
+Every operator here shuffles exactly once on the entity key and then
+works partition-locally via window sort — the standard pattern that
+holds at 1000 executors.  The as-of join is the union trick: interleave
+both sides by (key, ts) and carry the last right-side value forward with
+``last(ignorenulls)`` — one shuffle + one sort, no range explosion, no
+per-key driver loop, skew-safe under AQE.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window aggregate (batch form).
+
+    ``aggs``: {output_name: 'fn(col)'} SQL agg expressions.
+    """
+    win = F.window(ts_col, duration)
+    out = (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(*[F.expr(expr).alias(name) for name, expr in aggs.items()])
+        .select(F.col("w.start").alias("window_start"), *keys, *aggs.keys())
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds the gap.
+
+    Output: one row per (key, session_id) with n_events, start/end ts,
+    duration_sec.  One shuffle on key; session assignment is a windowed
+    cumulative sum (lag -> gap flag -> running count).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    with_flag = df.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.col(ts_col).cast("double")
+                - F.lag(F.col(ts_col).cast("double")).over(w),
+                F.lit(gap_s + 1.0),
+            )
+            > gap_s
+        ).cast("long"),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sid.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.round(
+            F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")),
+            6,
+        ).alias("duration_sec"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` (or ``<`` when strict) on the same key.
+
+    Union-interleave implementation: one shuffle on the key, one
+    partition-local sort — scales where a naive range join explodes.
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = (
+        right.select(
+            key, F.col(right_ts).alias("_ts"), *[F.col(v) for v in right_vals]
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts unless strict
+    order = [F.col("_ts"), F.col("_side") if not strict else (-F.col("_side"))]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(
+                F.when(F.col("_side") == 0, F.col(v)), ignorenulls=True
+            ).over(w).alias(f"_asof_{v}")
+            for v in right_vals
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).drop(
+        "_side", "_ts", *right_vals
+    )
+    for v in right_vals:
+        out = out.withColumnRenamed(f"_asof_{v}", v)
+    return out
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    desc: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k rows per group via row_number (single shuffle + local sort)."""
+    ordering = [F.desc(order_col) if desc else F.asc(order_col)] + [
+        F.asc(c) for c in tiebreak
+    ]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -1,1 +1,173 @@
-"""Placeholder — queries added incrementally."""
+"""Deduplication queries over the ``documents`` table — exact, n-gram
+Jaccard, MinHash+LSH, SimHash — every one oracle-checked (the MinHash
+and SimHash pipelines are reproduced in pure SQL using the portable
+md5-prefix hash, so even the approximate paths are verified
+cross-engine bit-for-bit)."""
+
+from __future__ import annotations
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.hashing import hash60_sql
+from ffiec_pq_spark.operators.dedup import (
+    MINHASH_PRIME,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_near_dups,
+    perm_params,
+    simhash,
+)
+from ffiec_pq_spark.operators.text import shingles_sql
+from ffiec_pq_spark.session import load_table
+
+_P = MINHASH_PRIME
+_N_PERM = 32
+_N_BANDS = 8
+_ROWS_PER_BAND = _N_PERM // _N_BANDS
+_K = 3
+_THRESHOLD = 0.2
+
+_SHINGLE_CTE = f"""
+    sh AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct({shingles_sql('text', _K)})) AS shingle
+      FROM documents
+    )"""
+
+_SIZES_CTE = "sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id)"
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT content_hash, min(doc_id) AS rep_id, count(*) AS n_copies
+    FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    GROUP BY content_hash
+    """,
+    tags=["dedup"],
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content; one shuffle with
+    map-side combine — the 100 TB-safe baseline dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    {_SIZES_CTE},
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.set_size + sb.set_size - n_common) >= {_THRESHOLD}
+    """,
+    tags=["dedup"],
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity join (explode distinct
+    shingles -> self-equi-join -> group by pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, k=_K, threshold=_THRESHOLD)
+
+
+def _minhash_oracle() -> str:
+    perms = perm_params(_N_PERM)
+    mh_exprs = ",\n             ".join(
+        f"min(({a} * (h % {_P}) + {b}) % {_P}) AS mh{i}" for i, a, b in perms
+    )
+    band_arms = "\n      UNION ALL\n".join(
+        "      SELECT id, {bi} AS band, md5({concat}) AS bkey FROM sig".format(
+            bi=bi,
+            concat=" || ',' || ".join(
+                f"CAST(mh{bi * _ROWS_PER_BAND + ri} AS VARCHAR)"
+                for ri in range(_ROWS_PER_BAND)
+            ),
+        )
+        for bi in range(_N_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    hashed AS (SELECT id, {hash60_sql('shingle')} AS h FROM sh),
+    sig AS (
+      SELECT id, {mh_exprs}
+      FROM hashed GROUP BY id
+    ),
+    bands AS (
+{band_arms}
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+    ),
+    {_SIZES_CTE},
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.set_size + sb.set_size - n_common) >= {_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle(), tags=["dedup", "approx"])
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32 perms) + LSH(8 bands x 4 rows) near-dup detection with
+    exact-Jaccard verification of candidates.  The oracle reproduces the
+    identical pipeline in SQL via the portable hash, so banding and
+    verification are checked end-to-end, not just row counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(
+        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
+    )
+
+
+def _simhash_oracle(n_bits: int = 60) -> str:
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(n_bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(n_bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT id, {hash60_sql('tok')} AS h FROM tok),
+    bits AS (
+      SELECT id, {bit_sums}
+      FROM hashed GROUP BY id
+    )
+    SELECT id, {assemble} AS simhash FROM bits
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(), tags=["dedup", "approx"])
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash fingerprint per document (token-level), verified
+    bit-for-bit against the SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, n_bits=60)

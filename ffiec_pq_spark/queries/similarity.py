@@ -1,1 +1,102 @@
-"""Placeholder — queries added incrementally."""
+"""Similarity-search queries over the ``embeddings`` table
+(array<float> column, 64-dim): brute-force cosine top-k baseline,
+label-pruned near-dup pairs, and hyperplane-LSH bucketing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    cosine_pairs_within,
+    hyperplane_lsh_buckets,
+)
+from ffiec_pq_spark.session import load_table
+
+# Deterministic probe: an explicit constant vector (alternating ±1 ramp)
+# so the query needs no data-dependent driver lookup.
+_DIM = 64
+_PROBE = [((i % 7) - 3) / 3.0 for i in range(_DIM)]
+_PROBE_SQL = "[" + ", ".join(f"{x!r}::DOUBLE" for x in _PROBE) + "]"
+
+# manual elementwise cosine in SQL (unnest + generate_subscripts), cast to
+# DOUBLE before multiply so both engines do float64 math
+_COSINE_CTE = f"""
+    exploded AS (
+      SELECT vec_id,
+             unnest(embedding)::DOUBLE AS x,
+             unnest({_PROBE_SQL}) AS p
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT vec_id,
+             sum(x * p) / (sqrt(sum(x * x)) * sqrt(sum(p * p))) AS raw
+      FROM exploded GROUP BY vec_id
+    )"""
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH {_COSINE_CTE}
+    SELECT vec_id, round(raw, 6) AS score
+    FROM scored
+    ORDER BY round(raw, 6) DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=["similarity"],
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a constant probe vector.
+
+    ``zip_with``+``aggregate`` keeps the math JVM-side; the top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort) so the
+    identical plan is the correct exhaustive baseline at any scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_bruteforce(emb, _PROBE, k=10)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    """
+    WITH ex AS (
+      SELECT label, vec_id,
+             unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(a.x * b.x) / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))) AS raw
+      FROM ex a
+      JOIN ex b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT label AS part, id_a, id_b, round(raw, 6) AS score
+    FROM pairs
+    WHERE round(raw, 6) >= 0.8
+    """,
+    tags=["similarity"],
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: all pairs >= 0.8 *within a label*
+    (partition pruning turns O(n²) into Σ O(n_label²))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_within(emb, part_col="label", threshold=0.8)
+
+
+@register(
+    "lsh_bucket_histogram",
+    None,  # bucket ids depend on float dot-product sign vs fixed planes;
+    # SQL mirror would be 12x64 literals — covered rows-only here and by
+    # tests/test_similarity.py recall properties instead.
+    tags=["similarity", "approx"],
+)
+def lsh_bucket_histogram(spark, sf_dir):
+    """Hyperplane-LSH bucketing: bucket -> vector count histogram (the
+    scale path's data layout; recall properties tested in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = hyperplane_lsh_buckets(emb, dim=_DIM, n_planes=12)
+    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))

@@ -1,1 +1,177 @@
-"""Placeholder — queries added incrementally."""
+"""Event-time queries over the ``events`` table: tumbling rollup,
+sessionization, as-of join, top-k per group, plus a JSON-props probe.
+DuckDB reads the parquet as TIMESTAMP_NS; both sides cast/truncate to
+microseconds (Spark's native precision) before comparing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.operators.windows import (
+    asof_join,
+    sessionize,
+    topk_per_group,
+    tumbling_rollup,
+)
+from ffiec_pq_spark.session import load_table
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=["temporal"],
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling 1-hour event-time rollup (batch form of the streaming
+    windowed agg; one shuffle, map-side partials)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        {
+            "n_events": "count(1)",
+            "total_value": "round(sum(value), 4)",
+            "n_users": "count(DISTINCT user_id)",
+        },
+        "1 hour",
+    )
+    return out
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - lag(epoch(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                       > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sids AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)       AS n_events,
+           min(ts)        AS session_start,
+           max(ts)        AS session_end,
+           round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec
+    FROM sids
+    GROUP BY user_id, session_id
+    """,
+    tags=["temporal"],
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag -> flag -> cumulative
+    sum -> per-session aggregate.  One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize(ev, key="user_id", ts_col="ts", gap_minutes=30)
+
+
+@register(
+    "events_asof_join",
+    """
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+           round(p.value, 4) AS purchase_value,
+           CAST(s.ts AS TIMESTAMP) AS signup_ts,
+           round(s.value, 4) AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+    """,
+    tags=["temporal", "signature"],
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native one): per purchase event, the most
+    recent signup event of the same user.  Implemented as the
+    union-interleave + last(ignorenulls) window — one shuffle on the key
+    vs DuckDB's native ASOF JOIN as the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("sts"),
+        F.round("value", 4).alias("signup_value"),
+    )
+    joined = asof_join(
+        purchases.withColumnRenamed("ts", "pts"),
+        signups.withColumn("signup_ts", F.col("sts")),
+        key="user_id",
+        left_ts="pts",
+        right_ts="sts",
+        right_vals=["signup_ts", "signup_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("pts").alias("ts"),
+        "purchase_value",
+        "signup_ts",
+        "signup_value",
+    )
+
+
+@register(
+    "events_topk_per_user",
+    """
+    SELECT user_id, event_id, round(value, 4) AS value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+      FROM events
+    )
+    WHERE rk <= 3
+    """,
+    tags=["temporal"],
+)
+def events_topk_per_user(spark, sf_dir):
+    """Top-3 events by value per user (row_number window; single
+    shuffle + local sort — no global sort at any scale)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = topk_per_group(
+        ev, keys=["user_id"], order_col="value", k=3, tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_id", F.round("value", 4).alias("value"))
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["temporal", "scalar"],
+)
+def events_json_props(spark, sf_dir):
+    """JSON field extraction from the string props column
+    (get_json_object -> JVM-side JSON path, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("double")), 4
+        ).alias("avg_k"),
+    )

@@ -1,1 +1,149 @@
-"""Placeholder — queries added incrementally."""
+"""Text-analysis queries over the ``documents`` table: token stats,
+language-ID heuristic, quality scoring, fingerprinting.  All pure column
+expressions mirrored exactly in the SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.hashing import hash60, hash60_sql
+from ffiec_pq_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint_md5,
+    lang_scores,
+    normalize_text,
+    punct_count,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from ffiec_pq_spark.session import load_table
+
+_TOK = "string_split_regex(trim(text), '\\s+')"
+
+
+def _markers_sql(markers: list[str]) -> str:
+    lits = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_intersect({_TOK}, [{lits}]))"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOK})                 AS n_tokens,
+           n_chars,
+           round(CAST(n_chars AS DOUBLE) / len({_TOK}), 4) AS chars_per_token
+    FROM documents
+    """,
+    tags=["text"],
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting (the 100 TB hot path: one split+size
+    expression, no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        "n_chars",
+        F.round(F.col("n_chars").cast("double") / token_count("text"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _lang_case_sql() -> str:
+    scores = {lang: _markers_sql(ms) for lang, ms in LANG_MARKERS.items()}
+    greatest = "greatest(" + ", ".join(scores[l] for l in LANG_MARKERS) + ")"
+    # first language (in fixed dict order) achieving the max — same
+    # tie-break as the Spark CASE chain
+    whens = " ".join(
+        f"WHEN {scores[l]} = {greatest} THEN '{l}'" for l in LANG_MARKERS
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_case_sql()} AS guessed_lang
+    FROM documents
+    """,
+    tags=["text"],
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: distinct-marker-token overlap per language,
+    argmax with fixed-order tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    greatest = F.greatest(*scores.values())
+    expr = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] == greatest
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), expr.alias("guessed_lang")
+    )
+
+
+_STOP_LITS = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           len({_TOK}) AS n_tokens,
+           round(len(list_intersect({_TOK}, [{_STOP_LITS}]))
+                 / greatest(len({_TOK}), 1), 6)                      AS stop_ratio,
+           len(regexp_extract_all(text, '[.,;:!?]'))                 AS n_punct,
+           round(greatest(least(
+             0.5 * least(len({_TOK}) / 50.0, 1.0)
+             + 0.5 * least(5.0 * len(list_intersect({_TOK}, [{_STOP_LITS}]))
+                           / greatest(len({_TOK}), 1), 1.0)
+             - 0.2 * least(len(regexp_extract_all(text, '[.,;:!?]'))
+                           / greatest(CAST(len({_TOK}) AS DOUBLE), 1.0), 1.0),
+             1.0), 0.0), 6)                                          AS quality
+    FROM documents
+    """,
+    tags=["text"],
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length band + stopword ratio - punctuation excess
+    (weights arbitrary but fixed; oracle mirrors exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        punct_count("text").alias("n_punct"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_FP_INT_SQL = hash60_sql(_NORM_SQL)
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fp_md5,
+           {_FP_INT_SQL} AS fp_int
+    FROM documents
+    """,
+    tags=["text"],
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 content hash + portable 60-bit
+    integer fingerprint of the normalized text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        hash60(normalize_text("text")).alias("fp_int"),
+    )

@@ -41,6 +41,9 @@ def get_spark(app_name: str = "ffiec_pq_spark", cpus: int | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has
+        # no nanos timestamp — read as long and convert in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,5 +51,18 @@ def get_spark(app_name: str = "ffiec_pq_spark", cpus: int | None = None) -> Spar
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-provided synthetic table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver-provided synthetic table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads (under
+    the nanosAsLong legacy conf) as nanoseconds-since-epoch long; convert
+    to Spark's native microsecond timestamp (floor division, matching
+    DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer div (ns ~1.7e18 exceeds double's exact range — no `/`)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
