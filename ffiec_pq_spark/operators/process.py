@@ -1,0 +1,268 @@
+"""The end-to-end FFIEC ETL pipeline (SURVEY.md §3 entry point 1;
+reference ffiec_process, R/ffiec_process.R:494-587).
+
+Per bulk zip:
+1. member manifest + multipart validation (V4);
+2. per (schedule, date): read each part (strict/repair TSV), fold with
+   full-outer-join+coalesce (J1), append the report ``date`` column,
+   convert pure-percent columns, write the wide parquet
+   ``{schedule}_{YYYYMMDD}.parquet``;
+3. unpivot each wide table by value type into the five long EAV tables
+   with NULL-drop, dedup, and the fail-fast duplicate-key assertion;
+4. POR member -> institution parquet;
+5. audit rows accumulate into the process-log DataFrame (ArrayType
+   ``repairs``/``inner_files`` — the reference's attribute side-channel
+   as a real table, SURVEY.md §2.13).
+
+Where the reference writes temp wide parquet and re-scans it with
+DuckDB, here stages 2-3 are one Catalyst lineage; the wide parquet is
+still written because it is a deliverable, but the long build reads the
+in-memory plan, not the file.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import date as _date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ffiec_pq_spark.functions.scalars import pct_to_prop, pct_violation
+from ffiec_pq_spark.operators.checks import assert_no_dups
+from ffiec_pq_spark.operators.combine import combine_parts
+from ffiec_pq_spark.operators.reshape import make_long_by_type
+from ffiec_pq_spark.sources.manifest import resolve_n_parts, zip_member_manifest
+from ffiec_pq_spark.sources.parquet import write_single_parquet
+from ffiec_pq_spark.sources.por import read_por
+from ffiec_pq_spark.sources.tsv import read_call_schedule
+
+LONG_TYPE_NAMES = {
+    "double": "float",
+    "int": "int",
+    "string": "str",
+    "date": "date",
+    "boolean": "bool",
+}
+
+_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("zipfile", T.StringType()),
+        T.StructField("schedule", T.StringType()),
+        T.StructField("date", T.DateType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("repairs", T.ArrayType(T.StringType())),
+        T.StructField("inner_files", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def fix_pure_columns(df: DataFrame, pure_cols: list[str]) -> DataFrame:
+    """Percent-string -> proportion for 'pure'-typed items, with the
+    reference's hard guard: numeric-without-% must not occur
+    (reference R/ffeic_read.R:585-597, guard :548-554)."""
+    present = [c for c in pure_cols if c in df.columns]
+    if not present:
+        return df
+    flags = [pct_violation(c).cast("int") for c in present]
+    any_viol = flags[0] if len(flags) == 1 else F.greatest(*flags)
+    viol = df.filter(any_viol == 1)
+    if viol.limit(1).count():
+        raise ValueError(f"percent-format violation in pure columns {present}")
+    out = df
+    for c in present:
+        out = out.withColumn(c, pct_to_prop(c))
+    return out
+
+
+def process_zip_schedules(
+    spark: SparkSession,
+    zip_path: str,
+    type_dict: dict[str, str],
+    out_dir: str,
+    pure_cols: list[str] | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """Stage 2: all schedules of one zip -> wide parquet files.
+
+    Returns (wide_outputs, log_rows); each wide output dict carries the
+    schedule, date, path, and part files that fed it."""
+    manifest = zip_member_manifest(spark, [zip_path])
+    validation = {
+        (r["schedule"], r["date"]): r.asDict()
+        for r in resolve_n_parts(manifest).collect()
+    }
+    sched_files = (
+        manifest.filter(
+            F.col("schedule").isNotNull() & (F.col("schedule") != "por")
+        )
+        .orderBy("schedule", "date", "part", "file")
+        .collect()
+    )
+    groups: dict[tuple, list] = {}
+    for r in sched_files:
+        groups.setdefault((r["schedule"], r["date"]), []).append(r)
+
+    outputs, log_rows = [], []
+    for (schedule, d), rows in sorted(groups.items()):
+        val = validation.get((schedule, d), {})
+        if val.get("errors"):
+            log_rows.append(
+                {
+                    "zipfile": zip_path,
+                    "schedule": schedule,
+                    "date": d,
+                    "kind": "schedule",
+                    "ok": False,
+                    "repairs": list(val["errors"]),
+                    "inner_files": [r["file"] for r in rows],
+                }
+            )
+            continue
+        parts, repairs = [], []
+        for r in rows:
+            df, audit = read_call_schedule(spark, zip_path, r["file"], type_dict)
+            parts.append(df)
+            repairs.extend(audit["repairs"])
+        wide = combine_parts(parts, keys=["IDRSSD"])
+        wide = wide.withColumn("date", F.lit(d).cast("date"))
+        wide = fix_pure_columns(wide, pure_cols or [])
+        out_path = os.path.join(
+            out_dir, f"{schedule}_{d.strftime('%Y%m%d')}.parquet"
+        )
+        write_single_parquet(wide, out_path)
+        outputs.append(
+            {"schedule": schedule, "date": d, "path": out_path,
+             "inner_files": [r["file"] for r in rows]}
+        )
+        log_rows.append(
+            {
+                "zipfile": zip_path,
+                "schedule": schedule,
+                "date": d,
+                "kind": "schedule",
+                "ok": True,
+                "repairs": sorted(set(repairs)),
+                "inner_files": [r["file"] for r in rows],
+            }
+        )
+    return outputs, log_rows
+
+
+def make_long_pqs(
+    spark: SparkSession, wide_outputs: list[dict], out_dir: str
+) -> dict[str, str]:
+    """Stage 3: type-partitioned long EAV tables across all wide outputs
+    (reference make_long_pq, R/ffiec_make_long_pqs.R:103-115): unpivot by
+    value type, drop NULLs, distinct, assert PK, one parquet per type."""
+    by_type: dict[str, list[DataFrame]] = {}
+    for out in wide_outputs:
+        wide = spark.read.parquet(out["path"])
+        longs = make_long_by_type(wide, ids=["IDRSSD", "date"])
+        for t, df in longs.items():
+            by_type.setdefault(t, []).append(df)
+    results = {}
+    for t, dfs in sorted(by_type.items()):
+        from functools import reduce
+
+        merged = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs
+        ).distinct()
+        assert_no_dups(merged, ["IDRSSD", "date", "item"])
+        name = LONG_TYPE_NAMES.get(t, re.sub(r"\W+", "_", t))
+        path = os.path.join(out_dir, f"ffiec_{name}.parquet")
+        write_single_parquet(merged, path)
+        results[name] = path
+    return results
+
+
+def make_schedule_pq(
+    spark: SparkSession, wide_outputs: list[dict], out_dir: str
+) -> str:
+    """Item -> schedules coverage table from wide-file footers only
+    (reference make_schedule_pq, R/ffiec_make_long_pqs.R:119-127)."""
+    from ffiec_pq_spark.sources.parquet import pq_cols
+
+    rows = []
+    for out in wide_outputs:
+        for c in pq_cols(out["path"]):
+            if c not in ("IDRSSD", "date"):
+                rows.append((c, out["schedule"], out["date"]))
+    df = (
+        spark.createDataFrame(rows, "item string, schedule string, date date")
+        .groupBy("item")
+        .agg(
+            F.sort_array(F.collect_set("schedule")).alias("schedule"),
+            F.sort_array(F.collect_set("date")).alias("dates"),
+        )
+    )
+    path = os.path.join(out_dir, "ffiec_item_schedules.parquet")
+    write_single_parquet(df, path)
+    return path
+
+
+def process_zip_por(
+    spark: SparkSession, zip_path: str, out_dir: str
+) -> tuple[str | None, list[dict]]:
+    """Stage 4: POR member -> institution parquet."""
+    manifest = zip_member_manifest(spark, [zip_path])
+    por_rows = manifest.filter(F.col("schedule") == "por").collect()
+    if not por_rows:
+        return None, []
+    r = por_rows[0]
+    df, audit = read_por(spark, zip_path, r["file"])
+    d = r["date"] or _date(1900, 1, 1)
+    df = df.withColumn("date", F.lit(r["date"]).cast("date"))
+    path = os.path.join(out_dir, f"por_{d.strftime('%Y%m%d')}.parquet")
+    write_single_parquet(df, path)
+    log = [
+        {
+            "zipfile": zip_path,
+            "schedule": "por",
+            "date": r["date"],
+            "kind": "por",
+            "ok": audit["ok"],
+            "repairs": audit["repairs"],
+            "inner_files": [r["file"]],
+        }
+    ]
+    return path, log
+
+
+def ffiec_process(
+    spark: SparkSession,
+    zip_paths: list[str],
+    type_dict: dict[str, str],
+    out_dir: str,
+    pure_cols: list[str] | None = None,
+) -> dict:
+    """Full pipeline over N bulk zips; returns paths + the process log
+    DataFrame (also written to ``ffiec_process_data.parquet``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    all_wide, all_logs, all_long, por_paths = [], [], {}, []
+    for zp in zip_paths:
+        wide, logs = process_zip_schedules(
+            spark, zp, type_dict, out_dir, pure_cols
+        )
+        all_wide.extend(wide)
+        all_logs.extend(logs)
+        por_path, por_logs = process_zip_por(spark, zp, out_dir)
+        if por_path:
+            por_paths.append(por_path)
+        all_logs.extend(por_logs)
+    if all_wide:
+        all_long = make_long_pqs(spark, all_wide, out_dir)
+        make_schedule_pq(spark, all_wide, out_dir)
+    log_df = spark.createDataFrame(
+        [tuple(r[f.name] for f in _LOG_SCHEMA.fields) for r in all_logs],
+        _LOG_SCHEMA,
+    ).orderBy("date", "schedule")
+    write_single_parquet(log_df, os.path.join(out_dir, "ffiec_process_data.parquet"))
+    return {
+        "wide": all_wide,
+        "long": all_long,
+        "por": por_paths,
+        "log": log_df,
+    }

@@ -1,1 +1,172 @@
-"""Placeholder — queries added incrementally."""
+"""FFIEC domain semantics expressed over the driver test tables so the
+oracle gate covers them: type-partitioned unpivot, pivot values_fn
+variants, NULL-token identifier parsing, percent->proportion, YYYYMMDD
+date parsing, ET->UTC conversion.  (The zip/TSV/XBRL readers themselves
+are exercised end-to-end on synthetic fixtures in
+tests/test_ffiec_pipeline.py — file ingest can't run against the
+pre-registered oracle views.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.scalars import (
+    et_to_utc,
+    id_zero_to_null,
+    parse_yyyymmdd,
+    pct_to_prop,
+)
+from ffiec_pq_spark.operators.reshape import make_long_by_type, pivot_long_df
+from ffiec_pq_spark.session import load_table
+
+
+@register(
+    "long_by_type_counts",
+    """
+    WITH wide AS (
+      SELECT l_orderkey, l_linenumber,
+             round(l_quantity, 4) AS l_quantity,
+             round(l_tax, 4)      AS l_tax,
+             l_returnflag, l_linestatus,
+             CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem
+    )
+    SELECT item, value_type, count(*) AS n FROM (
+      SELECT 'l_quantity' AS item, 'double' AS value_type FROM wide WHERE l_quantity IS NOT NULL
+      UNION ALL SELECT 'l_tax', 'double' FROM wide WHERE l_tax IS NOT NULL
+      UNION ALL SELECT 'l_returnflag', 'string' FROM wide WHERE l_returnflag IS NOT NULL
+      UNION ALL SELECT 'l_linestatus', 'string' FROM wide WHERE l_linestatus IS NOT NULL
+      UNION ALL SELECT 'ship_date', 'date' FROM wide WHERE ship_date IS NOT NULL
+    ) GROUP BY item, value_type
+    """,
+    tags=["ffiec", "reshape"],
+)
+def long_by_type_counts(spark, sf_dir):
+    """Type-partitioned unpivot (the reference's five ffiec_{type} long
+    tables, R/ffiec_make_long_pqs.R:93-99): build a mixed-type wide
+    table, split into one long table per value type, count rows per
+    item+type.  Column groups come from schema metadata only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 4).alias("l_quantity"),
+        F.round("l_tax", 4).alias("l_tax"),
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    longs = make_long_by_type(wide, ids=["l_orderkey", "l_linenumber"])
+    from functools import reduce
+
+    counted = [
+        df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("item", F.lit(t).alias("value_type"), "n")
+        for t, df in sorted(longs.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counted).select(
+        "item", "value_type", "n"
+    )
+
+
+@register(
+    "pivot_values_fn_max",
+    """
+    SELECT l_returnflag,
+           round(max(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS max_o,
+           round(max(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS max_f,
+           round(min(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS min_o,
+           round(min(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS min_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=["ffiec", "reshape"],
+)
+def pivot_values_fn_max(spark, sf_dir):
+    """Pivot values_fn surface (first|any_value|sum|max|min — reference
+    R/ffiec_pivot.R:66): max and min variants over the same long input."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    long = li.withColumnRenamed("l_linestatus", "item").withColumnRenamed(
+        "l_extendedprice", "value"
+    )
+    mx = pivot_long_df(
+        long, id_cols=["l_returnflag"], names_from="item",
+        values_from="value", items=["O", "F"], values_fn="max",
+    ).select(
+        "l_returnflag",
+        F.round("O", 2).alias("max_o"),
+        F.round("F", 2).alias("max_f"),
+    )
+    mn = pivot_long_df(
+        long, id_cols=["l_returnflag"], names_from="item",
+        values_from="value", items=["O", "F"], values_fn="min",
+    ).select(
+        "l_returnflag",
+        F.round("O", 2).alias("min_o"),
+        F.round("F", 2).alias("min_f"),
+    )
+    return mx.join(mn, "l_returnflag")
+
+
+@register(
+    "ffiec_scalar_semantics",
+    """
+    SELECT c_custkey,
+           NULLIF(trim(CAST(c_nationkey AS VARCHAR)), '0')          AS nation_id,
+           CASE WHEN regexp_matches(CAST(c_custkey % 200 AS VARCHAR) || '.5%',
+                                    '^\\s*-?[0-9.]+\\s*%\\s*$')
+                THEN CAST(regexp_replace(CAST(c_custkey % 200 AS VARCHAR) || '.5%',
+                                         '[%\\s]', '', 'g') AS DOUBLE) / 100.0
+           END                                                      AS prop,
+           CASE WHEN strftime(DATE '2024-03-31', '%Y%m%d') IN ('', '0', '00000000')
+                THEN NULL
+                ELSE try_strptime(strftime(DATE '2024-03-31', '%Y%m%d'), '%Y%m%d')::DATE
+           END                                                      AS parsed_date,
+           CASE WHEN c_custkey % 11 = 0 THEN NULL
+                ELSE try_strptime('20240331', '%Y%m%d')::DATE END   AS parsed_or_na
+    FROM customer
+    """,
+    tags=["ffiec", "scalar"],
+)
+def ffiec_scalar_semantics(spark, sf_dir):
+    """The reference's domain scalar semantics: id-zero->NULL
+    (R/ffeic_read.R:329-333), percent->proportion (:535-558), YYYYMMDD
+    parse with NA tokens (:344-366) — as pure column expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    pct_str = F.concat((F.col("c_custkey") % 200).cast("string"), F.lit(".5%"))
+    ymd = F.date_format(F.lit("2024-03-31").cast("date"), "yyyyMMdd")
+    return c.select(
+        "c_custkey",
+        id_zero_to_null(F.col("c_nationkey").cast("string")).alias("nation_id"),
+        pct_to_prop(pct_str).alias("prop"),
+        parse_yyyymmdd(ymd).alias("parsed_date"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("date"))
+        .otherwise(parse_yyyymmdd(F.lit("20240331")))
+        .alias("parsed_or_na"),
+    )
+
+
+@register(
+    "tz_et_to_utc",
+    """
+    SELECT o_orderkey,
+           CAST(timezone('America/New_York',
+                         CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS utc_ts
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+    tags=["ffiec", "scalar"],
+)
+def tz_et_to_utc(spark, sf_dir):
+    """ET wall time -> UTC (reference POR submission timestamps,
+    R/ffeic_read.R:484-490), DST-aware on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.to_utc_timestamp(F.col("o_orderdate").cast("timestamp"), "America/New_York")
+        .alias("utc_ts"),
+    )

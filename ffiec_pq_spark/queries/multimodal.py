@@ -1,0 +1,35 @@
+"""Multimodal binary-column queries: the metadata path is pure column
+expressions (oracle-checked); the decode/feature stages are mapInPandas
+(tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.session import load_table
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))                  AS n_bytes,
+           md5(text)                                   AS content_md5,
+           lower(hex(encode(substring(text, 1, 4))))   AS magic_hex
+    FROM documents
+    """,
+    tags=["multimodal"],
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque binary payload + typed metadata (byte length, content
+    hash, magic prefix) — all JVM-side; the payload column itself stays
+    prunable so metadata-only scans never read the bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic_hex"),
+    )

@@ -1,0 +1,97 @@
+"""Parquet scan surface (SURVEY.md §2.1 S7-S10).
+
+- ``scan_pqs``: multi-file scan with schema-union by column name +
+  optional provenance column, fail-fast glob validation before any job
+  (reference ffiec_scan_pqs, R/ffiec_manifest.R:217-290 — its
+  ``union_by_name=true``/``filename=true`` semantics map to Spark's
+  ``mergeSchema`` + ``input_file_name``).
+- ``pq_schema`` / ``pq_cols_by_type``: footer-metadata-only reads via
+  pyarrow on the driver — deliberately *not* a Spark job, matching the
+  reference's schema-only scans (R/ffiec_make_long_pqs.R:11-24).
+- ``list_pqs``: output-dir listing with the ``{schedule}_{YYYYMMDD}``
+  filename contract (reference ffiec_list_pqs, R/ffiec_process.R:622-652).
+- ``write_single_parquet``: the reference's one-file-per-dataset output
+  contract (coalesce(1) + rename); directory output is the scale mode.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from glob import glob as _glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PQ_NAME_RE = re.compile(r"(.+)_(\d{8})\.parquet$")
+
+
+def scan_pqs(
+    spark: SparkSession,
+    pattern: str,
+    union_by_name: bool = True,
+    filename: bool = False,
+) -> DataFrame:
+    """Lazy scan over a parquet glob with schema union + provenance.
+
+    Fails fast (before building the plan) if the glob matches nothing,
+    like the reference's Sys.glob check."""
+    paths = sorted(_glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"scan_pqs: no files match {pattern!r}")
+    reader = spark.read.option("mergeSchema", str(union_by_name).lower())
+    df = reader.parquet(*paths)
+    if filename:
+        df = df.withColumn("filename", F.input_file_name())
+    return df
+
+
+def pq_schema(path: str):
+    """Footer-only schema read (no data I/O, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(path)
+
+
+def pq_cols(path: str) -> list[str]:
+    return list(pq_schema(path).names)
+
+
+def pq_cols_by_type(path: str) -> dict[str, list[str]]:
+    """{arrow type string: [column names]} from the footer only."""
+    schema = pq_schema(path)
+    out: dict[str, list[str]] = {}
+    for field in schema:
+        out.setdefault(str(field.type), []).append(field.name)
+    return out
+
+
+def list_pqs(data_dir: str) -> list[dict]:
+    """List ``{schedule}_{YYYYMMDD}.parquet`` outputs with parsed fields."""
+    rows = []
+    for p in sorted(_glob(os.path.join(data_dir, "*.parquet"))):
+        m = PQ_NAME_RE.search(os.path.basename(p))
+        if m:
+            rows.append(
+                {"path": p, "schedule": m.group(1), "date_raw": m.group(2)}
+            )
+    return rows
+
+
+def write_single_parquet(df: DataFrame, out_path: str) -> str:
+    """Write exactly one parquet *file* at ``out_path`` (the reference's
+    per-dataset contract).  Implemented as a single-partition directory
+    write + rename; callers at scale should use ``df.write.parquet`` on
+    a directory instead."""
+    tmp = out_path + "._tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        p for p in _glob(os.path.join(tmp, "part-*.parquet"))
+    )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    shutil.move(part, out_path)
+    shutil.rmtree(tmp)
+    return out_path

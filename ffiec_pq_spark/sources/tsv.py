@@ -1,0 +1,222 @@
+"""Dictionary-typed TSV-in-zip schedule reader with two-phase malformed
+-row repair (SURVEY.md §2.1 S3/S4; reference read_call_from_zip
+R/ffeic_read.R:34-119 and read_tsv_with_tab_repair :194-250).
+
+Spark has no native "read member X of a zip" source, so member bytes are
+extracted executor-side from a ``binaryFile`` scan of the zip and turned
+into a line DataFrame; everything after that is declarative:
+
+1. header row (line 1) -> column names; line 2 is a description row and
+   is skipped (reference ``skip = 2``).
+2. names are looked up in a broadcastable dictionary {item -> type char}
+   to build the typed colspec; unknown columns default to string;
+   hard overrides (RCON8678 string, RCON9999/RIAD9106 date-parsed-later)
+   mirror the reference (R/ffiec_types.R:30-35).
+3. fast path: split on tabs, project all-string, then typed casts with
+   the domain NULL tokens "" / "CONF".
+4. slow path (triggered per member when any line's field count is
+   wrong): re-extract with text-level repairs — (a) join embedded
+   newlines not preceded by a tab into the prior line
+   (regex ``(?<!\\t)\\n`` -> space), (b) convert tabs beyond
+   ``expected-1`` to spaces — then re-parse; repair tags are recorded
+   in the audit (reference R/ffeic_read.R:90-93,130-146).
+
+The reader returns ``(DataFrame, audit_dict)`` — the reference carries
+diagnostics as R attributes (SURVEY.md §2.13); here the audit is an
+explicit value the process log aggregates.
+
+Scale: one zip member = one Spark task's worth of text (quarterly files
+are ~10-100 MB); many members/zips process in parallel, so cluster
+parallelism comes from the number of files, exactly like the
+reference's per-zip worker fan-out but scheduled by Spark.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ffiec_pq_spark.functions.scalars import parse_yyyymmdd
+
+NA_TOKENS = ("", "CONF")
+
+# type chars follow the reference's readr shorthand:
+# d=double, i=int, c=character, l=logical, D=date(yyyymmdd text)
+DEFAULT_OVERRIDES = {"RCON8678": "c", "RCON9999": "D", "RIAD9106": "D"}
+
+_SPARK_TYPES = {
+    "d": T.DoubleType(),
+    "i": T.IntegerType(),
+    "c": T.StringType(),
+    "l": T.BooleanType(),
+    "D": T.DateType(),
+}
+
+
+def make_colspec(
+    header: list[str],
+    type_dict: dict[str, str],
+    overrides: dict[str, str] | None = None,
+) -> list[tuple[str, str]]:
+    """(name, type_char) per header column: dictionary lookup with hard
+    overrides and default-string for unknown names
+    (reference make_colspec, R/ffeic_read.R:377-418)."""
+    overrides = {**DEFAULT_OVERRIDES, **(overrides or {})}
+    out = []
+    for name in header:
+        if name == "IDRSSD":
+            out.append((name, "i"))
+        elif name in overrides:
+            out.append((name, overrides[name]))
+        else:
+            out.append((name, type_dict.get(name, "c")))
+    return out
+
+
+def read_zip_member_header(zip_path: str, member: str) -> list[str]:
+    """Driver-side: read just the first line of a member for the colspec
+    (cheap — decompresses only the first block)."""
+    with zipfile.ZipFile(zip_path) as zf:
+        with zf.open(member) as fh:
+            first = io.TextIOWrapper(fh, encoding="utf-8", errors="replace").readline()
+    # rows carry a trailing tab; drop the resulting empty last name
+    names = [c.strip().strip('"') for c in first.rstrip("\r\n").split("\t")]
+    if names and names[-1] == "":
+        names.pop()
+    return names
+
+
+def fix_extra_tabs(line: str, expected_cols: int) -> str:
+    """Convert tabs beyond ``expected_cols - 1`` into spaces
+    (reference fix_extra_tabs, R/ffeic_read.R:130-146); the row's
+    trailing delimiter tab is preserved, not counted."""
+    trailing = line.endswith("\t")
+    core = line[:-1] if trailing else line
+    parts = core.split("\t")
+    if len(parts) <= expected_cols:
+        return line
+    keep = parts[: expected_cols - 1]
+    keep.append(" ".join(parts[expected_cols - 1 :]))
+    return "\t".join(keep) + ("\t" if trailing else "")
+
+
+def repair_member_text(text: str, expected_cols: int) -> tuple[str, list[str]]:
+    """Apply both reference repairs to a member's full text; return
+    (repaired_text, repair_tags)."""
+    tags = []
+    # joins ALL newlines not preceded by a tab: sound because FFIEC rows
+    # end with a trailing tab, so every legitimate row boundary is
+    # tab-adjacent and only embedded (mid-field) newlines match
+    repaired = re.sub(r"(?<!\t)\r?\n(?!$)", " ", text)
+    if repaired != text:
+        tags.append("newline-gsub")
+    lines = repaired.split("\n")
+    fixed = [fix_extra_tabs(ln, expected_cols) for ln in lines]
+    if fixed != lines:
+        tags.append("tab-repair")
+    return "\n".join(fixed), tags
+
+
+def zip_member_lines(
+    spark: SparkSession,
+    zip_path: str,
+    member: str,
+    skip: int = 2,
+    repair_expected_cols: int | None = None,
+) -> DataFrame:
+    """Executor-side extraction of one zip member into a line DataFrame
+    (line_no, value).  When ``repair_expected_cols`` is set the slow-path
+    text repairs run before line splitting."""
+    bin_df = spark.read.format("binaryFile").load(zip_path)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                with zipfile.ZipFile(io.BytesIO(row["content"])) as zf:
+                    text = zf.read(member).decode("utf-8", errors="replace")
+                if repair_expected_cols is not None:
+                    text, _ = repair_member_text(text, repair_expected_cols)
+                lines = text.split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()
+                yield pd.DataFrame(
+                    {
+                        "line_no": range(1, len(lines) + 1),
+                        "value": [ln.rstrip("\r") for ln in lines],
+                    }
+                )
+
+    lines_df = bin_df.select("content").mapInPandas(
+        extract, schema="line_no long, value string"
+    )
+    return lines_df.filter(F.col("line_no") > skip)
+
+
+def _typed_cast(raw: F.Column, tchar: str) -> F.Column:
+    cleaned = F.when(F.trim(raw).isin(*NA_TOKENS), F.lit(None)).otherwise(F.trim(raw))
+    if tchar == "D":
+        return parse_yyyymmdd(cleaned)
+    if tchar == "l":
+        return F.when(F.lower(cleaned).isin("true", "1"), F.lit(True)).when(
+            F.lower(cleaned).isin("false", "0"), F.lit(False)
+        )
+    return cleaned.cast(_SPARK_TYPES[tchar])
+
+
+def parse_schedule_lines(
+    lines: DataFrame, colspec: list[tuple[str, str]]
+) -> DataFrame:
+    """Tab-split -> typed projection with NULL-token semantics."""
+    fields = F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1)
+    cols = [
+        _typed_cast(F.trim(fields[i]).alias(name), tchar).alias(name)
+        for i, (name, tchar) in enumerate(colspec)
+    ]
+    return lines.select(*cols)
+
+
+def count_bad_lines(lines: DataFrame, expected_cols: int) -> int:
+    """Lines whose tab-field count differs from the header's — the
+    trigger for the repair slow path."""
+    return (
+        lines.filter(
+            F.size(F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1))
+            != expected_cols
+        )
+        .limit(1)
+        .count()
+    )
+
+
+def read_call_schedule(
+    spark: SparkSession,
+    zip_path: str,
+    member: str,
+    type_dict: dict[str, str],
+    overrides: dict[str, str] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Read one schedule TSV member -> (typed DataFrame, audit).
+
+    Two-phase: strict parse first; on any bad-field-count line, re-read
+    with text repairs (the reference's exact strategy)."""
+    header = read_zip_member_header(zip_path, member)
+    colspec = make_colspec(header, type_dict, overrides)
+    n = len(colspec)
+    audit: dict = {"zipfile": zip_path, "file": member, "repairs": [], "ok": True}
+
+    lines = zip_member_lines(spark, zip_path, member, skip=2)
+    if count_bad_lines(lines, n):
+        lines = zip_member_lines(
+            spark, zip_path, member, skip=2, repair_expected_cols=n
+        )
+        audit["repairs"] = ["newline-gsub", "tab-repair"]
+        if count_bad_lines(lines, n):
+            audit["ok"] = False
+    return parse_schedule_lines(lines, colspec), audit

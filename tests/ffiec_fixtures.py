@@ -1,0 +1,150 @@
+"""Synthetic FFIEC-shaped fixtures (FIXTURES.md §B): bulk zips with
+multipart TSV schedules (incl. malformed rows), a POR member, and XBRL
+zips.  Deterministic, seed-free (fully enumerated)."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+# {item -> type char}: the dictionary the reader's colspec consults
+TYPE_DICT = {
+    "RCFD0010": "d",
+    "RCFD2170": "d",
+    "RCON2200": "d",
+    "RIAD4340": "d",
+    "RCON6724": "i",
+    "RCFDA224": "c",  # pure item: percent text -> proportion post-read
+    "RCFDB528": "l",
+    "TEXT4545": "c",
+}
+PURE_COLS = ["RCFDA224"]
+
+N_BANKS = 20
+DATE_TOKEN = "03312024"  # MMDDYYYY in filenames
+REPORT_DATE = "2024-03-31"
+
+
+def _row(vals) -> str:
+    # FFIEC rows carry a trailing tab (legitimate newlines tab-adjacent)
+    return "\t".join(str(v) for v in vals) + "\t"
+
+
+def _schedule_part1_lines() -> list[str]:
+    header = ["IDRSSD", "RCFD0010", "RCFD2170", "RIAD4340", "RCON9999", "TEXT4545"]
+    desc = ["ID", "Cash", "Assets", "Net income", "Report date", "Comment"]
+    lines = [_row(header), _row(desc)]
+    for i in range(1, N_BANKS + 1):
+        idrssd = 1000 + i
+        cash = "" if i % 7 == 0 else f"{i * 1000}.5"
+        assets = "CONF" if i % 5 == 0 else f"{i * 20000}"
+        net = f"{i * 11}" if i % 2 == 0 else ""  # complementary with part 2
+        rcon9999 = "20240331" if i % 3 else "00000000"
+        comment = f"note {i}"
+        if i == 4:
+            # embedded newline inside the comment field (slow-path repair)
+            comment = f"note {i} broken\ncontinued"
+        if i == 9:
+            # stray extra tab inside the comment field
+            comment = f"note\t{i} extra"
+        lines.append(_row([idrssd, cash, assets, net, rcon9999, comment]))
+    return lines
+
+
+def _schedule_part2_lines() -> list[str]:
+    header = ["IDRSSD", "RCON2200", "RIAD4340", "RCON6724", "RCFDA224", "RCFDB528"]
+    desc = ["ID", "Deposits", "Net income", "Offices", "Ratio", "Flag"]
+    lines = [_row(header), _row(desc)]
+    for i in range(1, N_BANKS + 1):
+        idrssd = 1000 + i
+        deposits = f"{i * 15000}"
+        net = "" if i % 2 == 0 else f"{i * 11}"  # complementary with part 1
+        offices = f"{i % 9}"
+        ratio = f"{i * 2.5:.1f}%"
+        flag = "true" if i % 2 else "false"
+        lines.append(_row([idrssd, deposits, net, offices, ratio, flag]))
+    return lines
+
+
+def _schedule_rc_lines() -> list[str]:
+    # RCON2200 also appears in schedule RI: the FFIEC data contract is
+    # that an item shared across schedules carries the SAME value per
+    # (IDRSSD, date) — the long build relies on DISTINCT collapsing it
+    # (reference R/ffiec_make_long_pqs.R:109-111)
+    header = ["IDRSSD", "RCON2200"]
+    desc = ["ID", "Deposits"]
+    lines = [_row(header), _row(desc)]
+    for i in range(1, N_BANKS + 1):
+        lines.append(_row([1000 + i, f"{i * 15000}"]))
+    return lines
+
+
+def _por_lines() -> list[str]:
+    header = [
+        "IDRSSD",
+        "Financial Institution Name",
+        "Financial Institution State",
+        "FDIC Certificate Number",
+        "OCC Charter Number",
+        "Primary ABA Routing Number",
+        "Last Date/Time Submission Updated On",
+    ]
+    desc = ["ID", "Name", "State", "FDIC", "OCC", "ABA", "Updated"]
+    lines = [_row(header), _row(desc)]
+    for i in range(1, N_BANKS + 1):
+        fdic = "0" if i % 4 == 0 else f"{5000 + i}"
+        occ = "0" if i % 6 == 0 else f"{700 + i}"
+        # 2024-03-10 02:30 doesn't exist in America/New_York (DST gap);
+        # use values either side of the spring-forward boundary
+        ts = "2024-03-10T01:59:00" if i % 2 else "2024-07-01T12:00:00"
+        lines.append(
+            _row([1000 + i, f"Bank {i}", "IA", fdic, occ, f"{100000 + i}", ts])
+        )
+    return lines
+
+
+def make_call_zip(dir_: str) -> str:
+    """Bulk 'All Schedules' zip: RI in two parts + RC single + POR."""
+    path = os.path.join(dir_, f"FFIEC CDR Call Bulk All Schedules {DATE_TOKEN}.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            f"FFIEC CDR Call Schedule RI {DATE_TOKEN}(1 of 2).txt",
+            "\n".join(_schedule_part1_lines()) + "\n",
+        )
+        zf.writestr(
+            f"FFIEC CDR Call Schedule RI {DATE_TOKEN}(2 of 2).txt",
+            "\n".join(_schedule_part2_lines()) + "\n",
+        )
+        zf.writestr(
+            f"FFIEC CDR Call Schedule RC {DATE_TOKEN}.txt",
+            "\n".join(_schedule_rc_lines()) + "\n",
+        )
+        zf.writestr(
+            f"FFIEC CDR Call Bulk POR {DATE_TOKEN}.txt",
+            "\n".join(_por_lines()) + "\n",
+        )
+    return path
+
+
+_XBRL_TEMPLATE = """<?xml version="1.0" encoding="utf-8"?>
+<xbrl xmlns="http://www.xbrl.org/2003/instance"
+      xmlns:cc="http://www.ffiec.gov/call/concepts">
+{facts}
+</xbrl>
+"""
+
+
+def make_xbrl_zip(dir_: str) -> str:
+    path = os.path.join(dir_, f"FFIEC CDR Call Bulk XBRL {DATE_TOKEN}.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        for i in (1, 2):
+            facts = "\n".join(
+                f'  <cc:{item} contextRef="RI_{1000 + i}_{REPORT_DATE}" '
+                f'unitRef="USD" decimals="0">{(1000 + i) * m}</cc:{item}>'
+                for m, item in enumerate(["RCFD0010", "RCON2200", "RIAD4340"], 1)
+            )
+            zf.writestr(
+                f"{1000 + i}_{DATE_TOKEN}.xbrl.xml",
+                _XBRL_TEMPLATE.format(facts=facts),
+            )
+    return path

@@ -1,0 +1,143 @@
+"""End-to-end tests of the FFIEC ingest layer on synthetic fixtures:
+manifest discovery, dictionary-typed TSV parse with repair, multipart
+combine, POR semantics, long-table build, XBRL extraction, process log."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.operators.process import ffiec_process
+from ffiec_pq_spark.sources.manifest import (
+    list_bulk_zips,
+    resolve_n_parts,
+    zip_member_manifest,
+)
+from ffiec_pq_spark.sources.xbrl import extract_xbrl_facts, split_context
+from tests.ffiec_fixtures import (
+    N_BANKS,
+    PURE_COLS,
+    TYPE_DICT,
+    make_call_zip,
+    make_xbrl_zip,
+)
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ffiec_raw")
+    make_call_zip(str(d))
+    make_xbrl_zip(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def processed(spark, raw_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("ffiec_out")
+    zips = list_bulk_zips(spark, raw_dir)
+    call_zips = [r["zipfile"] for r in zips.filter(F.col("kind") == "All Schedules").collect()]
+    return ffiec_process(spark, call_zips, TYPE_DICT, str(out), PURE_COLS)
+
+
+def test_zip_discovery(spark, raw_dir):
+    zips = list_bulk_zips(spark, raw_dir).collect()
+    assert len(zips) == 2
+    kinds = {r["kind"] for r in zips}
+    assert kinds == {"All Schedules", "XBRL"}
+    assert all(r["date"] == datetime.date(2024, 3, 31) for r in zips)
+
+
+def test_member_manifest(spark, raw_dir):
+    zips = list_bulk_zips(spark, raw_dir)
+    call = [r["zipfile"] for r in zips.collect() if r["kind"] == "All Schedules"]
+    m = zip_member_manifest(spark, call)
+    rows = {r["file"]: r for r in m.collect()}
+    assert len(rows) == 4
+    ri1 = next(r for f, r in rows.items() if "(1 of 2)" in f)
+    assert ri1["schedule"] == "ri" and ri1["part"] == 1 and ri1["n_parts"] == 2
+    assert sum(1 for r in rows.values() if r["schedule"] == "por") == 1
+    # multipart validation: all groups valid on this fixture
+    v = resolve_n_parts(m).collect()
+    assert all(len(r["errors"]) == 0 for r in v)
+
+
+def test_wide_schedule_semantics(spark, processed):
+    ri = next(o for o in processed["wide"] if o["schedule"] == "ri")
+    df = spark.read.parquet(ri["path"])
+    rows = {r["IDRSSD"]: r for r in df.collect()}
+    assert len(rows) == N_BANKS
+    # typed casts
+    assert isinstance(rows[1001]["RCFD0010"], float)
+    assert isinstance(rows[1001]["RCON6724"], int)
+    assert rows[1001]["RCFDB528"] is True
+    # NULL tokens: "" and CONF
+    assert rows[1007]["RCFD0010"] is None  # i%7==0 -> ""
+    assert rows[1005]["RCFD2170"] is None  # i%5==0 -> CONF
+    # date item parse + NA token 00000000
+    assert rows[1001]["RCON9999"] == datetime.date(2024, 3, 31)
+    assert rows[1003]["RCON9999"] is None
+    # J1 coalesce: RIAD4340 complementary across parts -> all filled
+    assert all(r["RIAD4340"] == (i - 1000) * 11 for i, r in rows.items())
+    # pure percent -> proportion
+    assert rows[1002]["RCFDA224"] == pytest.approx(0.05)
+    # repair results: embedded newline joined (bank 4), extra tab spaced (bank 9)
+    assert "broken continued" in rows[1004]["TEXT4545"]
+    assert rows[1009]["TEXT4545"] == "note 9 extra"
+    # report date appended
+    assert rows[1001]["date"] == datetime.date(2024, 3, 31)
+
+
+def test_long_tables(spark, processed):
+    longs = processed["long"]
+    assert set(longs) >= {"float", "int", "str", "date", "bool"}
+    flt = spark.read.parquet(longs["float"])
+    assert flt.schema["value"].dataType.simpleString() == "double"
+    # sparsity: NULL facts are absent rows
+    assert flt.filter(F.col("value").isNull()).count() == 0
+    # PK holds
+    assert (
+        flt.groupBy("IDRSSD", "date", "item").count().filter("count > 1").count()
+        == 0
+    )
+    # coverage: RCFD0010 null for multiples of 7 -> N - floor(N/7) rows
+    n = flt.filter(F.col("item") == "RCFD0010").count()
+    assert n == N_BANKS - N_BANKS // 7
+
+
+def test_por_semantics(spark, processed):
+    por = spark.read.parquet(processed["por"][0])
+    rows = {r["IDRSSD"]: r for r in por.collect()}
+    assert len(rows) == N_BANKS
+    # snake_case headers
+    assert "financial_institution_name" in por.columns
+    # id-zero -> NULL
+    assert rows[1004]["fdic_certificate_number"] is None
+    assert rows[1001]["fdic_certificate_number"] == "5001"
+    # ET -> UTC: 2024-03-10 01:59 EST = 06:59 UTC; 2024-07-01 12:00 EDT = 16:00 UTC
+    ts1 = rows[1001]["last_date_time_submission_updated_on"]
+    assert (ts1.hour, ts1.minute) == (6, 59)
+    ts2 = rows[1002]["last_date_time_submission_updated_on"]
+    assert ts2.hour == 16
+
+
+def test_process_log(processed):
+    log = {(r["schedule"], r["kind"]): r for r in processed["log"].collect()}
+    assert log[("ri", "schedule")]["ok"]
+    assert set(log[("ri", "schedule")]["repairs"]) == {"newline-gsub", "tab-repair"}
+    assert log[("rc", "schedule")]["repairs"] == []
+    assert log[("por", "por")]["ok"]
+
+
+def test_xbrl_extraction(spark, raw_dir):
+    facts = split_context(
+        extract_xbrl_facts(spark, raw_dir + "/*XBRL*.zip")
+    )
+    rows = facts.collect()
+    assert len(rows) == 6  # 2 members x 3 facts
+    by_key = {(r["IDRSSD"], r["item"]): r for r in rows}
+    r = by_key[(1001, "RCON2200")]
+    assert r["schedule"] == "RI"
+    assert r["date"] == datetime.date(2024, 3, 31)
+    assert r["unitRef"] == "USD"
+    assert r["value"] == "2002"
+    assert r["n_attrs"] == 3

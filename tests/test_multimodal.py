@@ -1,0 +1,80 @@
+"""Multimodal plumbing tests: binary payload columns through the
+mapInPandas decode/feature/frame stages (decode stubbed, plumbing real)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.operators.multimodal import (
+    FEATURE_DIM,
+    binarize,
+    decode_image_meta,
+    extract_features,
+    frame_sample,
+)
+from ffiec_pq_spark.session import load_table
+
+
+def _payloads(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    return binarize(docs, col="text", id_col="doc_id")
+
+
+def test_binary_meta(spark, sf_dir):
+    pay = _payloads(spark, sf_dir)
+    meta = decode_image_meta(pay)
+    rows = {r["id"]: r for r in meta.collect()}
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf_dir, "documents").limit(20).collect()
+    }
+    assert set(rows) == set(docs)
+    for i, r in rows.items():
+        raw = docs[i]["text"].encode()
+        assert r["n_bytes"] == len(raw)
+        assert r["content_md5"] == hashlib.md5(raw).hexdigest()
+        assert r["format"] == "unknown"  # text payloads have no media magic
+
+
+def test_magic_sniffing(spark):
+    fake = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n rest")), (2, bytearray(b"\xff\xd8\xff\xe0 jpg")),
+         (3, bytearray(b"RIFF....WAVE")), (4, bytearray(b"plain"))],
+        "id long, payload binary",
+    )
+    fmts = {r["id"]: r["format"] for r in decode_image_meta(fake).collect()}
+    assert fmts == {1: "png", 2: "jpeg", 3: "riff", 4: "unknown"}
+
+
+def test_feature_extraction_stub(spark, sf_dir):
+    pay = _payloads(spark, sf_dir)
+    feats = extract_features(pay)
+    rows = feats.collect()
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
+    assert all(all(-1.0 <= v < 1.0 for v in r["feature"]) for r in rows)
+    # deterministic: re-run produces identical vectors
+    again = {r["id"]: r["feature"] for r in extract_features(pay).collect()}
+    assert all(again[r["id"]] == r["feature"] for r in rows)
+    # features are ANN-compatible: cosine against first vector runs
+    from ffiec_pq_spark.operators.similarity import ann_topk_bruteforce
+
+    probe = rows[0]["feature"]
+    top = ann_topk_bruteforce(
+        feats, probe, k=3, vec_col="feature", id_col="id"
+    ).collect()
+    assert top[0]["id"] == rows[0]["id"] and top[0]["score"] == 1.0
+
+
+def test_frame_sampling(spark, sf_dir):
+    pay = _payloads(spark, sf_dir).limit(5)
+    frames = frame_sample(pay, every_n_bytes=64)
+    per_doc = (
+        frames.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    lens = {
+        r["id"]: r["n_bytes"]
+        for r in decode_image_meta(pay).collect()
+    }
+    for r in per_doc:
+        expected = (lens[r["id"]] + 63) // 64
+        assert r["n"] == expected
