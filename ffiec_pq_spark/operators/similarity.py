@@ -120,6 +120,73 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), sig.alias("bucket"))
 
 
+def ivf_centroid(dim: int, cell_idx: int) -> list[float]:
+    """Deterministic coarse-quantizer centroid (fixed pseudo-random
+    direction; a production build would k-means these — the query plan
+    is identical, only the constants change)."""
+    return _pseudo_plane(dim, 100 + cell_idx)
+
+
+def ivf_cell(vec: Column, dim: int, n_cells: int) -> Column:
+    """Argmax-cosine cell assignment against the fixed centroids, as one
+    column expression: array_max over (score, cell) structs — ties break
+    to the lowest cell index."""
+    entries = []
+    for j in range(n_cells):
+        cent = F.array(*[F.lit(v) for v in ivf_centroid(dim, j)])
+        entries.append(
+            F.struct(
+                cosine(vec, cent).alias("s"),
+                F.lit(n_cells - 1 - j).alias("negc"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return (F.lit(n_cells - 1) - best["negc"]).alias("cell")
+
+
+def probe_cells(probe: list[float], dim: int, n_cells: int, nprobe: int) -> list[int]:
+    """Driver-side: the nprobe cells whose centroids are most similar to
+    the probe (the IVF serving step's cell shortlist)."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return d / (na * nb)
+
+    scored = sorted(
+        ((cos(probe, ivf_centroid(dim, j)), -j) for j in range(n_cells)),
+        reverse=True,
+    )
+    return [-negj for _, negj in scored[:nprobe]]
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    probe: list[float],
+    dim: int,
+    k: int = 10,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-pruned top-k: assign every vector to its nearest coarse
+    centroid, scan only the ``nprobe`` cells nearest the probe, exact
+    cosine re-rank inside them.
+
+    At scale the cell id is a parquet partition column, so the cell
+    filter becomes partition pruning and the scan touches nprobe/n_cells
+    of the data; here the assignment is computed on the fly (one
+    narrow projection, no shuffle — top-k is TakeOrderedAndProject).
+    """
+    cells = probe_cells(probe, dim, n_cells, nprobe)
+    assigned = df.withColumn("cell", ivf_cell(F.col(vec_col), dim, n_cells))
+    return ann_topk_bruteforce(
+        assigned.filter(F.col("cell").isin(cells)), probe, k, vec_col, id_col
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     probe: list[float],

@@ -87,6 +87,70 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return cosine_pairs_within(emb, part_col="label", threshold=0.8)
 
 
+_N_CELLS, _NPROBE = 4, 2
+
+
+def _ivf_sql() -> str:
+    from ffiec_pq_spark.operators.similarity import ivf_centroid, probe_cells
+
+    cent_rows = ", ".join(
+        f"({j}, {i + 1}, {v!r}::DOUBLE)"
+        for j in range(_N_CELLS)
+        for i, v in enumerate(ivf_centroid(_DIM, j))
+    )
+    cells = ", ".join(str(c) for c in probe_cells(_PROBE, _DIM, _N_CELLS, _NPROBE))
+    return f"""
+    WITH cent AS (SELECT * FROM (VALUES {cent_rows}) AS t(c, i, v)),
+    ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ),
+    cell_scores AS (
+      SELECT e.vec_id, c.c,
+             sum(e.x * c.v) / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.v * c.v))) AS s
+      FROM ex e JOIN cent c ON e.i = c.i
+      GROUP BY 1, 2
+    ),
+    probed AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        FROM cell_scores
+      ) WHERE rn = 1 AND c IN ({cells})
+    ),
+    pex AS (
+      SELECT vec_id,
+             unnest(embedding)::DOUBLE AS x,
+             unnest({_PROBE_SQL}) AS p
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM probed)
+    ),
+    scored AS (
+      SELECT vec_id, sum(x * p) / (sqrt(sum(x * x)) * sqrt(sum(p * p))) AS raw
+      FROM pex GROUP BY vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS score
+    FROM scored
+    ORDER BY round(raw, 6) DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("ann_ivf_topk", _ivf_sql(), tags=["similarity", "approx"])
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN: deterministic coarse-centroid cell assignment,
+    nprobe-cell shortlist, exact cosine re-rank — the scale path where
+    the cell id becomes a parquet partition column and the cell filter
+    becomes partition pruning (scan nprobe/n_cells of the data)."""
+    from ffiec_pq_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        emb, _PROBE, dim=_DIM, k=10, n_cells=_N_CELLS, nprobe=_NPROBE
+    )
+
+
 @register(
     "lsh_bucket_histogram",
     None,  # bucket ids depend on float dot-product sign vs fixed planes;

@@ -126,6 +126,71 @@ def make_call_zip(dir_: str) -> str:
     return path
 
 
+def make_mdrm_zip(dir_: str) -> str:
+    """MDRM dictionary zip: title row, header row, then item metadata
+    (reference data-raw/ffiec_dict.R:19-53 reads the real one)."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow(["MDRM Data Dictionary - extracted 2024-06-30"])
+    w.writerow(
+        ["Mnemonic", "Item Code", "Item Name", "Start Date", "End Date",
+         "Confidentiality", "ItemType", "Reporting Form", "Description",
+         "SeriesGlossary"]
+    )
+    items = [
+        ("RCFD", "0010", "cash and balances due from FDIC institutions",
+         "3/31/1976 12:00:00 AM", "12/31/9999 12:00:00 AM"),
+        ("RCFD", "2170", "total assets per gaap", "3/31/1976 12:00:00 AM",
+         "12/31/9999 12:00:00 AM"),
+        ("RCON", "2200", "total deposits in u.s. offices",
+         "6/30/1980 12:00:00 AM", "12/31/9999 12:00:00 AM"),
+        ("RIAD", "4340", "net income attributable to tier 1 holders",
+         "3/31/1976 12:00:00 AM", "12/31/2001 12:00:00 AM"),
+        ("RCON", "6724", "number of offices", "3/31/1990 12:00:00 AM",
+         "12/31/9999 12:00:00 AM"),
+        ("RCFD", "A224", "risk-based capital ratio per ffiec rules",
+         "3/31/1996 12:00:00 AM", "12/31/9999 12:00:00 AM"),
+        ("RCFD", "B528", "schedule rc-q fair value flag",
+         "3/31/2001 12:00:00 AM", "12/31/9999 12:00:00 AM"),
+        ("TEXT", "4545", "free-form comment for addressees",
+         "3/31/1976 12:00:00 AM", "12/31/9999 12:00:00 AM"),
+    ]
+    for mnem, code, name, start, end in items:
+        w.writerow(
+            [mnem, code, name, start, end, "N", "Financial", "FFIEC 031",
+             f"Description of {mnem}{code}", "Call Report"]
+        )
+    path = os.path.join(dir_, "MDRM.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("MDRM_CSV.csv", buf.getvalue())
+    return path
+
+
+_CONCEPTS_XSD = """<?xml version="1.0" encoding="utf-8"?>
+<xsd:schema xmlns:xsd="http://www.w3.org/2001/XMLSchema"
+            xmlns:xbrli="http://www.xbrl.org/2003/instance">
+  <xsd:element name="RCFD0010" type="xbrli:monetaryItemType"/>
+  <xsd:element name="RCON2200" type="xbrli:monetaryItemType"/>
+  <xsd:element name="RCON6724" type="xbrli:integerItemType"/>
+  <xsd:element name="RCFDA224" type="xbrli:pureItemType"/>
+  <xsd:element name="RCFDB528" type="xbrli:booleanItemType"/>
+  <xsd:element name="TEXT4545" type="xbrli:stringItemType"/>
+</xsd:schema>
+"""
+
+
+def make_taxonomy_zip(dir_: str) -> str:
+    """Taxonomy zip containing a concepts.xsd (reference
+    data-raw/ffiec_schema.R:21-45 reads the real ones)."""
+    path = os.path.join(dir_, "_taxonomy_2024.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("taxonomy/concepts.xsd", _CONCEPTS_XSD)
+    return path
+
+
 _XBRL_TEMPLATE = """<?xml version="1.0" encoding="utf-8"?>
 <xbrl xmlns="http://www.xbrl.org/2003/instance"
       xmlns:cc="http://www.ffiec.gov/call/concepts">

@@ -23,8 +23,10 @@ def stream_dir(spark, sf_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("event_stream"))
     ev = load_table(spark, sf_dir, "events")
     # micro-batches must arrive in event-time order for the watermark
-    # test to be meaningful: split by day bucket
-    ev = ev.withColumn("bucket", F.dayofmonth("ts") % 4)
+    # test to be meaningful: bucket by contiguous day ranges
+    ev = ev.withColumn(
+        "bucket", F.least(F.lit(3), ((F.dayofmonth("ts") - 1) / 8).cast("int"))
+    )
     for b in range(4):
         ev.filter(F.col("bucket") == b).drop("bucket").coalesce(1).write.parquet(
             os.path.join(d, f"batch_{b}")
@@ -68,6 +70,30 @@ def test_stream_matches_batch(spark, sf_dir, stream_dir):
     }
     for k, v in got_rows.items():
         assert batch_rows.get(k) == v, f"window {k}: stream={v} batch={batch_rows.get(k)}"
+
+
+def test_applyinpandaswithstate_sessionizer(spark, sf_dir, stream_dir):
+    """Custom per-key state machine (applyInPandasWithState): every
+    emitted session must exactly match the batch sessionizer's output
+    for that (user, session_start)."""
+    from ffiec_pq_spark.operators.windows import sessionize
+    from ffiec_pq_spark.streaming.stateful import sessionize_stream
+
+    stream = read_event_stream(spark, stream_dir)
+    sess = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    run_to_memory(sess, "state_sess_out")
+    got = spark.sql("SELECT * FROM state_sess_out").collect()
+    assert got, "stateful sessionizer emitted nothing"
+
+    batch = sessionize(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", gap_minutes=30
+    ).collect()
+    batch_by_key = {(r["user_id"], r["session_start"]): r for r in batch}
+    for r in got:
+        b = batch_by_key.get((r["user_id"], r["session_start"]))
+        assert b is not None, f"no batch session at {r['user_id']}, {r['session_start']}"
+        assert b["session_end"] == r["session_end"]
+        assert b["n_events"] == r["n_events"]
 
 
 def test_stateful_session_stream(spark, stream_dir):
