@@ -1,0 +1,77 @@
+"""Physical-plan audit helpers: assert that a DataFrame's executed plan
+has the shape you designed for scale (broadcast joins where intended,
+filters/column pruning pushed into the parquet scan, no stray
+exchanges).  Used by tests and available interactively — the codified
+version of "``.explain()`` and iterate until it's the plan you'd want".
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (AQE reuse/coalesce not counted
+    twice — each Exchange node is one logical shuffle boundary)."""
+    return len(re.findall(r"\bExchange hashpartitioning", physical_plan(df)))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in (
+        physical_plan(df)
+    )
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in each parquet scan's ReadSchema — verifies column
+    pruning reached the source (a 2-col projection must not read 16)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        out.extend(f.split(":")[0] for f in m.group(1).split(",") if f)
+    return out
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section of the scan, empty string if none."""
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+    return m.group(1) if m else ""
+
+
+def assert_plan(
+    df: DataFrame,
+    max_exchanges: int | None = None,
+    broadcast: bool | None = None,
+    pushed: str | None = None,
+    pruned_to: set[str] | None = None,
+) -> None:
+    """Raise AssertionError when the plan violates the stated shape."""
+    if max_exchanges is not None:
+        n = count_exchanges(df)
+        if n > max_exchanges:
+            raise AssertionError(
+                f"plan has {n} exchanges, expected <= {max_exchanges}:\n"
+                + physical_plan(df)
+            )
+    if broadcast is not None and has_broadcast_join(df) != broadcast:
+        raise AssertionError(
+            f"broadcast join expected={broadcast}:\n" + physical_plan(df)
+        )
+    if pushed is not None and pushed not in pushed_filters(df):
+        raise AssertionError(
+            f"expected pushed filter {pushed!r}, got {pushed_filters(df)!r}"
+        )
+    if pruned_to is not None:
+        got = set(scan_read_schema(df))
+        if not got <= pruned_to:
+            raise AssertionError(
+                f"scan reads {sorted(got - pruned_to)} beyond the expected "
+                f"pruned set {sorted(pruned_to)}"
+            )

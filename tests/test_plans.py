@@ -1,0 +1,70 @@
+"""Physical-plan shape tests: the scale contract, asserted.
+
+Correctness says the operators return the right rows; these say the
+plans are the ones that survive a 100x scale-up — broadcasts where a
+side is small, filters reaching the parquet scan, column pruning, and
+no more shuffles than the algorithm requires.
+"""
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import queries
+from ffiec_pq_spark.plans.audit import (
+    assert_plan,
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+)
+from ffiec_pq_spark.session import load_table
+
+
+def test_flagship_join_broadcasts_dims(spark, sf_dir):
+    """q5: region/nation/customer/supplier dims must broadcast — only
+    the fact-fact join may shuffle."""
+    df = queries()["q5_nation_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    ).select("l_orderkey", "l_quantity")
+    assert "l_shipdate" in pushed_filters(li)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    got = scan_read_schema(li)
+    assert set(got) == {"l_orderkey", "l_quantity"}, got
+
+
+def test_single_shuffle_aggregate(spark, sf_dir):
+    """q1 is one grouped aggregate: exactly one exchange."""
+    df = queries()["q1_pricing_summary"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 1
+
+
+def test_pivot_single_shuffle(spark, sf_dir):
+    """Conditional-aggregation pivot: one exchange, not DataFrame.pivot's
+    two."""
+    df = queries()["pivot_roundtrip"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 1
+
+
+def test_unpivot_no_shuffle(spark, sf_dir):
+    """Unpivot is a narrow generator — zero exchanges."""
+    df = queries()["unpivot_measures"](spark, sf_dir)
+    assert_plan(df, max_exchanges=0)
+
+
+def test_ann_topk_no_global_sort(spark, sf_dir):
+    """Brute-force top-k must be TakeOrderedAndProject (per-partition
+    heads + driver merge), never a global Sort."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["ann_cosine_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
