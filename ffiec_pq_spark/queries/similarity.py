@@ -151,16 +151,43 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-@register(
-    "lsh_bucket_histogram",
-    None,  # bucket ids depend on float dot-product sign vs fixed planes;
-    # SQL mirror would be 12x64 literals — covered rows-only here and by
-    # tests/test_similarity.py recall properties instead.
-    tags=["similarity", "approx"],
-)
+_N_PLANES = 12
+
+
+def _lsh_sql() -> str:
+    from ffiec_pq_spark.operators.similarity import _pseudo_plane
+
+    plane_rows = ", ".join(
+        f"({p}, {i + 1}, {v!r}::DOUBLE)"
+        for p in range(_N_PLANES)
+        for i, v in enumerate(_pseudo_plane(_DIM, p))
+    )
+    return f"""
+    WITH plane AS (SELECT * FROM (VALUES {plane_rows}) AS t(p, i, v)),
+    ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ),
+    bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN sum(e.x * pl.v) > 0 THEN CAST(pow(2, pl.p) AS BIGINT)
+                  ELSE 0 END AS bit
+      FROM ex e JOIN plane pl ON e.i = pl.i
+      GROUP BY 1, 2
+    ),
+    sig AS (SELECT vec_id, sum(bit) AS bucket FROM bits GROUP BY vec_id)
+    SELECT bucket, count(*) AS n FROM sig GROUP BY bucket
+    """
+
+
+@register("lsh_bucket_histogram", _lsh_sql(), tags=["similarity", "approx"])
 def lsh_bucket_histogram(spark, sf_dir):
     """Hyperplane-LSH bucketing: bucket -> vector count histogram (the
-    scale path's data layout; recall properties tested in pytest)."""
+    scale path's data layout; the sign-bit signature against fixed
+    pseudo-random planes is deterministic, so the histogram is
+    oracle-checked exactly)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = hyperplane_lsh_buckets(emb, dim=_DIM, n_planes=12)
+    buckets = hyperplane_lsh_buckets(emb, dim=_DIM, n_planes=_N_PLANES)
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))

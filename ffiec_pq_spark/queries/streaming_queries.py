@@ -1,0 +1,75 @@
+"""Structured Streaming queries surfaced through the oracle gate.
+
+``stream_hourly_rollup`` runs the watermarked tumbling-window plan as a
+REAL stream (readStream over the events parquet, complete-mode memory
+sink, availableNow drain) and returns the drained result — which must
+equal the batch/DuckDB group-by exactly.  This is the strongest check a
+streaming op can get: not "it emitted something" but "the incremental
+stateful execution converges to the batch answer".
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+
+_SINK_IDS = itertools.count()
+
+
+@register(
+    "stream_hourly_rollup",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=["streaming"],
+)
+def stream_hourly_rollup(spark, sf_dir):
+    """Incremental (streaming) tumbling rollup == batch rollup.
+
+    The raw testdata stores ``ts`` as TIMESTAMP(NANOS) which Spark reads
+    as long under the nanosAsLong conf; the stream schema mirrors that
+    and converts, exactly like the batch loader."""
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        # file sources stream a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_hourly_rollup_{next(_SINK_IDS)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -175,3 +175,42 @@ def events_json_props(spark, sf_dir):
             F.avg(F.get_json_object("props", "$.k").cast("double")), 4
         ).alias("avg_k"),
     )
+
+
+@register(
+    "salted_skew_agg",
+    """
+    SELECT event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4)  AS total_value,
+           round(max(value), 6)  AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["temporal", "skew"],
+)
+def salted_skew_agg(spark, sf_dir):
+    """Two-stage salted aggregation over the skewed low-cardinality key
+    (event_type): identical answer to the plain groupBy, but the heavy
+    stage spreads each hot key across 16 sub-groups — the shape that
+    survives a hot key holding 30% of 100 TB."""
+    from ffiec_pq_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        salt_from="event_id",
+        metrics={
+            "n_events": ("count(1)", "sum"),
+            "total_value": ("sum(value)", "sum"),
+            "max_value": ("max(value)", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
