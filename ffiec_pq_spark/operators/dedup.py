@@ -202,8 +202,18 @@ def minhash_near_dups(
     cand = lsh_candidates(sig, n_bands, n_perm // n_bands)
     sh = doc_shingles(df, text_col, id_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # restrict the exact-verify self-join to docs that appear in some
+    # candidate pair BEFORE joining on shingle: the shingle self-join
+    # over the full corpus is exactly the O(n^2)-shaped work LSH exists
+    # to avoid — after this semi-join its input is candidate docs only
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "id", "left_semi")
+    a = sh_c.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_c.select(F.col("id").alias("id_b"), "shingle")
     # intersection counts computed only for LSH candidate pairs (semi join)
     inter = (
         a.join(b, "shingle")

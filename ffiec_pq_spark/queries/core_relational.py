@@ -582,3 +582,68 @@ def scalar_functions(spark, sf_dir):
             F.round(F.col("o_totalprice") / 100.0, 4).alias("price_pct"),
         )
     )
+
+
+@register(
+    "subquery_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, round(o.o_totalprice, 2) AS total,
+           round(agg.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) agg ON o.o_orderkey = agg.l_orderkey
+    """,
+    tags=["relational", "subquery"],
+)
+def subquery_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose lineitems sum past a threshold —
+    aggregate subquery as join input (group-having pushed below the
+    join, one shuffle each side on the same key)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return o.join(agg, o.o_orderkey == agg.l_orderkey).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("total"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "correlated_exists_returns",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+    )
+    """,
+    tags=["relational", "subquery"],
+)
+def correlated_exists_returns(spark, sf_dir):
+    """Correlated EXISTS via spark.sql: Catalyst de-correlates it into a
+    left-semi join (the same plan the hand-written semi join produces —
+    declaring the subquery costs nothing)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM v_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM v_orders o
+          JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+        )
+        """
+    )

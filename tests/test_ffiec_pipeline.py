@@ -128,6 +128,27 @@ def test_process_log(processed):
     assert log[("por", "por")]["ok"]
 
 
+def test_reprocess_idempotent(spark, raw_dir, processed, tmp_path_factory):
+    """The reference's incremental model is re-running the ETL over the
+    zips with idempotent overwrite (SURVEY §2.10): a second full run
+    must produce byte-identical long tables."""
+    out2 = tmp_path_factory.mktemp("ffiec_out2")
+    zips = list_bulk_zips(spark, raw_dir)
+    call_zips = [
+        r["zipfile"]
+        for r in zips.filter(F.col("kind") == "All Schedules").collect()
+    ]
+    rerun = ffiec_process(spark, call_zips, TYPE_DICT, str(out2), PURE_COLS)
+    for t, path in processed["long"].items():
+        first = {
+            tuple(r) for r in spark.read.parquet(path).collect()
+        }
+        second = {
+            tuple(r) for r in spark.read.parquet(rerun["long"][t]).collect()
+        }
+        assert first == second, f"long table {t} differs across reruns"
+
+
 def test_xbrl_extraction(spark, raw_dir):
     facts = split_context(
         extract_xbrl_facts(spark, raw_dir + "/*XBRL*.zip")
