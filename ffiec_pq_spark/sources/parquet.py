@@ -79,6 +79,26 @@ def list_pqs(data_dir: str) -> list[dict]:
     return rows
 
 
+def write_partitioned(
+    df: DataFrame,
+    out_dir: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> str:
+    """The scale-mode sink: hive-partitioned directory layout.
+
+    For the long EAV tables the natural key is ``date`` (one quarterly
+    report per partition, mirroring the reference's one-file-per-
+    (schedule, date) contract at directory granularity): a reader's
+    ``WHERE date = ...`` then becomes partition pruning — zero I/O on
+    other quarters, visible as PartitionFilters in the scan node.
+    Low-cardinality partition keys only (date, schedule); never
+    high-cardinality ones (IDRSSD) — millions of tiny directories kill
+    any filesystem."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(out_dir)
+    return out_dir
+
+
 def write_single_parquet(df: DataFrame, out_path: str) -> str:
     """Write exactly one parquet *file* at ``out_path`` (the reference's
     per-dataset contract).  Implemented as a single-partition directory

@@ -60,6 +60,25 @@ def test_unpivot_no_shuffle(spark, sf_dir):
     assert_plan(df, max_exchanges=0)
 
 
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Date-partitioned long-table layout: a date predicate must become
+    a PartitionFilter (zero I/O on other partitions), not a data
+    filter."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+    from ffiec_pq_spark.sources.parquet import write_partitioned
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.col("l_shipdate").cast("date").alias("d")
+    )
+    out = str(tmp_path / "li_by_date")
+    write_partitioned(li, out, ["d"])
+    scan = spark.read.parquet(out).filter(F.col("d") == "1996-03-13")
+    plan = physical_plan(scan)
+    assert "PartitionFilters" in plan
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("isnotnull(d" in ln or "d#" in ln for ln in m), plan
+
+
 def test_ann_topk_no_global_sort(spark, sf_dir):
     """Brute-force top-k must be TakeOrderedAndProject (per-partition
     heads + driver merge), never a global Sort."""
