@@ -84,6 +84,7 @@ def process_zip_schedules(
     type_dict: dict[str, str],
     out_dir: str,
     pure_cols: list[str] | None = None,
+    strict: bool = False,
 ) -> tuple[list[dict], list[dict]]:
     """Stage 2: all schedules of one zip -> wide parquet files.
 
@@ -121,11 +122,29 @@ def process_zip_schedules(
                 }
             )
             continue
-        parts, repairs = [], []
+        parts, repairs, all_ok = [], [], True
         for r in rows:
             df, audit = read_call_schedule(spark, zip_path, r["file"], type_dict)
             parts.append(df)
             repairs.extend(audit["repairs"])
+            all_ok = all_ok and audit["ok"]
+        if strict and not all_ok:
+            # clean-read gate (reference ffiec_finalize_if_clean,
+            # R/ffeic_read.R:654-685): an unrepairable member blocks the
+            # whole (schedule, date) output; the failure is logged, not
+            # silently partial
+            log_rows.append(
+                {
+                    "zipfile": zip_path,
+                    "schedule": schedule,
+                    "date": d,
+                    "kind": "schedule",
+                    "ok": False,
+                    "repairs": sorted({*repairs, "unrepairable"}),
+                    "inner_files": [r["file"] for r in rows],
+                }
+            )
+            continue
         wide = combine_parts(parts, keys=["IDRSSD"])
         wide = wide.withColumn("date", F.lit(d).cast("date"))
         wide = fix_pure_columns(wide, pure_cols or [])
@@ -237,14 +256,18 @@ def ffiec_process(
     type_dict: dict[str, str],
     out_dir: str,
     pure_cols: list[str] | None = None,
+    strict: bool = False,
 ) -> dict:
     """Full pipeline over N bulk zips; returns paths + the process log
-    DataFrame (also written to ``ffiec_process_data.parquet``)."""
+    DataFrame (also written to ``ffiec_process_data.parquet``).
+
+    ``strict=True`` enables the clean-read gate: schedule groups with an
+    unrepairable member are logged and skipped instead of written."""
     os.makedirs(out_dir, exist_ok=True)
     all_wide, all_logs, all_long, por_paths = [], [], {}, []
     for zp in zip_paths:
         wide, logs = process_zip_schedules(
-            spark, zp, type_dict, out_dir, pure_cols
+            spark, zp, type_dict, out_dir, pure_cols, strict=strict
         )
         all_wide.extend(wide)
         all_logs.extend(logs)

@@ -73,3 +73,40 @@ def stream_hourly_rollup(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_sessionize_stateful",
+    None,  # append-mode stream: open tail sessions can't emit, so a
+    # full-table SQL oracle can't hash-match; per-row equality against
+    # the batch sessionizer is asserted in tests/test_streaming.py
+    tags=["streaming", "stateful"],
+)
+def stream_sessionize_stateful(spark, sf_dir):
+    """The applyInPandasWithState gap sessionizer driven as a real
+    stream over the events table (rows-only here; row-for-row equality
+    with the batch sessionizer is pinned in pytest)."""
+    from ffiec_pq_spark.streaming.stateful import sessionize_stream
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sess = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    name = f"stream_sessionize_{next(_SINK_IDS)}"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

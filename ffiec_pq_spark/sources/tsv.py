@@ -167,7 +167,10 @@ def _typed_cast(raw: F.Column, tchar: str) -> F.Column:
         return F.when(F.lower(cleaned).isin("true", "1"), F.lit(True)).when(
             F.lower(cleaned).isin("false", "0"), F.lit(False)
         )
-    return cleaned.cast(_SPARK_TYPES[tchar])
+    # try_cast, not cast: Spark 4 runs ANSI mode, where a malformed
+    # numeric throws; the reference's readr semantics are NULL + a
+    # recorded problem (counted by count_parse_problems)
+    return cleaned.try_cast(_SPARK_TYPES[tchar])
 
 
 def parse_schedule_lines(
@@ -175,11 +178,40 @@ def parse_schedule_lines(
 ) -> DataFrame:
     """Tab-split -> typed projection with NULL-token semantics."""
     fields = F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1)
+    # F.get (not fields[i]): NULL on short rows instead of the ANSI
+    # out-of-bounds error — lenient mode must parse what it can
     cols = [
-        _typed_cast(F.trim(fields[i]).alias(name), tchar).alias(name)
+        _typed_cast(F.trim(F.get(fields, i)).alias(name), tchar).alias(name)
         for i, (name, tchar) in enumerate(colspec)
     ]
     return lines.select(*cols)
+
+
+def count_parse_problems(
+    lines: DataFrame, colspec: list[tuple[str, str]]
+) -> int:
+    """Rows where a typed (double/int/date) field has a value that fails
+    its parse — the reference's per-read 'problems' capture
+    (R/ffeic_read.R:257-310): value becomes NULL, problem is counted."""
+    fields = F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1)
+    conds = []
+    for i, (name, tchar) in enumerate(colspec):
+        if tchar not in ("d", "i", "D"):
+            continue
+        raw = F.trim(F.get(fields, i))
+        cleaned = F.when(raw.isin(*NA_TOKENS), F.lit(None)).otherwise(raw)
+        if tchar == "D":
+            cleaned = F.when(
+                cleaned.isin("0", "00000000"), F.lit(None)
+            ).otherwise(cleaned)
+        typed = _typed_cast(raw, tchar)
+        conds.append(cleaned.isNotNull() & typed.isNull())
+    if not conds:
+        return 0
+    any_bad = conds[0]
+    for c in conds[1:]:
+        any_bad = any_bad | c
+    return lines.filter(any_bad).count()
 
 
 def count_bad_lines(lines: DataFrame, expected_cols: int) -> int:
@@ -219,4 +251,7 @@ def read_call_schedule(
         audit["repairs"] = ["newline-gsub", "tab-repair"]
         if count_bad_lines(lines, n):
             audit["ok"] = False
+    audit["n_problems"] = count_parse_problems(lines, colspec)
+    if audit["n_problems"]:
+        audit["repairs"] = sorted({*audit["repairs"], "coerced-invalid-values"})
     return parse_schedule_lines(lines, colspec), audit

@@ -126,6 +126,23 @@ def make_call_zip(dir_: str) -> str:
     return path
 
 
+def make_broken_zip(dir_: str) -> str:
+    """Bulk zip whose single schedule has an unrepairable row (too FEW
+    fields — the repairs only fix embedded newlines and extra tabs), for
+    the strict clean-read gate."""
+    header = ["IDRSSD", "RCFD0010", "RCFD2170"]
+    lines = [_row(header), _row(["ID", "Cash", "Assets"])]
+    lines.append(_row([1001, "10.5", "20000"]))
+    lines.append("1002\t\t")  # 2 fields + trailing tab: one short, unrepairable
+    lines.append(_row([1003, "oops", "60000"]))  # malformed numeric -> NULL + problem
+    path = os.path.join(dir_, f"FFIEC CDR Call Bulk All Schedules 06302024.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "FFIEC CDR Call Schedule RX 06302024.txt", "\n".join(lines) + "\n"
+        )
+    return path
+
+
 def make_mdrm_zip(dir_: str) -> str:
     """MDRM dictionary zip: title row, header row, then item metadata
     (reference data-raw/ffiec_dict.R:19-53 reads the real one)."""

@@ -149,6 +149,35 @@ def test_reprocess_idempotent(spark, raw_dir, processed, tmp_path_factory):
         assert first == second, f"long table {t} differs across reruns"
 
 
+def test_strict_clean_read_gate(spark, tmp_path_factory):
+    """strict=True: an unrepairable member blocks that schedule's output
+    (reference ffiec_finalize_if_clean) and logs ok=False; the default
+    lenient mode still writes it."""
+    from tests.ffiec_fixtures import make_broken_zip
+
+    d = tmp_path_factory.mktemp("broken_raw")
+    zp = make_broken_zip(str(d))
+
+    out_strict = tmp_path_factory.mktemp("broken_strict")
+    res = ffiec_process(spark, [zp], TYPE_DICT, str(out_strict), strict=True)
+    assert res["wide"] == []
+    log = res["log"].collect()
+    assert len(log) == 1 and not log[0]["ok"]
+    assert "unrepairable" in log[0]["repairs"]
+
+    out_lenient = tmp_path_factory.mktemp("broken_lenient")
+    res2 = ffiec_process(spark, [zp], TYPE_DICT, str(out_lenient))
+    assert len(res2["wide"]) == 1  # lenient mode writes what it can
+    wide = spark.read.parquet(res2["wide"][0]["path"])
+    rows = {r["IDRSSD"]: r for r in wide.collect()}
+    # short row parsed with NULLs; malformed numeric coerced to NULL
+    assert rows[1002]["RCFD2170"] is None
+    assert rows[1003]["RCFD0010"] is None
+    assert rows[1003]["RCFD2170"] == 60000.0
+    log2 = res2["log"].collect()[0]
+    assert "coerced-invalid-values" in log2["repairs"]
+
+
 def test_xbrl_extraction(spark, raw_dir):
     facts = split_context(
         extract_xbrl_facts(spark, raw_dir + "/*XBRL*.zip")
