@@ -60,9 +60,15 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct pairs + per-doc set size."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"))
+    """(id, shingle) distinct pairs + per-doc set size.
+
+    ``spread`` unlocks compute parallelism when the doc table arrives as
+    few scan splits (small files) — shingling is the CPU-heavy stage."""
+    from ffiec_pq_spark.session import spread
+
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
     )
 
 
@@ -254,7 +260,9 @@ def simhash(
     the sign bits into an integer.  60 bits keeps the result positive in
     signed-64 on both Spark and the SQL oracle.
     """
-    tok = df.select(
+    from ffiec_pq_spark.session import spread
+
+    tok = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).select("id", hash_fn(F.col("tok")).alias("h"))

@@ -68,6 +68,9 @@ def cosine_pairs_within(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine >= threshold, restricted to equal
     ``part_col`` (label / bucket) — turns O(n²) into Σ O(n_bucket²)."""
+    from ffiec_pq_spark.session import spread
+
+    df = spread(df)
     a = df.select(
         F.col(part_col).alias("part"),
         F.col(id_col).alias("id_a"),

@@ -50,6 +50,20 @@ def get_spark(app_name: str = "ffiec_pq_spark", cpus: int | None = None) -> Spar
     return spark
 
 
+def spread(df, min_partitions: int | None = None):
+    """Repartition ONLY when the input has too few partitions to feed
+    the cluster — the guard for compute-heavy operators (shingling,
+    minhash, cosine) reading small/single-row-group files, where the
+    scan yields 1 task and the whole computation runs on one core.
+
+    On a real multi-split input (100 TB = thousands of splits) the
+    condition is false and no shuffle is added."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-provided synthetic table (TESTDATA.md).
 
