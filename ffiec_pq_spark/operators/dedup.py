@@ -72,6 +72,18 @@ def doc_shingles(
     )
 
 
+def doc_set_sizes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, set_size) via a narrow projection — no explode, no shuffle:
+    cheaper than counting the exploded shingle table and avoids a second
+    recompute of the shingling branch."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingles(text_col, k))).alias("set_size"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -84,8 +96,8 @@ def jaccard_pairs(
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct shingle sets.
     """
-    sh = doc_shingles(df, text_col, id_col, k).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    sh = doc_shingles(df, text_col, id_col, k)
+    sizes = doc_set_sizes(df, text_col, id_col, k)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -207,7 +219,7 @@ def minhash_near_dups(
     sig = minhash_signatures(df, text_col, id_col, k, n_perm, seed)
     cand = lsh_candidates(sig, n_bands, n_perm // n_bands)
     sh = doc_shingles(df, text_col, id_col, k)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    sizes = doc_set_sizes(df, text_col, id_col, k)
     # restrict the exact-verify self-join to docs that appear in some
     # candidate pair BEFORE joining on shingle: the shingle self-join
     # over the full corpus is exactly the O(n^2)-shaped work LSH exists
