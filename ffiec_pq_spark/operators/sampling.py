@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data curation.
+
+``df.sample()`` draws from a per-partition RNG: the subset changes with
+partitioning, retries, and engine version — useless for reproducible
+train/eval splits or for auditing what went into a model.  Hash-gate
+sampling keys the decision on a *content* hash of a stable key column:
+the same row lands on the same side of the split on any engine, any
+partitioning, any day (and the portable ``hash60`` makes the exact
+subset verifiable against the SQL oracle).
+
+All pure column expressions — narrow, shuffle-free, prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.functions.hashing import hash60, hash60_sql
+
+_BUCKETS = 10_000
+
+
+def sample_gate(key_col: str, rate: float, seed: int = 0):
+    """Boolean column: True for the deterministic ``rate`` fraction."""
+    return (hash60(key_col, seed) % _BUCKETS) < int(rate * _BUCKETS)
+
+
+def sample_gate_sql(key_expr: str, rate: float, seed: int = 0) -> str:
+    return f"({hash60_sql(key_expr, seed)} % {_BUCKETS}) < {int(rate * _BUCKETS)}"
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """The stable ``rate`` fraction of rows, keyed on ``key_col``."""
+    return df.filter(sample_gate(key_col, rate, seed))
+
+
+def train_eval_split(
+    df: DataFrame, key_col: str, eval_rate: float = 0.1, seed: int = 0
+) -> DataFrame:
+    """Adds ``split`` ('train' | 'eval'): disjoint, exhaustive, stable.
+
+    Because membership is content-keyed, late-arriving rows of the same
+    key always join the same split — no eval-set contamination across
+    pipeline re-runs."""
+    return df.withColumn(
+        "split",
+        F.when(sample_gate(key_col, eval_rate, seed), "eval").otherwise("train"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float],
+    default_rate: float = 0.0, seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample the dominant
+    class, keep all of the rare one)."""
+    h = hash60(key_col, seed) % _BUCKETS
+    expr = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+        ).otherwise(expr)
+    return df.filter(h < expr)
