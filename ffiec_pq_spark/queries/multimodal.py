@@ -33,3 +33,32 @@ def multimodal_binary_meta(spark, sf_dir):
         F.md5(payload).alias("content_md5"),
         F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic_hex"),
     )
+
+
+_FDIM = 8
+
+
+def _features_sql() -> str:
+    terms = ", ".join(
+        f"round((('0x' || substr(md5(text), {4 * i + 1}, 4))::INTEGER / 32768.0)"
+        f" - 1.0, 6)"
+        for i in range(_FDIM)
+    )
+    return f"SELECT doc_id, [{terms}] AS feature FROM documents"
+
+
+@register("multimodal_feature_extract", _features_sql(), tags=["multimodal"])
+def multimodal_feature_extract(spark, sf_dir):
+    """The mapInPandas feature-extraction stage (operators/multimodal.py)
+    over the documents payloads, verified EXACTLY by the oracle: the
+    stub features are md5-derived, so DuckDB replays the same math on
+    the same bytes — i.e. the Arrow-batched Python plumbing itself is
+    under the hash check, not just JVM expressions."""
+    from ffiec_pq_spark.operators.multimodal import binarize, extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(binarize(d, "text", "doc_id"), dim=_FDIM)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"),
+    )
