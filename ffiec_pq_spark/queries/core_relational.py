@@ -647,3 +647,53 @@ def correlated_exists_returns(spark, sf_dir):
         )
         """
     )
+
+
+@register(
+    "quantiles_by_flag",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=["relational", "stats"],
+)
+def quantiles_by_flag(spark, sf_dir):
+    """Exact interpolated percentiles per group (both engines implement
+    the same continuous-quantile definition).  At 100 TB switch to
+    approx_percentile: one pass, mergeable sketches, bounded memory —
+    exact percentile must materialize each group's values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(name)
+            for name, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+        ]
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=["relational", "agg"],
+)
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy totals (flag, status) -> (flag) -> grand total in
+    one pass — Spark expands grouping sets map-side, so it is still a
+    single shuffle, not one job per level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
