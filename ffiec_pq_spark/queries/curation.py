@@ -87,3 +87,87 @@ def profile_customer(spark, sf_dir):
     not one per column."""
     c = load_table(spark, sf_dir, "customer")
     return profile_columns(c, ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+
+def _pipeline_sql() -> str:
+    from ffiec_pq_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+    tok = "string_split_regex(trim(text), '\\s+')"
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    quality = f"""round(greatest(least(
+             0.5 * least(len({tok}) / 50.0, 1.0)
+             + 0.5 * least(5.0 * len(list_intersect({tok}, [{stop}]))
+                           / greatest(len({tok}), 1), 1.0)
+             - 0.2 * least(len(regexp_extract_all(text, '[.,;:!?]'))
+                           / greatest(CAST(len({tok}) AS DOUBLE), 1.0), 1.0),
+             1.0), 0.0), 6)"""
+    scores = {
+        lang: f"len(list_intersect({tok}, [{', '.join(repr(m) for m in ms)}]))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    greatest = "greatest(" + ", ".join(scores[l] for l in LANG_MARKERS) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(f"WHEN {scores[l]} = {greatest} THEN '{l}'" for l in LANG_MARKERS)
+        + " END"
+    )
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len({tok})   AS n_tokens,
+             {quality}    AS quality,
+             {lang_case}  AS lang_guess,
+             md5({norm})  AS fp
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= 0.3
+    ),
+    reps AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp)
+    SELECT f.doc_id, f.n_tokens, f.quality
+    FROM filtered f JOIN reps r ON f.doc_id = r.doc_id
+    WHERE {sample_gate_sql("f.doc_id", 0.5, seed=99)}
+    """
+
+
+@register("curation_pipeline", _pipeline_sql(), tags=["curation", "pipeline"])
+def curation_pipeline(spark, sf_dir):
+    """The end-to-end curation composition every stage above exists for:
+    language-ID filter -> quality-score filter -> exact dedup (keep the
+    min-id representative per content fingerprint) -> deterministic 50%
+    sample.  One declarative plan: Catalyst pushes the scalar filters to
+    the scan, the dedup is the only shuffle, and the hash-gate sample is
+    a free post-join filter — the 100 TB shape of a corpus-prep job."""
+    from ffiec_pq_spark.operators.sampling import sample_gate
+    from ffiec_pq_spark.operators.text import (
+        LANG_MARKERS,
+        fingerprint_md5,
+        lang_scores,
+        quality_score,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    greatest = F.greatest(*scores.values())
+    lang_expr = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] == greatest
+        lang_expr = F.when(cond, lang) if lang_expr is None else lang_expr.when(cond, lang)
+    scored = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_expr.alias("lang_guess"),
+        fingerprint_md5("text").alias("fp"),
+    )
+    filtered = scored.filter(
+        (F.col("lang_guess") == "en") & (F.col("quality") >= 0.3)
+    )
+    reps = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        filtered.join(reps.select("doc_id"), "doc_id", "left_semi")
+        .filter(sample_gate("doc_id", 0.5, seed=99))
+        .select("doc_id", "n_tokens", "quality")
+    )
