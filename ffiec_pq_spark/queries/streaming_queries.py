@@ -38,6 +38,9 @@ def stream_hourly_rollup(spark, sf_dir):
     The raw testdata stores ``ts`` as TIMESTAMP(NANOS) which Spark reads
     as long under the nanosAsLong conf; the stream schema mirrors that
     and converts, exactly like the batch loader."""
+    from ffiec_pq_spark.session import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
@@ -86,8 +89,10 @@ def stream_sessionize_stateful(spark, sf_dir):
     """The applyInPandasWithState gap sessionizer driven as a real
     stream over the events table (rows-only here; row-for-row equality
     with the batch sessionizer is pinned in pytest)."""
+    from ffiec_pq_spark.session import ensure_nanos_conf
     from ffiec_pq_spark.streaming.stateful import sessionize_stream
 
+    ensure_nanos_conf(spark)
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"

@@ -50,6 +50,22 @@ def get_spark(app_name: str = "ffiec_pq_spark", cpus: int | None = None) -> Spar
     return spark
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensively pin the runtime-settable confs our semantics rely on.
+
+    The caller may hand us a session built without :func:`get_spark`
+    (e.g. the round driver's own harness): without nanosAsLong, reading
+    the TIMESTAMP(NANOS) events table raises PARQUET_TYPE_ILLEGAL; a
+    non-UTC session timezone would shift timestamp values away from the
+    UTC-naive DuckDB oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# backward-compat alias (prior name)
+ensure_nanos_conf = ensure_session_confs
+
+
 def spread(df, min_partitions: int | None = None):
     """Repartition ONLY when the input has too few partitions to feed
     the cluster — the guard for compute-heavy operators (shingling,
@@ -75,6 +91,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div (ns ~1.7e18 exceeds double's exact range — no `/`)
