@@ -77,5 +77,6 @@ def _load_all() -> None:
     from ffiec_pq_spark.queries import multimodal  # noqa: F401
     from ffiec_pq_spark.queries import streaming_queries  # noqa: F401
     from ffiec_pq_spark.queries import curation  # noqa: F401
+    from ffiec_pq_spark.queries import analytics  # noqa: F401
 
     _LOADED = True
