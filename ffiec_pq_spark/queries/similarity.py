@@ -191,3 +191,22 @@ def lsh_bucket_histogram(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = hyperplane_lsh_buckets(emb, dim=_DIM, n_planes=_N_PLANES)
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "kmeans_cell_sizes",
+    None,  # 5 Lloyd iterations in pure SQL would need a chain of k x dim
+    # aggregate CTEs; determinism + objective-descent + coverage are
+    # pinned in tests/test_kmeans.py instead
+    tags=["similarity", "iterative"],
+)
+def kmeans_cell_sizes(spark, sf_dir):
+    """Deterministic k-means (operators/kmeans.py) over the embeddings:
+    cluster -> member count.  The iterative-algorithm pattern on Spark —
+    per step one grouped aggregation, k x dim floats to the driver — and
+    the trainer for the IVF coarse quantizer."""
+    from ffiec_pq_spark.operators.kmeans import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assignments(emb, k=4, dim=_DIM, iters=3)
+    return asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
