@@ -210,3 +210,61 @@ def kmeans_cell_sizes(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     asg = kmeans_assignments(emb, k=4, dim=_DIM, iters=3)
     return asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _lsh_topk_sql(n_planes: int = 8) -> str:
+    from ffiec_pq_spark.operators.similarity import _pseudo_plane
+
+    plane_rows = ", ".join(
+        f"({p}, {i + 1}, {v!r}::DOUBLE)"
+        for p in range(n_planes)
+        for i, v in enumerate(_pseudo_plane(_DIM, p))
+    )
+    probe_bucket = sum(
+        2 ** p
+        for p in range(n_planes)
+        if sum(a * b for a, b in zip(_PROBE, _pseudo_plane(_DIM, p))) > 0
+    )
+    return f"""
+    WITH plane AS (SELECT * FROM (VALUES {plane_rows}) AS t(p, i, v)),
+    ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ),
+    bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN sum(e.x * pl.v) > 0 THEN CAST(pow(2, pl.p) AS BIGINT)
+                  ELSE 0 END AS bit
+      FROM ex e JOIN plane pl ON e.i = pl.i
+      GROUP BY 1, 2
+    ),
+    sig AS (SELECT vec_id, sum(bit) AS bucket FROM bits GROUP BY vec_id),
+    pex AS (
+      SELECT vec_id,
+             unnest(embedding)::DOUBLE AS x,
+             unnest({_PROBE_SQL}) AS p
+      FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM sig WHERE bucket = {probe_bucket})
+    ),
+    scored AS (
+      SELECT vec_id, sum(x * p) / (sqrt(sum(x * x)) * sqrt(sum(p * p))) AS raw
+      FROM pex GROUP BY vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS score
+    FROM scored
+    ORDER BY round(raw, 6) DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("ann_lsh_topk", _lsh_topk_sql(), tags=["similarity", "approx"])
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-pruned ANN: score only the probe's hyperplane bucket, exact
+    re-rank inside it (~2^n_planes scan reduction at the cost of
+    recall; ann_cosine_topk is the exhaustive ground truth)."""
+    from ffiec_pq_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, _PROBE, dim=_DIM, k=10, n_planes=8)
