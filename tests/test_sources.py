@@ -1,0 +1,79 @@
+"""Parquet scan surface (S7-S10): schema-union scan with provenance,
+fail-fast glob, footer-only reads, single-file sink contract."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.sources.parquet import (
+    list_pqs,
+    pq_cols,
+    pq_cols_by_type,
+    scan_pqs,
+    write_single_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def pq_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pq_union")
+    # two "quarters" with different column sets (schema evolution)
+    q1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "IDRSSD int, RCFD0010 double"
+    )
+    q2 = spark.createDataFrame(
+        [(1, 200.0, "x"), (3, 300.0, "y")],
+        "IDRSSD int, RCON2200 double, TEXT4545 string",
+    )
+    write_single_parquet(q1, str(d / "ri_20240331.parquet"))
+    write_single_parquet(q2, str(d / "ri_20240630.parquet"))
+    return str(d)
+
+
+def test_scan_union_by_name(spark, pq_dir):
+    df = scan_pqs(spark, os.path.join(pq_dir, "ri_*.parquet"))
+    assert set(df.columns) == {"IDRSSD", "RCFD0010", "RCON2200", "TEXT4545"}
+    rows = {(r["IDRSSD"], r["RCFD0010"], r["RCON2200"]) for r in df.collect()}
+    # columns absent in a file come back NULL (union-by-name semantics)
+    assert (2, 20.0, None) in rows
+    assert (3, None, 300.0) in rows
+
+
+def test_scan_filename_provenance(spark, pq_dir):
+    df = scan_pqs(
+        spark, os.path.join(pq_dir, "ri_*.parquet"), filename=True
+    )
+    names = {
+        os.path.basename(r["filename"]).split("?")[0]
+        for r in df.select("filename").distinct().collect()
+    }
+    assert names == {"ri_20240331.parquet", "ri_20240630.parquet"}
+
+
+def test_scan_fail_fast_on_empty_glob(spark, pq_dir):
+    with pytest.raises(FileNotFoundError):
+        scan_pqs(spark, os.path.join(pq_dir, "nope_*.parquet"))
+
+
+def test_footer_only_reads(pq_dir):
+    p = os.path.join(pq_dir, "ri_20240630.parquet")
+    assert pq_cols(p) == ["IDRSSD", "RCON2200", "TEXT4545"]
+    by_type = pq_cols_by_type(p)
+    assert by_type["double"] == ["RCON2200"]
+    assert by_type["string"] == ["TEXT4545"]
+
+
+def test_list_pqs_contract(pq_dir):
+    got = list_pqs(pq_dir)
+    assert [(r["schedule"], r["date_raw"]) for r in got] == [
+        ("ri", "20240331"),
+        ("ri", "20240630"),
+    ]
+
+
+def test_single_file_sink_is_one_file(spark, pq_dir):
+    # the write_single_parquet outputs above must each be a plain file,
+    # not a directory (the reference's one-file-per-dataset contract)
+    for f in ("ri_20240331.parquet", "ri_20240630.parquet"):
+        assert os.path.isfile(os.path.join(pq_dir, f))
