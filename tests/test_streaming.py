@@ -96,6 +96,46 @@ def test_applyinpandaswithstate_sessionizer(spark, sf_dir, stream_dir):
         assert b["n_events"] == r["n_events"]
 
 
+def test_stream_stream_interval_join(spark, sf_dir, stream_dir):
+    """Watermarked stream-stream interval join: every emitted pair must
+    appear in the batch join of the same data (append mode may hold
+    back tail rows the watermark hasn't released; nothing may be wrong
+    or duplicated)."""
+    from ffiec_pq_spark.streaming.joins import interval_join
+
+    def sides(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id"), F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id"), F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        return purchases, clicks
+
+    sl, sr = sides(read_event_stream(spark, stream_dir))
+    joined = interval_join(sl, sr, "user_id", within="60 minutes")
+    run_to_memory(joined, "ssj_out")
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in spark.sql("SELECT l_id, r_id FROM ssj_out").collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+
+    bl, br = sides(load_table(spark, sf_dir, "events"))
+    batch = {
+        (r["l_id"], r["r_id"])
+        for r in interval_join(
+            bl, br, "user_id", within="60 minutes", streaming=False
+        ).collect()
+    }
+    assert got <= batch, f"stream emitted pairs not in batch: {got - batch}"
+    # duplicates check: memory table row count == distinct pair count
+    n_rows = spark.sql("SELECT count(*) AS n FROM ssj_out").collect()[0]["n"]
+    assert n_rows == len(got)
+
+
 def test_checkpoint_resume_exactly_once(spark, sf_dir, stream_dir, tmp_path):
     """Stop a checkpointed stream mid-input, deliver more files, restart
     from the checkpoint: the final state must equal the batch answer —
