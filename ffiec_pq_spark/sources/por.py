@@ -63,11 +63,13 @@ def read_por(
     fields = F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1)
     cols = []
     for i, name in enumerate(clean):
-        raw = F.when(F.trim(fields[i]) == "", F.lit(None)).otherwise(
-            F.trim(fields[i])
+        # F.get + try_cast: short/malformed rows yield NULLs, never the
+        # ANSI out-of-bounds / bad-cast error (Spark 4 defaults ANSI on)
+        raw = F.when(F.trim(F.get(fields, i)) == "", F.lit(None)).otherwise(
+            F.trim(F.get(fields, i))
         )
         if name == "idrssd":
-            cols.append(raw.cast("int").alias("IDRSSD"))
+            cols.append(raw.try_cast("int").alias("IDRSSD"))
         elif name in ID_ZERO_NA_COLS:
             cols.append(id_zero_to_null(raw).alias(name))
         elif name == SUBMISSION_TS_COL:
