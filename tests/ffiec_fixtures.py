@@ -126,6 +126,27 @@ def make_call_zip(dir_: str) -> str:
     return path
 
 
+def make_call_zip_q2(dir_: str) -> str:
+    """Second-quarter bulk zip: RC schedule only, with one NEW item
+    (RCFD3210) absent in Q1 — exercises cross-date schema evolution in
+    the long build and the per-item dates list."""
+    date_token = "06302024"
+    header = ["IDRSSD", "RCON2200", "RCFD3210"]
+    desc = ["ID", "Deposits", "Equity"]
+    lines = [_row(header), _row(desc)]
+    for i in range(1, N_BANKS + 1):
+        lines.append(_row([1000 + i, f"{i * 16000}", f"{i * 777}"]))
+    path = os.path.join(
+        dir_, f"FFIEC CDR Call Bulk All Schedules {date_token}.zip"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            f"FFIEC CDR Call Schedule RC {date_token}.txt",
+            "\n".join(lines) + "\n",
+        )
+    return path
+
+
 def make_broken_zip(dir_: str) -> str:
     """Bulk zip whose single schedule has an unrepairable row (too FEW
     fields — the repairs only fix embedded newlines and extra tabs), for

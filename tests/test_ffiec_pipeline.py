@@ -128,6 +128,47 @@ def test_process_log(processed):
     assert log[("por", "por")]["ok"]
 
 
+def test_multi_quarter_long_build_and_coverage(spark, tmp_path_factory):
+    """Two quarters with different column sets: the long tables span
+    both dates, the new Q2-only item appears only at its date, and the
+    item->schedules coverage table records per-item schedule and date
+    lists (reference make_schedule_pq, R/ffiec_make_long_pqs.R:119-127)."""
+    import datetime
+
+    from tests.ffiec_fixtures import make_call_zip_q2
+
+    d = tmp_path_factory.mktemp("ffiec_2q")
+    z1 = make_call_zip(str(d))
+    z2 = make_call_zip_q2(str(d))
+    out = tmp_path_factory.mktemp("ffiec_2q_out")
+    type_dict = {**TYPE_DICT, "RCFD3210": "d"}
+    res = ffiec_process(spark, [z1, z2], type_dict, str(out), PURE_COLS)
+
+    q1d, q2d = datetime.date(2024, 3, 31), datetime.date(2024, 6, 30)
+    flt = spark.read.parquet(res["long"]["float"])
+    dates_for = {
+        r["item"]: sorted(x["date"] for x in r["rows"])
+        for r in flt.groupBy("item")
+        .agg(F.collect_list(F.struct("date")).alias("rows"))
+        .collect()
+    }
+    # RCON2200 exists both quarters; RCFD3210 only in Q2
+    assert set(dates_for["RCON2200"]) >= {q1d, q2d}
+    assert set(dates_for["RCFD3210"]) == {q2d}
+    # PK still holds across quarters
+    assert (
+        flt.groupBy("IDRSSD", "date", "item").count().filter("count > 1").count()
+        == 0
+    )
+
+    cov = spark.read.parquet(str(out / "ffiec_item_schedules.parquet"))
+    by_item = {r["item"]: r for r in cov.collect()}
+    assert by_item["RCON2200"]["schedule"] == ["rc", "ri"]
+    assert by_item["RCON2200"]["dates"] == [q1d, q2d]
+    assert by_item["RCFD3210"]["schedule"] == ["rc"]
+    assert by_item["RCFD3210"]["dates"] == [q2d]
+
+
 def test_reprocess_idempotent(spark, raw_dir, processed, tmp_path_factory):
     """The reference's incremental model is re-running the ETL over the
     zips with idempotent overwrite (SURVEY §2.10): a second full run

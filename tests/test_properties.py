@@ -77,6 +77,74 @@ def test_combine_parts_reconstructs(spark, rows, split):
     assert got == want
 
 
+_ts_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10_000)),  # (key, ts seconds)
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(**_SETTINGS)
+@given(left=_ts_rows, right=_ts_rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """The union-interleave as-of join must equal the quadratic
+    definition: for each left row, the right value with the max
+    right_ts <= left_ts on the same key."""
+    from ffiec_pq_spark.operators.windows import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(left)],
+        "k int, lts double, lid int",
+    ).withColumn("lts", F.timestamp_seconds("lts"))
+    rdf = spark.createDataFrame(
+        [(k, float(t), float(t) + 0.5) for k, t in right],
+        "k int, rts double, rv double",
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="lts", right_ts="rts", right_vals=["rv"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [rt for rk, rt in right if rk == k and rt <= t]
+        want = (max(cands) + 0.5) if cands else None
+        assert got[i] == want, f"left row {i} (k={k}, t={t})"
+
+
+@settings(**_SETTINGS)
+@given(rows=_ts_rows, gap_min=st.sampled_from([1, 5, 30]))
+def test_sessionize_gap_invariants(spark, rows, gap_min):
+    """Sessions partition each key's events; gaps within a session are
+    <= gap, gaps between consecutive sessions are > gap, and counts sum
+    to the number of events."""
+    from ffiec_pq_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        [(k, float(t)) for k, t in rows], "user_id int, tsec double"
+    ).withColumn("ts", F.timestamp_seconds("tsec"))
+    out = sessionize(df, "user_id", "ts", gap_minutes=gap_min).collect()
+    gap_s = gap_min * 60
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert sum(r["n_events"] for r in out) == len(rows)
+    for k, sess in by_key.items():
+        sess.sort(key=lambda r: r["session_start"])
+        ts_sorted = sorted(t for kk, t in rows if kk == k)
+        for a, b in zip(sess, sess[1:]):
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap > gap_s, f"key {k}: sessions closer than the gap"
+        # every event of the key falls inside exactly one session span
+        for t in ts_sorted:
+            n_in = sum(
+                1
+                for r in sess
+                if r["session_start"].timestamp() <= t <= r["session_end"].timestamp()
+            )
+            assert n_in == 1, f"event t={t} of key {k} in {n_in} sessions"
+
+
 @settings(**_SETTINGS)
 @given(rows=_rows, n_salts=st.sampled_from([2, 7, 16]))
 def test_salted_agg_equals_plain(spark, rows, n_salts):
