@@ -122,17 +122,20 @@ def process_zip_schedules(
                 }
             )
             continue
-        parts, repairs, all_ok = [], [], True
+        parts, repairs, all_ok, releases = [], [], True, []
         for r in rows:
             df, audit = read_call_schedule(spark, zip_path, r["file"], type_dict)
             parts.append(df)
             repairs.extend(audit["repairs"])
             all_ok = all_ok and audit["ok"]
+            releases.append(audit["unpersist"])
         if strict and not all_ok:
             # clean-read gate (reference ffiec_finalize_if_clean,
             # R/ffeic_read.R:654-685): an unrepairable member blocks the
             # whole (schedule, date) output; the failure is logged, not
             # silently partial
+            for release in releases:
+                release()
             log_rows.append(
                 {
                     "zipfile": zip_path,
@@ -152,6 +155,8 @@ def process_zip_schedules(
             out_dir, f"{schedule}_{d.strftime('%Y%m%d')}.parquet"
         )
         write_single_parquet(wide, out_path)
+        for release in releases:
+            release()
         outputs.append(
             {"schedule": schedule, "date": d, "path": out_path,
              "inner_files": [r["file"] for r in rows]}

@@ -187,18 +187,28 @@ def parse_schedule_lines(
     return lines.select(*cols)
 
 
-def count_parse_problems(
+def member_stats(
     lines: DataFrame, colspec: list[tuple[str, str]]
-) -> int:
-    """Rows where a typed (double/int/date) field has a value that fails
-    its parse — the reference's per-read 'problems' capture
-    (R/ffeic_read.R:257-310): value becomes NULL, problem is counted."""
-    fields = F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1)
+) -> tuple[int, int]:
+    """(n_bad_lines, n_problem_rows) in ONE aggregate pass.
+
+    n_bad_lines: wrong tab-field count (the repair-slow-path trigger).
+    n_problem_rows: a typed (double/int/date) field whose value fails
+    its parse — the reference's 'problems' capture (R/ffeic_read.R:
+    257-310): value becomes NULL, problem is counted.
+
+    The tab-split array is PROJECTED once per row before the per-column
+    conditions: referencing the split expression inside each of ~2xN
+    conditions would re-run the regex split per condition (no CSE
+    across that many branches)."""
+    n = len(colspec)
+    split_expr = F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1)
+    proj = lines.select(split_expr.alias("f"))
     conds = []
     for i, (name, tchar) in enumerate(colspec):
         if tchar not in ("d", "i", "D"):
             continue
-        raw = F.trim(F.get(fields, i))
+        raw = F.trim(F.get(F.col("f"), i))
         cleaned = F.when(raw.isin(*NA_TOKENS), F.lit(None)).otherwise(raw)
         if tchar == "D":
             cleaned = F.when(
@@ -206,12 +216,21 @@ def count_parse_problems(
             ).otherwise(cleaned)
         typed = _typed_cast(raw, tchar)
         conds.append(cleaned.isNotNull() & typed.isNull())
-    if not conds:
-        return 0
-    any_bad = conds[0]
+    problem = conds[0] if conds else F.lit(False)
     for c in conds[1:]:
-        any_bad = any_bad | c
-    return lines.filter(any_bad).count()
+        problem = problem | c
+    row = proj.agg(
+        F.sum((F.size("f") != n).cast("long")).alias("bad"),
+        F.sum(problem.cast("long")).alias("problems"),
+    ).collect()[0]
+    return int(row["bad"] or 0), int(row["problems"] or 0)
+
+
+def count_parse_problems(
+    lines: DataFrame, colspec: list[tuple[str, str]]
+) -> int:
+    """Problem-row count only (see :func:`member_stats`)."""
+    return member_stats(lines, colspec)[1]
 
 
 def count_bad_lines(lines: DataFrame, expected_cols: int) -> int:
@@ -237,21 +256,31 @@ def read_call_schedule(
     """Read one schedule TSV member -> (typed DataFrame, audit).
 
     Two-phase: strict parse first; on any bad-field-count line, re-read
-    with text repairs (the reference's exact strategy)."""
+    with text repairs (the reference's exact strategy).
+
+    The extracted line DataFrame is CACHED: the validation counts, the
+    problem scan, and the downstream parse would otherwise each
+    re-decompress the zip member.  Per-member footprint is a few MB;
+    the caller releases it via ``audit['unpersist']()`` once the wide
+    output is written."""
     header = read_zip_member_header(zip_path, member)
     colspec = make_colspec(header, type_dict, overrides)
     n = len(colspec)
     audit: dict = {"zipfile": zip_path, "file": member, "repairs": [], "ok": True}
 
-    lines = zip_member_lines(spark, zip_path, member, skip=2)
-    if count_bad_lines(lines, n):
+    lines = zip_member_lines(spark, zip_path, member, skip=2).cache()
+    n_bad, n_problems = member_stats(lines, colspec)
+    if n_bad:
+        lines.unpersist()
         lines = zip_member_lines(
             spark, zip_path, member, skip=2, repair_expected_cols=n
-        )
+        ).cache()
         audit["repairs"] = ["newline-gsub", "tab-repair"]
-        if count_bad_lines(lines, n):
+        n_bad, n_problems = member_stats(lines, colspec)
+        if n_bad:
             audit["ok"] = False
-    audit["n_problems"] = count_parse_problems(lines, colspec)
-    if audit["n_problems"]:
+    audit["n_problems"] = n_problems
+    if n_problems:
         audit["repairs"] = sorted({*audit["repairs"], "coerced-invalid-values"})
+    audit["unpersist"] = lines.unpersist
     return parse_schedule_lines(lines, colspec), audit
