@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ffiec_pq_spark.functions.scalars import pct_to_prop, pct_violation
-from ffiec_pq_spark.operators.checks import assert_no_dups
 from ffiec_pq_spark.operators.combine import combine_parts
 from ffiec_pq_spark.operators.reshape import make_long_by_type
 from ffiec_pq_spark.sources.manifest import resolve_n_parts, zip_member_manifest
@@ -193,11 +192,27 @@ def make_long_pqs(
 
         merged = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs
-        ).distinct()
-        assert_no_dups(merged, ["IDRSSD", "date", "item"])
+        )
+        # ONE shuffle does all three steps: group by the PK, collect the
+        # distinct values (cross-file repeats of the same fact collapse),
+        # assert every set is a singleton (the reference's fail-fast
+        # assert_no_dups), and take that value.  distinct() + a separate
+        # dup-check aggregation would shuffle twice; the second job here
+        # reuses the first's exchange.
+        grouped = merged.groupBy("IDRSSD", "date", "item").agg(
+            F.collect_set("value").alias("vals")
+        )
+        dups = grouped.filter(F.size("vals") > 1).limit(1).count()
+        if dups:
+            raise ValueError(
+                f"duplicate keys found for ['IDRSSD', 'date', 'item'] in {t}"
+            )
+        deduped = grouped.select(
+            "IDRSSD", "date", "item", F.element_at("vals", 1).alias("value")
+        )
         name = LONG_TYPE_NAMES.get(t, re.sub(r"\W+", "_", t))
         path = os.path.join(out_dir, f"ffiec_{name}.parquet")
-        write_single_parquet(merged, path)
+        write_single_parquet(deduped, path)
         results[name] = path
     return results
 
