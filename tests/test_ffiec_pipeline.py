@@ -169,6 +169,49 @@ def test_multi_quarter_long_build_and_coverage(spark, tmp_path_factory):
     assert by_item["RCFD3210"]["dates"] == [q2d]
 
 
+def test_incremental_long_merge(spark, tmp_path_factory):
+    """Folding a new quarter into an existing long table equals the
+    full two-quarter rebuild; re-merging the same increment is a no-op;
+    a conflicting value for an existing key fails fast."""
+    from tests.ffiec_fixtures import make_call_zip_q2
+
+    from ffiec_pq_spark.operators.process import merge_long_increment
+
+    d = tmp_path_factory.mktemp("ffiec_inc")
+    z1 = make_call_zip(str(d))
+    z2 = make_call_zip_q2(str(d))
+    type_dict = {**TYPE_DICT, "RCFD3210": "d"}
+
+    out_q1 = tmp_path_factory.mktemp("inc_q1")
+    res_q1 = ffiec_process(spark, [z1], type_dict, str(out_q1), PURE_COLS)
+    out_q2 = tmp_path_factory.mktemp("inc_q2")
+    res_q2 = ffiec_process(spark, [z2], type_dict, str(out_q2), PURE_COLS)
+    out_full = tmp_path_factory.mktemp("inc_full")
+    res_full = ffiec_process(spark, [z1, z2], type_dict, str(out_full), PURE_COLS)
+
+    merged_path = str(tmp_path_factory.mktemp("inc_m") / "ffiec_float.parquet")
+    inc = spark.read.parquet(res_q2["long"]["float"])
+    merge_long_increment(spark, res_q1["long"]["float"], inc, merged_path)
+
+    def rows(p):
+        return {tuple(r) for r in spark.read.parquet(p).collect()}
+
+    assert rows(merged_path) == rows(res_full["long"]["float"])
+    # idempotent: merging the same increment again changes nothing
+    merged2 = str(tmp_path_factory.mktemp("inc_m2") / "ffiec_float.parquet")
+    merge_long_increment(spark, merged_path, inc, merged2)
+    assert rows(merged2) == rows(merged_path)
+    # conflict: same key, different value -> fail fast
+    import pytest as _pytest
+
+    bad = inc.limit(1).withColumn("value", F.col("value") + 1.0)
+    with _pytest.raises(ValueError, match="conflicting"):
+        merge_long_increment(
+            spark, merged_path, bad,
+            str(tmp_path_factory.mktemp("inc_bad") / "x.parquet"),
+        )
+
+
 def test_reprocess_idempotent(spark, raw_dir, processed, tmp_path_factory):
     """The reference's incremental model is re-running the ETL over the
     zips with idempotent overwrite (SURVEY §2.10): a second full run
