@@ -54,6 +54,7 @@ _LOG_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("ok", T.BooleanType()),
         T.StructField("repairs", T.ArrayType(T.StringType())),
+        T.StructField("n_problems", T.LongType()),
         T.StructField("inner_files", T.ArrayType(T.StringType())),
     ]
 )
@@ -122,11 +123,13 @@ def process_zip_schedules(
             )
             continue
         parts, repairs, all_ok, releases = [], [], True, []
+        n_problems = 0
         for r in rows:
             df, audit = read_call_schedule(spark, zip_path, r["file"], type_dict)
             parts.append(df)
             repairs.extend(audit["repairs"])
             all_ok = all_ok and audit["ok"]
+            n_problems += audit["n_problems"]
             releases.append(audit["unpersist"])
         if strict and not all_ok:
             # clean-read gate (reference ffiec_finalize_if_clean,
@@ -143,6 +146,7 @@ def process_zip_schedules(
                     "kind": "schedule",
                     "ok": False,
                     "repairs": sorted({*repairs, "unrepairable"}),
+                    "n_problems": n_problems,
                     "inner_files": [r["file"] for r in rows],
                 }
             )
@@ -168,6 +172,7 @@ def process_zip_schedules(
                 "kind": "schedule",
                 "ok": True,
                 "repairs": sorted(set(repairs)),
+                "n_problems": n_problems,
                 "inner_files": [r["file"] for r in rows],
             }
         )
@@ -341,7 +346,7 @@ def ffiec_process(
         all_long = make_long_pqs(spark, all_wide, out_dir)
         make_schedule_pq(spark, all_wide, out_dir)
     log_df = spark.createDataFrame(
-        [tuple(r[f.name] for f in _LOG_SCHEMA.fields) for r in all_logs],
+        [tuple(r.get(f.name) for f in _LOG_SCHEMA.fields) for r in all_logs],
         _LOG_SCHEMA,
     ).orderBy("date", "schedule")
     write_single_parquet(log_df, os.path.join(out_dir, "ffiec_process_data.parquet"))
