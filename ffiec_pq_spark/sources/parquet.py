@@ -47,6 +47,22 @@ def scan_pqs(
     return df
 
 
+def scan_schedule(
+    spark: SparkSession, data_dir: str, schedule: str, **kw
+) -> DataFrame:
+    """Scan every quarter of one schedule by name — the reference's
+    ``ffiec_scan_pqs(conn, "rc")`` entry (R/ffiec_manifest.R:217-290):
+    a name-union scan over ``{schedule}_{YYYYMMDD}.parquet``."""
+    return scan_pqs(
+        spark, os.path.join(data_dir, f"{schedule}_[0-9]*.parquet"), **kw
+    )
+
+
+def scan_long(spark: SparkSession, data_dir: str, type_name: str) -> DataFrame:
+    """Scan one type-partitioned long table by name (``ffiec_float`` ...)."""
+    return scan_pqs(spark, os.path.join(data_dir, f"ffiec_{type_name}.parquet"))
+
+
 def pq_schema(path: str):
     """Footer-only schema read (no data I/O, no Spark job)."""
     import pyarrow.parquet as pq

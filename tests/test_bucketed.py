@@ -55,6 +55,33 @@ def test_bucketed_join_matches_shuffled(spark, sf_dir, bucketed_tables):
     assert j.count() == plain.count()
 
 
+def test_bucketed_long_table_pivot_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """The repeated-pivot scale story: a long EAV table written bucketed
+    by its id columns pivots with ZERO exchanges — the layout pays the
+    shuffle once at write time for every later reshape."""
+    from ffiec_pq_spark.operators.reshape import pivot_long_df, unpivot_typed
+
+    wh = tmp_path_factory.mktemp("bucketed_long")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_tax"
+    )
+    long = unpivot_typed(
+        li, ids=["l_orderkey", "l_linenumber"], values=["l_quantity", "l_tax"]
+    )
+    write_bucketed(
+        long, "long_b", ["l_orderkey", "l_linenumber"], 8,
+        path=str(wh / "long_b"),
+    )
+    wide = pivot_long_df(
+        spark.table("long_b"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        items=["l_quantity", "l_tax"],
+        values_fn="first",
+    )
+    wide.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(wide) == 0, physical_plan(wide)
+
+
 def test_bucketed_groupby_no_shuffle(spark, bucketed_tables):
     lt, _ = bucketed_tables
     agg = spark.table(lt).groupBy("l_orderkey").agg(

@@ -72,6 +72,15 @@ def test_list_pqs_contract(pq_dir):
     ]
 
 
+def test_scan_schedule_by_name(spark, pq_dir):
+    from ffiec_pq_spark.sources.parquet import scan_schedule
+
+    df = scan_schedule(spark, pq_dir, "ri")
+    assert df.count() == 4
+    with pytest.raises(FileNotFoundError):
+        scan_schedule(spark, pq_dir, "rc")
+
+
 def test_single_file_sink_is_one_file(spark, pq_dir):
     # the write_single_parquet outputs above must each be a plain file,
     # not a directory (the reference's one-file-per-dataset contract)
