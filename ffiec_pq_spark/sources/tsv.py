@@ -169,7 +169,7 @@ def _typed_cast(raw: F.Column, tchar: str) -> F.Column:
         )
     # try_cast, not cast: Spark 4 runs ANSI mode, where a malformed
     # numeric throws; the reference's readr semantics are NULL + a
-    # recorded problem (counted by count_parse_problems)
+    # recorded problem (counted by member_stats)
     return cleaned.try_cast(_SPARK_TYPES[tchar])
 
 
@@ -224,26 +224,6 @@ def member_stats(
         F.sum(problem.cast("long")).alias("problems"),
     ).collect()[0]
     return int(row["bad"] or 0), int(row["problems"] or 0)
-
-
-def count_parse_problems(
-    lines: DataFrame, colspec: list[tuple[str, str]]
-) -> int:
-    """Problem-row count only (see :func:`member_stats`)."""
-    return member_stats(lines, colspec)[1]
-
-
-def count_bad_lines(lines: DataFrame, expected_cols: int) -> int:
-    """Lines whose tab-field count differs from the header's — the
-    trigger for the repair slow path."""
-    return (
-        lines.filter(
-            F.size(F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1))
-            != expected_cols
-        )
-        .limit(1)
-        .count()
-    )
 
 
 def read_call_schedule(
