@@ -258,6 +258,84 @@ def minhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster) for every node in the pair graph; cluster = min id
+    reachable in the component.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes.  Rounds needed = graph diameter (near-dup clusters
+    are shallow — dozens of rounds covers pathological chains, typical
+    data converges in 2-4).  Per round: one join + one groupBy on the
+    node id — the standard scalable formulation when a graph library
+    isn't available; each round's lineage starts from a cached label
+    set, so cost is O(E) per round, not cumulative.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_cluster_summary(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """One row per duplicate cluster: (cluster_rep, n_members,
+    member_ids sorted) — the keep-one-representative step after any
+    near-dup pair finder."""
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list("id")).alias("member_ids"),
+    ).select(
+        F.col("cluster").alias("cluster_rep"), "n_members", "member_ids"
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -141,6 +141,50 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _clusters_oracle() -> str:
+    """Recursive-CTE connected components over the SAME minhash pair
+    pipeline: cluster = min reachable id, summarized per cluster."""
+    pair_sql = _minhash_oracle().strip()
+    return f"""
+    WITH pairs AS (
+      {pair_sql}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      WITH RECURSIVE r(id, root) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id
+      )
+      SELECT id, min(root) AS cluster FROM r GROUP BY id
+    )
+    SELECT cluster AS cluster_rep,
+           count(*) AS n_members,
+           list_sort(list(id)) AS member_ids
+    FROM reach GROUP BY cluster
+    """
+
+
+@register("dedup_clusters", _clusters_oracle(), tags=["dedup", "graph"])
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate CLUSTERS via connected components
+    (iterative min-label propagation; the oracle replays it with a
+    recursive CTE): one row per cluster with the min-id representative
+    and sorted members — the keep-one step of a real dedup pipeline."""
+    from ffiec_pq_spark.operators.dedup import dedup_cluster_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
+    )
+    return dedup_cluster_summary(pairs)
+
+
 def _simhash_oracle(n_bits: int = 60) -> str:
     bit_sums = ",\n             ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
