@@ -190,29 +190,53 @@ def ann_topk_ivf(
     )
 
 
+def probe_buckets_multiprobe(
+    probe: list[float], dim: int, n_planes: int, hamming_radius: int = 1
+) -> list[int]:
+    """Driver-side: the probe's bucket plus every bucket within the
+    given Hamming distance of its signature (multi-probe LSH).  A
+    vector whose cosine is high but whose signature differs in a bit or
+    two lands in a neighboring bucket — single-bucket probing misses it
+    (measured recall on the test embeddings: 0 at radius 0, restored at
+    radius 1)."""
+    base = 0
+    for p in range(n_planes):
+        plane = _pseudo_plane(dim, p)
+        if sum(a * b for a, b in zip(probe, plane)) > 0:
+            base += 2**p
+    out = {base}
+    if hamming_radius >= 1:
+        out |= {base ^ (1 << p) for p in range(n_planes)}
+    if hamming_radius >= 2:
+        out |= {
+            base ^ (1 << p) ^ (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        }
+    return sorted(out)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     probe: list[float],
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    hamming_radius: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """LSH-pruned top-k: score only vectors in the probe's bucket.
+    """Multi-probe LSH top-k: score only vectors whose signature is
+    within ``hamming_radius`` of the probe's.
 
-    Trades recall for a ~2^n_planes scan reduction; at 100 TB this (or
-    an IVF variant over k-means centroids) is the serving path, with
+    Scan fraction ~ (1 + C(n_planes, <=r)) / 2^n_planes (radius 1 with
+    8 planes: 9/256 of the data) — the serving-path tradeoff, with
     ``ann_topk_bruteforce`` as the ground-truth baseline.
     """
     buckets = hyperplane_lsh_buckets(df, dim, n_planes, vec_col, id_col)
-    probe_bucket = 0
-    for p in range(n_planes):
-        plane = _pseudo_plane(dim, p)
-        if sum(a * b for a, b in zip(probe, plane)) > 0:
-            probe_bucket += 2**p
+    cells = probe_buckets_multiprobe(probe, dim, n_planes, hamming_radius)
     cand = df.join(
-        buckets.filter(F.col("bucket") == probe_bucket),
+        buckets.filter(F.col("bucket").isin(cells)),
         df[id_col] == buckets.id,
         "left_semi",
     )

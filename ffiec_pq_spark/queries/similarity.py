@@ -213,17 +213,19 @@ def kmeans_cell_sizes(spark, sf_dir):
 
 
 def _lsh_topk_sql(n_planes: int = 8) -> str:
-    from ffiec_pq_spark.operators.similarity import _pseudo_plane
+    from ffiec_pq_spark.operators.similarity import (
+        _pseudo_plane,
+        probe_buckets_multiprobe,
+    )
 
     plane_rows = ", ".join(
         f"({p}, {i + 1}, {v!r}::DOUBLE)"
         for p in range(n_planes)
         for i, v in enumerate(_pseudo_plane(_DIM, p))
     )
-    probe_bucket = sum(
-        2 ** p
-        for p in range(n_planes)
-        if sum(a * b for a, b in zip(_PROBE, _pseudo_plane(_DIM, p))) > 0
+    probe_bucket = ", ".join(
+        str(b)
+        for b in probe_buckets_multiprobe(_PROBE, _DIM, n_planes, hamming_radius=1)
     )
     return f"""
     WITH plane AS (SELECT * FROM (VALUES {plane_rows}) AS t(p, i, v)),
@@ -246,7 +248,7 @@ def _lsh_topk_sql(n_planes: int = 8) -> str:
              unnest(embedding)::DOUBLE AS x,
              unnest({_PROBE_SQL}) AS p
       FROM embeddings
-      WHERE vec_id IN (SELECT vec_id FROM sig WHERE bucket = {probe_bucket})
+      WHERE vec_id IN (SELECT vec_id FROM sig WHERE bucket IN ({probe_bucket}))
     ),
     scored AS (
       SELECT vec_id, sum(x * p) / (sqrt(sum(x * x)) * sqrt(sum(p * p))) AS raw
@@ -261,10 +263,12 @@ def _lsh_topk_sql(n_planes: int = 8) -> str:
 
 @register("ann_lsh_topk", _lsh_topk_sql(), tags=["similarity", "approx"])
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-pruned ANN: score only the probe's hyperplane bucket, exact
-    re-rank inside it (~2^n_planes scan reduction at the cost of
-    recall; ann_cosine_topk is the exhaustive ground truth)."""
+    """Multi-probe LSH ANN: score only vectors whose signature is within
+    Hamming distance 1 of the probe's (9/256 of the data at 8 planes),
+    exact re-rank inside; ann_cosine_topk is the exhaustive ground
+    truth.  Single-bucket probing measured recall 0 on this data —
+    multi-probe is what makes hyperplane LSH serve."""
     from ffiec_pq_spark.operators.similarity import ann_topk_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb, _PROBE, dim=_DIM, k=10, n_planes=8)
+    return ann_topk_lsh(emb, _PROBE, dim=_DIM, k=10, n_planes=8, hamming_radius=1)

@@ -18,6 +18,7 @@ from ffiec_pq_spark.operators.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from ffiec_pq_spark.session import load_table
 
@@ -146,4 +147,32 @@ def text_fingerprint(spark, sf_dir):
         "doc_id",
         fingerprint_md5("text").alias("fp_md5"),
         hash60(normalize_text("text")).alias("fp_int"),
+    )
+
+
+@register(
+    "corpus_top_tokens",
+    f"""
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY freq DESC, tok ASC
+    LIMIT 25
+    """,
+    tags=["text", "vocab"],
+)
+def corpus_top_tokens(spark, sf_dir):
+    """Corpus-wide token frequencies, top 25 with deterministic
+    tie-break — the vocabulary/stopword-derivation pass of a tokenizer
+    pipeline.  Explode + single-shuffle count; the top-k is
+    TakeOrderedAndProject, so no global sort at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(25)
     )
