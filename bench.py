@@ -6,7 +6,7 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect).  A warmup query amortizes JVM startup, and each query
-runs $SPARK_GRAFT_BENCH_RUNS times (default 2) reporting the fastest
+runs $SPARK_GRAFT_BENCH_RUNS times (default 3) reporting the fastest
 run — steady-state plan execution, excluding the one-time whole-stage
 codegen compilation a resident engine pays once.
 """
@@ -45,7 +45,7 @@ def main() -> None:
     # warmup: boot executors + codegen on a trivial plan
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         df = queries[name](spark, sf_dir)
