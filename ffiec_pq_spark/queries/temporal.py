@@ -214,3 +214,100 @@ def salted_skew_agg(spark, sf_dir):
         F.round("total_value", 4).alias("total_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@register(
+    "events_moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS mov_avg
+    FROM events
+    """,
+    tags=["temporal", "window"],
+)
+def events_moving_avg(spark, sf_dir):
+    """3-row moving average per user over event time (deterministic
+    tie-break on event_id): one shuffle on the key, frame evaluated in
+    the partition-local sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("mov_avg")
+    )
+
+
+@register(
+    "events_interarrival",
+    """
+    SELECT user_id,
+           count(*) AS n_gaps,
+           round(avg(gap_s), 4) AS avg_gap_s,
+           round(max(gap_s), 4) AS max_gap_s
+    FROM (
+      SELECT user_id,
+             epoch(CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_s
+      FROM events
+    )
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=["temporal", "window"],
+)
+def events_interarrival(spark, sf_dir):
+    """Inter-arrival-time stats per user via lag: the feature-extraction
+    shape for activity modeling (one shuffle + partition-local sort,
+    then a reuse-exchange aggregation on the same key)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # subtract exact microsecond longs, then scale: casting each ts to
+    # double first would lose sub-second precision to cancellation
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id",
+        ((us - F.lag(us).over(w)) / F.lit(1_000_000.0)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+    )
+
+
+@register(
+    "customer_quartiles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey
+           ) AS quartile
+    FROM customer
+    """,
+    tags=["window"],
+)
+def customer_quartiles(spark, sf_dir):
+    """ntile quartiles per segment with a total (deterministic) order —
+    positional bucketing matches across engines only when the ORDER BY
+    is a total order, hence the custkey tie-break."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
+    )
