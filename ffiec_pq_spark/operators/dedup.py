@@ -116,19 +116,19 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return _project_jaccard(inter.join(sa, "id_a").join(sb, "id_b"), threshold)
+
+
+def _project_jaccard(joined: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, jaccard rounded 6dp), filtered on the UNROUNDED ratio
+    so the gate matches an oracle's ``WHERE raw >= t`` exactly (a raw
+    value rounding up across the threshold must not pass)."""
+    raw = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        joined.filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )
 
 
@@ -242,20 +242,7 @@ def minhash_near_dups(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _project_jaccard(inter.join(sa, "id_a").join(sb, "id_b"), threshold)
 
 
 def connected_components(
@@ -263,6 +250,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(id, cluster) for every node in the pair graph; cluster = min id
     reachable in the component.
@@ -274,7 +262,14 @@ def connected_components(
     data converges in 2-4).  Per round: one join + one groupBy on the
     node id — the standard scalable formulation when a graph library
     isn't available; each round's lineage starts from a cached label
-    set, so cost is O(E) per round, not cumulative.
+    set, and ``localCheckpoint`` every ``checkpoint_every`` rounds
+    truncates the logical plan so deep chains don't accumulate an
+    unbounded lineage (analysis/optimization time grows per round
+    otherwise, even with caching).
+
+    Raises ``RuntimeError`` if the loop exits without converging
+    (diameter > max_iter): partial labels silently merge clusters
+    wrongly, which at production scale is a silent-correctness hazard.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -290,22 +285,27 @@ def connected_components(
         .withColumn("cluster", F.col("id"))
         .cache()
     )
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nb_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .cache()
+        new_labels = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
+            ).alias("cluster"),
         )
+        if (it + 1) % checkpoint_every == 0:
+            # eager lineage truncation: the plan restarts from the
+            # checkpointed blocks instead of the full iteration history
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -316,8 +316,15 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if not changed:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds max_iter); raise max_iter — returning "
+            "partial labels would silently split clusters"
+        )
     return labels
 
 

@@ -59,18 +59,10 @@ def ann_topk_bruteforce(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
-def cosine_pairs_within(
-    df: DataFrame,
-    part_col: str,
-    threshold: float,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _pairs_exact(
+    df: DataFrame, part_col: str, threshold: float, vec_col: str, id_col: str
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with cosine >= threshold, restricted to equal
-    ``part_col`` (label / bucket) — turns O(n²) into Σ O(n_bucket²)."""
-    from ffiec_pq_spark.session import spread
-
-    df = spread(df)
+    """Exhaustive within-partition pairs (quadratic in the group size)."""
     a = df.select(
         F.col(part_col).alias("part"),
         F.col(id_col).alias("id_a"),
@@ -81,16 +73,101 @@ def cosine_pairs_within(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
+    raw = cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, "part")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "part",
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
-        )
-        .filter(F.col("score") >= threshold)
+        .filter(raw >= threshold)
+        .select("part", "id_a", "id_b", F.round(raw, 6).alias("score"))
+    )
+
+
+def _pairs_lsh(
+    df: DataFrame,
+    part_col: str,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int,
+) -> DataFrame:
+    """Near-dup pairs within a partition via multi-probe hyperplane LSH:
+    side A keeps its exact signature, side B explodes to its signature
+    plus every radius-1 flip, so any pair whose signatures differ in at
+    most one bit becomes a candidate; candidates are verified with exact
+    cosine.  Cost ~ (n_planes+1)·n per group instead of n² — the reroute
+    for groups too hot for the exhaustive path (pairs with signature
+    Hamming distance >= 2 are sacrificed, the standard LSH recall
+    tradeoff)."""
+    sig = hyperplane_lsh_buckets(df, dim, n_planes, vec_col, id_col)
+    dd = df.join(sig, df[id_col] == sig.id).drop("id")
+    a = dd.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("id_a"),
+        F.col("bucket").alias("pb"),
+    )
+    b = dd.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("id_b"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("pb"),
+    )
+    cand = (
+        a.join(b, ["part", "pb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("part", "id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    raw = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(raw >= threshold)
+        .select("part", "id_a", "id_b", F.round(raw, 6).alias("score"))
+    )
+
+
+def cosine_pairs_within(
+    df: DataFrame,
+    part_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_group_size: int | None = None,
+    dim: int | None = None,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold, restricted to equal
+    ``part_col`` (label / bucket) — turns O(n²) into Σ O(n_bucket²).
+
+    ``max_group_size`` is the hot-label guard: groups above it are
+    rerouted through the multi-probe LSH candidate path (``_pairs_lsh``)
+    instead of the exhaustive self-join, so one label holding half the
+    corpus cannot degenerate the job to all-pairs.  Requires ``dim``
+    when set.  Unset (default) keeps the exhaustive, oracle-exact
+    behavior on every group."""
+    from ffiec_pq_spark.session import spread
+
+    df = spread(df)
+    if max_group_size is None:
+        return _pairs_exact(df, part_col, threshold, vec_col, id_col)
+    if dim is None:
+        raise ValueError("max_group_size requires dim (for the LSH planes)")
+    counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("_n"))
+    flagged = df.join(F.broadcast(counts), part_col)
+    small = flagged.filter(F.col("_n") <= max_group_size).drop("_n")
+    hot = flagged.filter(F.col("_n") > max_group_size).drop("_n")
+    return _pairs_exact(small, part_col, threshold, vec_col, id_col).unionByName(
+        _pairs_lsh(hot, part_col, threshold, vec_col, id_col, dim, n_planes)
     )
 
 

@@ -54,8 +54,24 @@ def marker_score(col: Column | str, markers: list[str]) -> Column:
     return F.size(F.array_intersect(tokens(col), F.array(*[F.lit(m) for m in markers])))
 
 
+def marker_score_tok(tok_col: Column, markers: list[str]) -> Column:
+    """:func:`marker_score` over a PRE-PROJECTED token array column —
+    the CSE-friendly form: project ``tokens(text)`` once, then build all
+    conditions over it (Catalyst does not dedup a ``split`` referenced
+    inside many separate boolean branches)."""
+    return F.size(
+        F.array_intersect(tok_col, F.array(*[F.lit(m) for m in markers]))
+    )
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     return {lang: marker_score(col, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def lang_scores_tok(tok_col: Column) -> dict[str, Column]:
+    return {
+        lang: marker_score_tok(tok_col, ms) for lang, ms in LANG_MARKERS.items()
+    }
 
 
 def stopword_ratio(col: Column | str) -> Column:
@@ -72,10 +88,22 @@ def quality_score(col: Column | str) -> Column:
     """Composite quality heuristic in [0,1]: length band + stopword
     presence - punctuation excess.  (Formula is arbitrary but fixed; the
     oracle mirrors it exactly.)"""
-    n_tok = token_count(col).cast("double")
+    return quality_score_tok(tokens(col), col)
+
+
+def quality_score_tok(tok_col: Column, text_col: Column | str) -> Column:
+    """:func:`quality_score` over a pre-projected token array (same
+    formula bit-for-bit; punctuation still reads the raw text)."""
+    n_tok = F.size(tok_col).cast("double")
     len_band = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    sw = stopword_ratio(col) * 5.0
-    punct_pen = F.least(punct_count(col).cast("double") / F.greatest(n_tok, F.lit(1.0)), F.lit(1.0))
+    sw = (
+        marker_score_tok(tok_col, STOPWORDS)
+        / F.greatest(F.size(tok_col), F.lit(1))
+    ) * 5.0
+    punct_pen = F.least(
+        punct_count(text_col).cast("double") / F.greatest(n_tok, F.lit(1.0)),
+        F.lit(1.0),
+    )
     return F.round(
         F.greatest(
             F.least(0.5 * len_band + 0.5 * F.least(sw, F.lit(1.0)) - 0.2 * punct_pen, F.lit(1.0)),

@@ -58,16 +58,15 @@ def sessionize(
     cumulative sum (lag -> gap flag -> running count).
     """
     w = Window.partitionBy(key).orderBy(ts_col)
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
+    # exact microsecond-long subtraction (never cast ts to double and
+    # subtract: FP cancellation can disagree with the oracle's epoch())
+    us = F.unix_micros(F.col(ts_col))
     with_flag = df.withColumn(
         "new_session",
         (
-            F.coalesce(
-                F.col(ts_col).cast("double")
-                - F.lag(F.col(ts_col).cast("double")).over(w),
-                F.lit(gap_s + 1.0),
-            )
-            > gap_s
+            F.coalesce(us - F.lag(us).over(w), F.lit(gap_us + 1))
+            > F.lit(gap_us)
         ).cast("long"),
     )
     with_sid = with_flag.withColumn(
@@ -81,7 +80,11 @@ def sessionize(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.round(
-            F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")),
+            (
+                F.max(F.unix_micros(F.col(ts_col)))
+                - F.min(F.unix_micros(F.col(ts_col)))
+            )
+            / F.lit(1_000_000.0),
             6,
         ).alias("duration_sec"),
     )

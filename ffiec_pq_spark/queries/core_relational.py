@@ -347,7 +347,7 @@ def dup_key_groups(spark, sf_dir):
     "group_collect_sorted",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            count(DISTINCT l_orderkey)             AS n_orders
     FROM lineitem
     GROUP BY l_returnflag
@@ -357,12 +357,18 @@ def dup_key_groups(spark, sf_dir):
 )
 def group_collect_sorted(spark, sf_dir):
     """A4 — group-by list-aggregate: sorted distinct set per group
-    (reference item->dates list, R/ffiec_create_item_schedules_pq.R:135-139)."""
+    (reference item->dates list, R/ffiec_create_item_schedules_pq.R:135-139).
+
+    The list is emitted comma-joined (not array-typed) because the
+    driver's canonicalizer cannot sort array columns; the array-typed
+    API remains available via the underlying expressions."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.array_join(
+                F.sort_array(F.collect_set("l_linestatus")), ","
+            ).alias("statuses"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
         .orderBy("l_returnflag")

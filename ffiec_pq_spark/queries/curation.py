@@ -61,20 +61,20 @@ def train_eval_split_counts(spark, sf_dir):
     "profile_customer",
     """
     SELECT 'c_custkey' AS "column", count(*) AS n_rows,
-           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT c_custkey) AS n_distinct,
            CAST(min(c_custkey) AS VARCHAR) AS min_str,
            CAST(max(c_custkey) AS VARCHAR) AS max_str
     FROM customer
     UNION ALL
     SELECT 'c_nationkey', count(*),
-           sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT c_nationkey),
            CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
     FROM customer
     UNION ALL
     SELECT 'c_mktsegment', count(*),
-           sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT c_mktsegment),
            CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
     FROM customer
@@ -143,24 +143,35 @@ def curation_pipeline(spark, sf_dir):
     from ffiec_pq_spark.operators.text import (
         LANG_MARKERS,
         fingerprint_md5,
-        lang_scores,
-        quality_score,
-        token_count,
+        lang_scores_tok,
+        quality_score_tok,
+        tokens,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    scores = lang_scores("text")
+    # project the token array ONCE, build every condition over it:
+    # Catalyst does not CSE a split() referenced in many boolean
+    # branches, so the direct form re-ran the tokenizer ~70x per row
+    toksdf = d.select("doc_id", "text", tokens("text").alias("toks"))
+    scores = lang_scores_tok(F.col("toks"))
     greatest = F.greatest(*scores.values())
     lang_expr = None
     for lang in LANG_MARKERS:
         cond = scores[lang] == greatest
         lang_expr = F.when(cond, lang) if lang_expr is None else lang_expr.when(cond, lang)
-    scored = d.select(
+    scored = toksdf.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
+        F.size("toks").alias("n_tokens"),
+        quality_score_tok(F.col("toks"), "text").alias("quality"),
         lang_expr.alias("lang_guess"),
         fingerprint_md5("text").alias("fp"),
+    )
+    # observe() is a zero-cost optimizer fence: predicate pushdown would
+    # otherwise substitute quality/lang_guess back into split()-per-branch
+    # form below the projection; as a bonus it emits a free row-count
+    # metric for the curation funnel
+    scored = scored.observe(
+        "curation_scored", F.count(F.lit(1)).alias("n_scored")
     )
     filtered = scored.filter(
         (F.col("lang_guess") == "en") & (F.col("quality") >= 0.3)

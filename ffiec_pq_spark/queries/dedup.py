@@ -6,6 +6,8 @@ cross-engine bit-for-bit)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.functions.hashing import hash60_sql
 from ffiec_pq_spark.operators.dedup import (
@@ -165,7 +167,7 @@ def _clusters_oracle() -> str:
     )
     SELECT cluster AS cluster_rep,
            count(*) AS n_members,
-           list_sort(list(id)) AS member_ids
+           array_to_string(list_sort(list(id)), ',') AS member_ids
     FROM reach GROUP BY cluster
     """
 
@@ -182,7 +184,16 @@ def dedup_clusters(spark, sf_dir):
     pairs = minhash_near_dups(
         docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
     )
-    return dedup_cluster_summary(pairs)
+    out = dedup_cluster_summary(pairs)
+    # comma-join the member list: the driver's canonicalizer can't sort
+    # array-typed columns (the array API stays on dedup_cluster_summary)
+    return out.select(
+        "cluster_rep",
+        "n_members",
+        F.array_join(F.col("member_ids").cast("array<string>"), ",").alias(
+            "member_ids"
+        ),
+    )
 
 
 def _simhash_oracle(n_bits: int = 60) -> str:

@@ -42,7 +42,7 @@ _ORDER_COLS = [
 @register(
     "null_counts_orders",
     "\n      UNION ALL\n".join(
-        f"SELECT '{c}' AS col_name, sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_na FROM orders"
+        f"SELECT '{c}' AS col_name, CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_na FROM orders"
         for c in _ORDER_COLS
     )
     + "\n    ORDER BY col_name",

@@ -39,12 +39,20 @@ _FDIM = 8
 
 
 def _features_sql() -> str:
+    # each element quantized to integer microunits: round(x * 1e6) is
+    # EXACT here (x is a dyadic rational k/2^15 - 1, so x*1e6 = j*5^6/2^9
+    # fits a double exactly) and both engines round ties away from zero,
+    # so the comma-joined integer string is engine-stable — unlike a
+    # joined double rendering (1e-05 vs 1E-5)
     terms = ", ".join(
-        f"round((('0x' || substr(md5(text), {4 * i + 1}, 4))::INTEGER / 32768.0)"
-        f" - 1.0, 6)"
+        f"CAST(round(((('0x' || substr(md5(text), {4 * i + 1}, 4))::INTEGER"
+        f" / 32768.0) - 1.0) * 1000000.0) AS BIGINT)"
         for i in range(_FDIM)
     )
-    return f"SELECT doc_id, [{terms}] AS feature FROM documents"
+    return (
+        f"SELECT doc_id, array_to_string([{terms}], ',') AS feature_micros"
+        " FROM documents"
+    )
 
 
 @register("multimodal_feature_extract", _features_sql(), tags=["multimodal"])
@@ -53,12 +61,21 @@ def multimodal_feature_extract(spark, sf_dir):
     over the documents payloads, verified EXACTLY by the oracle: the
     stub features are md5-derived, so DuckDB replays the same math on
     the same bytes — i.e. the Arrow-batched Python plumbing itself is
-    under the hash check, not just JVM expressions."""
+    under the hash check, not just JVM expressions.  The vector is
+    emitted as a comma-joined string of integer microunits because the
+    driver's canonicalizer can't sort array columns; the array-typed
+    API stays on ``extract_features``."""
     from ffiec_pq_spark.operators.multimodal import binarize, extract_features
 
     d = load_table(spark, sf_dir, "documents")
     feats = extract_features(binarize(d, "text", "doc_id"), dim=_FDIM)
     return feats.select(
         F.col("id").alias("doc_id"),
-        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"),
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.round(x * F.lit(1000000.0)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("feature_micros"),
     )

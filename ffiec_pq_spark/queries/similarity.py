@@ -177,7 +177,7 @@ def _lsh_sql() -> str:
       FROM ex e JOIN plane pl ON e.i = pl.i
       GROUP BY 1, 2
     ),
-    sig AS (SELECT vec_id, sum(bit) AS bucket FROM bits GROUP BY vec_id)
+    sig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
     SELECT bucket, count(*) AS n FROM sig GROUP BY bucket
     """
 
@@ -193,11 +193,67 @@ def lsh_bucket_histogram(spark, sf_dir):
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
+    """Replay the deterministic Lloyd loop as a literal CTE chain:
+    init = k lowest-id vectors; per iteration one assignment CTE
+    (row_number over (distance, cell)) and one centroid-update CTE
+    (per-dim avg, empty cells keep the previous centroid); final
+    assignment under the fitted centroids -> cell sizes."""
+    ctes = [
+        """ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    )""",
+        f"""cent0 AS (
+      SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+             i, x AS v
+      FROM ex
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for it in range(iters + 1):
+        ctes.append(
+            f"""d{it} AS (
+      SELECT e.vec_id, c.c, sum((e.x - c.v) * (e.x - c.v)) AS d
+      FROM ex e JOIN cent{it} c ON e.i = c.i
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""asg{it} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM d{it}
+      ) WHERE rn = 1
+    )"""
+        )
+        if it < iters:
+            ctes.append(
+                f"""upd{it} AS (
+      SELECT a.c, e.i, avg(e.x) AS v
+      FROM asg{it} a JOIN ex e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )"""
+            )
+            ctes.append(
+                f"""cent{it + 1} AS (
+      SELECT p.c, p.i, coalesce(u.v, p.v) AS v
+      FROM cent{it} p LEFT JOIN upd{it} u ON u.c = p.c AND u.i = p.i
+    )"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT c AS cell, count(*) AS n FROM asg{iters} GROUP BY c"
+    )
+
+
 @register(
     "kmeans_cell_sizes",
-    None,  # 5 Lloyd iterations in pure SQL would need a chain of k x dim
-    # aggregate CTEs; determinism + objective-descent + coverage are
-    # pinned in tests/test_kmeans.py instead
+    _kmeans_sql(k=4, iters=3),
     tags=["similarity", "iterative"],
 )
 def kmeans_cell_sizes(spark, sf_dir):

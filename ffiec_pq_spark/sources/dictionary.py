@@ -146,6 +146,34 @@ def fix_item_name_case(
     return s
 
 
+def fix_item_name_case_col(col, extra: tuple[str, ...] = ()):
+    """Column-expression form of ``fix_item_name_case`` — the same
+    sentence-case + protected-term restore as chained JVM
+    ``regexp_replace`` calls, so the dictionary build carries no Python
+    UDF at all (the terms are plan literals; Catalyst folds the chain
+    into one generated-code projection)."""
+    c = F.trim(col)
+    c = F.concat(
+        F.upper(c.substr(F.lit(1), F.lit(1))),
+        F.lower(c.substr(F.lit(2), F.length(c))),
+    )
+    for term in (*CANONICAL_TERMS, *extra):
+        pat = (
+            "(?i)(?<![0-9A-Za-z_])"
+            + re.escape(term.lower())
+            + "(?![0-9A-Za-z_])"
+        )
+        c = F.regexp_replace(c, pat, term)
+    c = F.regexp_replace(
+        c,
+        r"(?i)(?<![0-9A-Za-z_])((?:non-)?)u\.s\.(?![0-9A-Za-z_])",
+        "$1U.S.",
+    )
+    for w in ("addressees",):
+        c = F.regexp_replace(c, rf"(?i)\b{w}\b", w)
+    return c
+
+
 def observed_items(long_tables: dict[str, DataFrame]) -> DataFrame:
     """Distinct items per long table labeled with the Arrow type name;
     PK-asserted on ``item`` (reference data-raw/ffiec_dict.R:142-177)."""
@@ -166,12 +194,10 @@ def build_ffiec_items(
     """The ``ffiec_items`` dimension: item, mnemonic, item_code,
     item_name (case-fixed), data_type."""
     items = observed_items(long_tables)
-    # tiny dimension; UDF cost nil
-    fix_udf = F.udf(lambda s: fix_item_name_case(s), "string")
     return (
         items.join(F.broadcast(mdrm), "item", "left")
         .select("item", "mnemonic", "item_code", "item_name", "data_type")
-        .withColumn("item_name", fix_udf("item_name"))
+        .withColumn("item_name", fix_item_name_case_col(F.col("item_name")))
         .distinct()
         .orderBy("item")
     )

@@ -111,6 +111,10 @@ def repair_member_text(text: str, expected_cols: int) -> tuple[str, list[str]]:
     """Apply both reference repairs to a member's full text; return
     (repaired_text, repair_tags)."""
     tags = []
+    # normalize CRLF first: otherwise each split line keeps a trailing
+    # \r, fix_extra_tabs no longer sees the trailing tab delimiter, and
+    # every well-formed CRLF row would get merged-field treatment
+    text = text.replace("\r\n", "\n")
     # joins ALL newlines not preceded by a tab: sound because FFIEC rows
     # end with a trailing tab, so every legitimate row boundary is
     # tab-adjacent and only embedded (mid-field) newlines match
