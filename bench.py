@@ -9,6 +9,11 @@ driver collect).  A warmup query amortizes JVM startup, and each query
 runs $SPARK_GRAFT_BENCH_RUNS times (default 3) reporting the fastest
 run — steady-state plan execution, excluding the one-time whole-stage
 codegen compilation a resident engine pays once.
+
+The same headline workload also runs as its DuckDB oracle SQL on the
+same parquet files (min-of-N, all cores), so the JSON line carries its
+own denominator: ``duckdb_total`` and ``vs_duckdb`` (the bar is 2x).
+Set SPARK_GRAFT_BENCH_DUCKDB=0 to skip the comparison run.
 """
 
 from __future__ import annotations
@@ -57,18 +62,52 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        duck = duckdb_timings(sf_dir, names, runs)
+        out["duckdb_queries"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 3)
+        if out["duckdb_total"] > 0:
+            out["vs_duckdb"] = round(total / out["duckdb_total"], 2)
+    print(json.dumps(out))
     spark.stop()
+
+
+def duckdb_timings(sf_dir: str, names: list[str], runs: int) -> dict[str, float]:
+    """Min-of-N wall time of each headline query's ORACLE SQL in DuckDB
+    over the same parquet files (materialized via fetchall, no pandas)."""
+    import duckdb
+
+    oracles = catalog.oracles()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    for name in names:
+        if name not in oracles:
+            continue
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warmup (buffer cache, plan)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    con.close()
+    return timings
 
 
 if __name__ == "__main__":

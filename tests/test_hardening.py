@@ -1,0 +1,156 @@
+"""Round-2 hardening pins: exact sessionize boundary math, deep-chain
+connected components with lineage truncation, the hot-label guard on
+the within-partition cosine path, and the UDF-free item-name caser."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_sessionize_subsecond_boundary(spark):
+    """Gap EXACTLY 30 min -> same session; one microsecond over -> new
+    session.  Double-cast subtraction gets this wrong at representation
+    boundaries; unix_micros long arithmetic is exact."""
+    from ffiec_pq_spark.operators.windows import sessionize
+
+    rows = [
+        ("u1", _ts("2024-01-01 00:00:00")),
+        ("u1", _ts("2024-01-01 00:30:00")),          # gap == 1800s: same
+        ("u1", _ts("2024-01-01 01:00:00.000001")),   # gap 1800.000001s: new
+        ("u2", _ts("2024-01-01 00:00:00.500000")),
+        ("u2", _ts("2024-01-01 00:30:00.499999")),   # 1799.999999s: same
+        ("u2", _ts("2024-01-01 00:30:00.500001")),   # 0.000002s: same
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessionize(df, key="user_id", ts_col="ts").collect()
+    }
+    assert set(out) == {("u1", 1), ("u1", 2), ("u2", 1)}
+    assert out[("u1", 1)]["n_events"] == 2
+    assert out[("u1", 1)]["duration_sec"] == 1800.0
+    assert out[("u1", 2)]["n_events"] == 1
+    assert out[("u2", 1)]["n_events"] == 3
+    assert out[("u2", 1)]["duration_sec"] == 1800.000001
+
+
+def test_connected_components_deep_chain(spark):
+    """A 31-node path graph (diameter 30) exceeds one iteration's reach
+    many times over: exercises the localCheckpoint lineage truncation
+    and still converges to a single min-labeled cluster."""
+    from ffiec_pq_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs, max_iter=40, checkpoint_every=5)
+    got = {r["id"]: r["cluster"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exiting the loop un-converged must raise, not silently return
+    partial labels (wrong clusters at scale)."""
+    from ffiec_pq_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3, checkpoint_every=2)
+
+
+def _embedding(seed: int, dim: int = 8) -> list[float]:
+    vals = []
+    x = (seed + 1) * 2654435761 % (2**31 - 1)
+    for _ in range(dim):
+        x = (x * 1103515245 + 12345) % (2**31)
+        vals.append((x / float(2**30)) - 1.0)
+    return vals
+
+
+def test_cosine_pairs_hot_label_guard(spark):
+    """One label holding half the rows is rerouted through the LSH
+    candidate path: small labels stay exact, the hot label returns a
+    subset of its exact pairs, every returned score is above threshold,
+    and no exact self-join of the hot label appears in the plan."""
+    from ffiec_pq_spark.operators.similarity import cosine_pairs_within
+
+    dim, rows = 8, []
+    for i in range(40):  # hot label: half the corpus
+        rows.append(("hot", i, _embedding(i, dim)))
+    for i in range(40, 60):
+        rows.append(("a", i, _embedding(i, dim)))
+    for i in range(60, 80):
+        rows.append(("b", i, _embedding(i, dim)))
+    df = spark.createDataFrame(
+        rows, "label string, vec_id long, embedding array<double>"
+    )
+    exact = {
+        (r["part"], r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_pairs_within(
+            df, part_col="label", threshold=0.5
+        ).collect()
+    }
+    guarded = {
+        (r["part"], r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_pairs_within(
+            df,
+            part_col="label",
+            threshold=0.5,
+            max_group_size=25,
+            dim=dim,
+            n_planes=6,
+        ).collect()
+    }
+    # guard returns only true pairs, at identical scores
+    for key, score in guarded.items():
+        assert key in exact
+        assert score == exact[key]
+        assert score >= 0.5
+    # small labels are bit-for-bit the exact result
+    for key in exact:
+        if key[0] != "hot":
+            assert key in guarded
+    # the hot label still surfaces near-dups (recall > 0 via multi-probe)
+    assert any(k[0] == "hot" for k in guarded)
+
+
+def test_fix_item_name_case_col_matches_python(spark):
+    """The chained-regexp_replace column form must agree with the Python
+    reference implementation on every edge case."""
+    from ffiec_pq_spark.sources.dictionary import (
+        fix_item_name_case,
+        fix_item_name_case_col,
+    )
+
+    samples = [
+        None,
+        "",
+        "   ",
+        "TOTAL ASSETS",
+        "ffiec 031 schedule rc-e deposits",
+        "non-u.s. addressees and MBS held",
+        "tier 1 capital (cecl) for ihcs",
+        "Amounts Due From FNMA, fhlmc and gnma",
+        "u.s. treasury securities",
+        "NON-U.S. ADDRESSEES",
+        "keogh plan accounts, iras and mmdas",
+        "schedule rc-q fair value",
+        "puerto rico and federal reserve items",
+        "remics and cmos under gaap",
+        "mmda accounts (mmdas) in u.s. offices",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "name string")
+    got = [
+        r[0] for r in df.select(fix_item_name_case_col(F.col("name"))).collect()
+    ]
+    want = [fix_item_name_case(s) for s in samples]
+    assert got == want
