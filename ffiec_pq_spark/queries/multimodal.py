@@ -35,6 +35,44 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           md5(substring(text, f * 64 + 1, 64)) AS frame_md5,
+           octet_length(encode(substring(text, f * 64 + 1, 64))) AS n_frame_bytes
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0, CAST(floor((octet_length(encode(text)) - 1) / 64.0) AS BIGINT)
+             )) AS f
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    )
+    """,
+    tags=["multimodal"],
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """The 1->N mapInPandas frame-sampling stage (video keyframe shape,
+    operators/multimodal.py:frame_sample) over the documents payloads:
+    one row per fixed-stride 64-byte 'frame' with its hash and length.
+    The oracle replays the slicing in SQL — valid because the synthetic
+    corpus is pure ASCII, so DuckDB's character substring equals the
+    byte slicing the operator does (non-ASCII media bytes keep the same
+    Spark-side plumbing; only the oracle trick needs ASCII)."""
+    from ffiec_pq_spark.operators.multimodal import binarize, frame_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(binarize(d, "text", "doc_id"), every_n_bytes=64)
+    return frames.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("n_frame_bytes"),
+    )
+
+
 _FDIM = 8
 
 

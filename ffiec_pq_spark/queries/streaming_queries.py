@@ -79,6 +79,43 @@ def stream_hourly_rollup(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=["streaming", "dedup"],
+)
+def stream_dedup_pairs(spark, sf_dir):
+    """Streaming exact dedup: ``dropDuplicates`` over the event stream
+    (state = one entry per distinct key, emitted on first sight in
+    append mode) drained with availableNow — must equal the batch
+    DISTINCT exactly.  The streaming face of the exact-dedup operator:
+    at scale the same plan runs continuously with the state store
+    holding the seen-key set (bound it with
+    ``dropDuplicatesWithinWatermark`` when keys expire)."""
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"stream_dedup_{next(_SINK_IDS)}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_sessionize_stateful",
     None,  # append-mode stream: open tail sessions can't emit, so a
     # full-table SQL oracle can't hash-match; per-row equality against

@@ -86,6 +86,103 @@ def events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_sliding_rollup",
+    """
+    SELECT ws AS window_start, event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL '30 minutes'
+             ]) AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+    tags=["temporal", "window"],
+)
+def events_sliding_rollup(spark, sf_dir):
+    """Sliding (hopping) event-time windows: 1-hour window every 30
+    minutes, so each event lands in exactly two windows.  Spark's
+    native ``window(ts, '1 hour', '30 minutes')`` plans this as one
+    Expand (2 rows per event) + one shuffle — the oracle replays the
+    two bucket assignments with ``time_bucket``."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - lag(epoch(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                       >= 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sids AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sids
+    GROUP BY user_id, sid
+    """,
+    tags=["temporal", "window", "session"],
+)
+def events_session_window(spark, sf_dir):
+    """Spark's NATIVE gap-based ``session_window`` aggregation (one
+    shuffle, sessions merged in the agg itself — the batch face of the
+    streaming session window).  Boundary semantics differ from the
+    custom ``sessionize`` operator: the native window is half-open, so
+    a gap of EXACTLY 30 min starts a new session (oracle uses >= 1800
+    where sessionize uses > 1800)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "events_asof_join",
     """
     SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
