@@ -511,6 +511,119 @@ def union_by_name_missing(spark, sf_dir):
     )
 
 
+@register(
+    "intersect_except_keys",
+    """
+    SELECT 'both' AS side, k FROM (
+      SELECT o_custkey AS k FROM orders
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    UNION ALL
+    SELECT 'only_neg', k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal <= 0
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+    tags=["setop"],
+)
+def intersect_except_keys(spark, sf_dir):
+    """Set-op extension beyond the reference's unions: INTERSECT
+    (customers with positive balance who ordered) and EXCEPT
+    (non-positive-balance customers who never ordered), both planned as
+    distinct-aggregated semi/anti joins — one shuffle each, no
+    row-by-row comparison."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
+    neg = c.filter(F.col("c_acctbal") <= 0).select(F.col("c_custkey").alias("k"))
+    both = o.intersect(pos).select(F.lit("both").alias("side"), "k")
+    only = neg.exceptAll(o).distinct().select(
+        F.lit("only_neg").alias("side"), "k"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "posexplode_tokens",
+    """
+    SELECT p_partkey,
+           CAST(generate_subscripts(string_split(p_type, ' '), 1) - 1
+                AS INTEGER) AS pos,
+           unnest(string_split(p_type, ' ')) AS token
+    FROM part
+    """,
+    tags=["reshape"],
+)
+def posexplode_tokens(spark, sf_dir):
+    """R4 extension — positional explode (token + its 0-based index),
+    the shape tokenizer pipelines need to preserve word order."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_type", " ")).alias("pos", "token"),
+    )
+
+
+@register(
+    "group_string_agg",
+    """
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+             AS segments,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=["agg", "list"],
+)
+def group_string_agg(spark, sf_dir):
+    """A4 extension — ordered string aggregation per group (DuckDB
+    ``string_agg ... ORDER BY`` vs Spark sort_array(collect_set) +
+    array_join: deterministic on both engines, single shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("c_mktsegment")), "|"
+        ).alias("segments"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS flag,
+           coalesce(l_linestatus, '<all>') AS status,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS gross
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=["agg", "rollup"],
+)
+def cube_revenue(spark, sf_dir):
+    """Full CUBE over two grouping dimensions (all 4 grouping sets in
+    one pass — Spark plans one Expand + one shuffle, same as ROLLUP);
+    NULL grouping markers coalesced to a sentinel so they can't collide
+    with real values in the hash compare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "n",
+            "gross",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / limits (O1-O2)
 # --------------------------------------------------------------------------

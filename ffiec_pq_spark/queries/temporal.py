@@ -349,7 +349,7 @@ def events_moving_avg(spark, sf_dir):
     SELECT user_id,
            count(*) AS n_gaps,
            round(avg(gap_s), 4) AS avg_gap_s,
-           round(max(gap_s), 4) AS max_gap_s
+           round(max(gap_s), 6) AS max_gap_s
     FROM (
       SELECT user_id,
              epoch(CAST(ts AS TIMESTAMP)
@@ -378,10 +378,14 @@ def events_interarrival(spark, sf_dir):
         "user_id",
         ((us - F.lag(us).over(w)) / F.lit(1_000_000.0)).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
+    # max is rounded to 6 dp, not 4: gaps are exact microsecond
+    # multiples, so a 4-dp round hits true .xxxx5 ties where the two
+    # engines' double-rounding algorithms can disagree by 1e-4; at 6 dp
+    # the value is already exact and no rounding ever occurs
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
-        F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        F.round(F.max("gap_s"), 6).alias("max_gap_s"),
     )
 
 
