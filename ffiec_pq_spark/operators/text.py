@@ -135,6 +135,58 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+_WINNOW_IDS = __import__("itertools").count()
+
+
+def winnow_fingerprints_df(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    hash_fn=None,
+):
+    """Winnowed rolling-hash fingerprints (the MOSS scheme):
+    (id, fps array<long>) where fps = distinct minima of each sliding
+    ``window`` of char-k-gram hashes over the normalized text.
+    Guarantees every shared substring of length >= window+k-1 shares a
+    fingerprint, at ~2/(window+1) the storage of all grams.
+
+    This is deliberately a DataFrame-level operator, NOT a single
+    Column: a lambda body re-evaluates any non-attribute subexpression
+    PER ARRAY ELEMENT, so composing gram-hashing and window-minima in
+    one expression re-hashes the whole gram array once per window —
+    O(n²) md5 calls per row (measured: ~2 s/doc).  Materializing each
+    stage as a real column behind an ``observe`` fence (CollapseProject
+    does not merge through CollectMetrics) makes the lambda reference a
+    bound attribute instead, restoring O(n).  No explode, no shuffle.
+
+    Default portable ``hash60`` keeps it oracle-verifiable; pass
+    ``hash_fn=fast_hash64`` for the 100 TB path (xxhash64, no md5
+    string materialization)."""
+    from ffiec_pq_spark.functions.hashing import hash60
+
+    hash_fn = hash_fn or hash60
+    uid = next(_WINNOW_IDS)
+    normed = df.select(
+        F.col(id_col), normalize_text(text_col).alias("_norm")
+    ).observe(f"winnow_norm_{uid}", F.count(F.lit(1)).alias("n_rows"))
+    n_grams = F.greatest(F.length("_norm") - (k - 1), F.lit(1))
+    hashed = normed.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: hash_fn(F.substring(F.col("_norm"), i, k)),
+        ).alias("_hs"),
+    ).observe(f"winnow_hashed_{uid}", F.count(F.lit(1)).alias("n_rows"))
+    n_wins = F.greatest(F.size("_hs") - (window - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda j: F.array_min(F.slice(F.col("_hs"), j, window)),
+    )
+    return hashed.select(id_col, F.array_distinct(wins).alias("fps"))
+
+
 def shingles_sql(expr: str, k: int = 3) -> str:
     """DuckDB mirror of :func:`shingles` (oracle side)."""
     w = f"string_split_regex(trim({expr}), '\\s+')"

@@ -151,6 +151,46 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(norm) - 4, 1)),
+               i -> (('0x' || substr(md5('s0:' || substr(norm, i, 5)), 1, 15))::BIGINT)
+             ) AS hs
+      FROM g
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 3, 1)),
+               j -> list_min(hs[j:j+3])
+             )) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+    tags=["text", "fingerprint"],
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints: min hash of each
+    4-window of char-5-gram hashes, distinct per doc, exploded to
+    (doc_id, fp) rows.  The local-min selection is what makes
+    fingerprints robust to insertions — shared substrings of length
+    >= 8 chars always share a fingerprint — and the oracle replays the
+    same grams, hashes, and window minima element for element."""
+    from ffiec_pq_spark.operators.text import winnow_fingerprints_df
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints_df(d, "text", "doc_id", k=5, window=4)
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
+
+
+@register(
     "corpus_tfidf_top_terms",
     f"""
     WITH tok AS (
