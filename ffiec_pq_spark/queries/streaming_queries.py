@@ -116,6 +116,87 @@ def stream_dedup_pairs(spark, sf_dir):
 
 
 @register(
+    "stream_interval_join",
+    """
+    SELECT s.event_id AS signup_id,
+           p.event_id AS purchase_id,
+           s.user_id,
+           CAST(s.ts AS TIMESTAMP) AS signup_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+    tags=["streaming", "join"],
+)
+def stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join driven as a REAL dual
+    stream (two readStream sources over the same events file), drained
+    with availableNow: purchases within 30 minutes after a same-user
+    signup.  Both watermarks are what bound both sides' join state at
+    scale; the drained append output must hash-equal the batch/DuckDB
+    range join exactly."""
+    from ffiec_pq_spark.session import ensure_nanos_conf
+    from ffiec_pq_spark.streaming.joins import interval_join
+
+    ensure_nanos_conf(spark)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def src():
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    signups = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = interval_join(
+        signups, purchases, key="user_id", within="30 minutes",
+        watermark="2 hours",
+    ).select(
+        "signup_id",
+        "purchase_id",
+        "user_id",
+        F.col("l_ts").alias("signup_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+    )
+    name = f"stream_ivjoin_{next(_SINK_IDS)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_sessionize_stateful",
     None,  # append-mode stream: open tail sessions can't emit, so a
     # full-table SQL oracle can't hash-match; per-row equality against
