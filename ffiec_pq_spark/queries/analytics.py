@@ -38,6 +38,74 @@ def regression_price_qty(spark, sf_dir):
 
 
 @register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           true AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["analytics", "approx", "sketch"],
+)
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct counting under the oracle gate: the query
+    emits the exact distinct count plus a boolean asserting the
+    ``approx_count_distinct`` sketch (rsd=2%) landed within 5% of it —
+    the oracle pins that boolean to ``true``, so the hash check
+    certifies the sketch's error bound, the honest way to
+    oracle-verify an approximate operator.  At 100 TB the sketch is
+    the serving path: mergeable, one pass, fixed memory per group."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
+    "approx_quantile_check",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_exact,
+           true AS approx_within_1pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["analytics", "approx", "sketch"],
+)
+def approx_quantile_check(spark, sf_dir):
+    """Approximate quantiles under the oracle gate, same pattern:
+    exact interpolated median (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) plus a boolean asserting ``percentile_approx``
+    (accuracy 10000) is within 1% — the sketch path that replaces a
+    full sort at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m_exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("m_approx"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("m_exact", 4).alias("median_exact"),
+        (
+            F.abs(F.col("m_approx") - F.col("m_exact"))
+            / F.abs(F.col("m_exact"))
+            <= 0.01
+        ).alias("approx_within_1pct"),
+    )
+
+
+@register(
     "zscore_by_segment",
     """
     SELECT c_custkey,

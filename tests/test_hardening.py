@@ -123,6 +123,27 @@ def test_cosine_pairs_hot_label_guard(spark):
     assert any(k[0] == "hot" for k in guarded)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stream_hourly_rollup",
+        "stream_dedup_pairs",
+        "stream_interval_join",
+        "ffiec_etl_end_to_end",
+    ],
+)
+def test_side_effectful_queries_idempotent(name, spark, sf_dir):
+    """Queries that create sinks / work dirs must return the same row
+    count on a second invocation in the same session (no leaked state,
+    no sink-name collision, no tempdir accumulation)."""
+    from ffiec_pq_spark import catalog
+
+    q = catalog.queries()[name]
+    first = q(spark, sf_dir).count()
+    second = q(spark, sf_dir).count()
+    assert first == second and first > 0
+
+
 def test_fix_item_name_case_col_matches_python(spark):
     """The chained-regexp_replace column form must agree with the Python
     reference implementation on every edge case."""
