@@ -165,10 +165,13 @@ def winnow_fingerprints_df(
     ``hash_fn=fast_hash64`` for the 100 TB path (xxhash64, no md5
     string materialization)."""
     from ffiec_pq_spark.functions.hashing import hash60
+    from ffiec_pq_spark.session import spread
 
     hash_fn = hash_fn or hash60
     uid = next(_WINNOW_IDS)
-    normed = df.select(
+    # spread first: gram hashing is the CPU-heavy stage, and small-file
+    # corpora arrive as few scan splits (same call as doc_shingles)
+    normed = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), normalize_text(text_col).alias("_norm")
     ).observe(f"winnow_norm_{uid}", F.count(F.lit(1)).alias("n_rows"))
     n_grams = F.greatest(F.length("_norm") - (k - 1), F.lit(1))
