@@ -539,9 +539,10 @@ def intersect_except_keys(spark, sf_dir):
     pos = c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
     neg = c.filter(F.col("c_acctbal") <= 0).select(F.col("c_custkey").alias("k"))
     both = o.intersect(pos).select(F.lit("both").alias("side"), "k")
-    only = neg.exceptAll(o).distinct().select(
-        F.lit("only_neg").alias("side"), "k"
-    )
+    # subtract == EXCEPT (set semantics): a key present on both sides is
+    # dropped regardless of multiplicity (exceptAll+distinct would leak
+    # a key whose left count exceeds its right count)
+    only = neg.subtract(o).select(F.lit("only_neg").alias("side"), "k")
     return both.unionByName(only)
 
 
