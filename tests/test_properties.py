@@ -177,3 +177,30 @@ def test_salted_agg_equals_plain(spark, rows, n_salts):
         return out
 
     assert norm(salted) == norm(plain)
+
+
+_texts = st.text(alphabet="ab cd", min_size=0, max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(prefix=_texts, suffix=_texts, core=st.text(alphabet="xyz w", min_size=12, max_size=20))
+def test_winnow_shared_substring_shares_fingerprint(spark, prefix, suffix, core):
+    """Winnowing guarantee: two documents sharing a substring of length
+    >= window + k - 1 (= 8 at k=5, w=4) have intersecting fingerprint
+    sets, regardless of what surrounds the shared part.
+
+    The core is drawn from a disjoint alphabet so whitespace collapse
+    in normalization can't shorten it below the guarantee threshold."""
+    from ffiec_pq_spark.operators.text import winnow_fingerprints_df
+
+    core = core.replace(" ", "w")  # keep the shared run unbroken
+    doc_a = f"{prefix} {core} {suffix}"
+    doc_b = f"{suffix}{suffix} {core} {prefix}a"
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints_df(df, "text", "doc_id", k=5, window=4).collect()
+    }
+    assert fps[0] & fps[1], (doc_a, doc_b)
