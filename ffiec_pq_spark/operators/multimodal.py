@@ -106,6 +106,31 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
+def resize_payload(df: DataFrame, target_bytes: int = 96) -> DataFrame:
+    """(id, payload) -> (id, resized binary of exactly target_bytes).
+
+    STUB for image/audio resize-resample: cycle-pads or truncates the
+    raw bytes to a fixed size (deterministic; a real implementation
+    decodes and rescales via PIL/torchaudio here).  The fixed-size
+    output contract is the real point: downstream feature extractors
+    and collation want constant-shape payloads, and the Arrow batch
+    plumbing (binary in, binary out, 1:1) is exercised for real."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if not b:
+                    out.append(b"\x00" * target_bytes)
+                else:
+                    reps = -(-target_bytes // len(b))
+                    out.append((b * reps)[:target_bytes])
+            yield pd.DataFrame({"id": pdf["id"], "resized": out})
+
+    return df.mapInPandas(resize, schema="id long, resized binary")
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """(id, payload) -> one row per sampled 'frame' (id, frame_idx,
     frame binary).  STUB for video frame sampling: slices the payload at

@@ -41,12 +41,18 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# RE2-safe (no lookarounds) so the DuckDB oracle can run the identical
+# pattern: camelCase splits at each capitalized piece, digit runs are
+# their own pieces
+BPE_PIECE_RE = r"[A-Z][a-z]*|[a-z]+|[0-9]+"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: split on word boundaries and digits
-    (a cheap BPE proxy: counts word pieces + punctuation runs)."""
+    """Sub-word-ish token count (a cheap BPE proxy): word pieces =
+    capitalized runs, lowercase runs, digit runs — so ``fooBar2000``
+    counts 3 pieces where whitespace tokenization counts 1."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"(?<=[a-z])(?=[A-Z])|[^A-Za-z0-9]+|(?<=[0-9])(?=[A-Za-z])")
-    return F.size(F.filter(pieces, lambda x: x != F.lit("")))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), 0))
 
 
 def marker_score(col: Column | str, markers: list[str]) -> Column:

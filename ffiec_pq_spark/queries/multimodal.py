@@ -73,6 +73,37 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_resize_stub",
+    """
+    SELECT doc_id,
+           md5(substring(repeat(text,
+                 CAST(ceil(96.0 / greatest(length(text), 1)) AS INTEGER)),
+               1, 96)) AS resized_md5,
+           96 AS n_bytes
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    tags=["multimodal"],
+)
+def multimodal_resize_stub(spark, sf_dir):
+    """The resize/resample mapInPandas stage (operators/multimodal.py:
+    resize_payload) over the documents payloads: every payload becomes
+    exactly 96 bytes (cycle-pad or truncate — the deterministic stand-in
+    for a pixel/sample rescale), hashed for the oracle, which replays
+    the cycle-pad with repeat+substring (ASCII corpus, as with
+    frame-sampling)."""
+    from ffiec_pq_spark.operators.multimodal import binarize, resize_payload
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    resized = resize_payload(binarize(d, "text", "doc_id"), target_bytes=96)
+    return resized.select(
+        F.col("id").alias("doc_id"),
+        F.md5("resized").alias("resized_md5"),
+        F.length("resized").alias("n_bytes"),
+    )
+
+
 _FDIM = 8
 
 

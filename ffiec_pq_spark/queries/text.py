@@ -151,6 +151,41 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOK}) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Z][a-z]*|[a-z]+|[0-9]+'))
+             AS bpe_pieces,
+           round(len(regexp_extract_all(text, '[A-Z][a-z]*|[a-z]+|[0-9]+'))
+                 / greatest(CAST(len({_TOK}) AS DOUBLE), 1.0), 4)
+             AS pieces_per_token
+    FROM documents
+    """,
+    tags=["text", "tokens"],
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """Sub-word (BPE-proxy) token counting next to whitespace counting:
+    pieces = capitalized / lowercase / digit runs (the fertility-style
+    ratio pieces-per-word is the budget metric tokenizer pipelines
+    track).  The piece regex is RE2-safe so the oracle runs the
+    identical pattern."""
+    from ffiec_pq_spark.operators.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = token_count("text")
+    bpe = bpe_ish_token_count("text")
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_pieces"),
+        F.round(bpe / F.greatest(ws.cast("double"), F.lit(1.0)), 4).alias(
+            "pieces_per_token"
+        ),
+    )
+
+
+@register(
     "text_winnow_fingerprints",
     f"""
     WITH g AS (
