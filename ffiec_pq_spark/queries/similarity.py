@@ -82,7 +82,12 @@ def ann_cosine_topk(spark, sf_dir):
 )
 def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup: all pairs >= 0.8 *within a label*
-    (partition pruning turns O(n²) into Σ O(n_label²))."""
+    (partition pruning turns O(n²) into Σ O(n_label²)).
+
+    Exhaustive per label here so the oracle is exact; at 100 TB pass
+    ``max_group_size=``/``dim=`` to reroute hot labels through the
+    multi-probe LSH candidate path instead of all-pairs
+    (tests/test_hardening.py pins that guard's behavior)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_within(emb, part_col="label", threshold=0.8)
 
