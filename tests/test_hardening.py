@@ -144,6 +144,54 @@ def test_side_effectful_queries_idempotent(name, spark, sf_dir):
     assert first == second and first > 0
 
 
+def test_repair_crlf_member_not_mangled():
+    """A WELL-FORMED member with CRLF line endings must pass through the
+    repair path untouched: before the CRLF normalization fix, each line
+    kept a trailing \\r, fix_extra_tabs no longer saw the trailing tab
+    delimiter, and every row got spurious merged-field treatment plus a
+    false 'tab-repair' tag."""
+    from ffiec_pq_spark.sources.tsv import repair_member_text
+
+    rows = [
+        "IDRSSD\tRCON2200\tTEXT4545\t",
+        "ID\tDeposits\tComment\t",
+        "1001\t500\tnote one\t",
+        "1002\t600\tnote two\t",
+    ]
+    crlf_text = "\r\n".join(rows) + "\r\n"
+    repaired, tags = repair_member_text(crlf_text, expected_cols=3)
+    assert tags == []
+    assert repaired == "\n".join(rows) + "\n"
+
+
+def test_repair_crlf_member_with_embedded_newline():
+    """CRLF member where one field contains an embedded newline: the
+    newline-join repair fires, the rows still parse to the expected
+    field count, and no spurious tab repair happens."""
+    from ffiec_pq_spark.sources.tsv import repair_member_text
+
+    text = (
+        "IDRSSD\tRCON2200\tTEXT4545\t\r\n"
+        "ID\tDeposits\tComment\t\r\n"
+        "1001\t500\tnote broken\r\nacross lines\t\r\n"
+        "1002\t600\tfine\t\r\n"
+    )
+    repaired, tags = repair_member_text(text, expected_cols=3)
+    assert tags == ["newline-gsub"]
+    lines = [ln for ln in repaired.split("\n") if ln]
+    assert len(lines) == 4
+    assert lines[2] == "1001\t500\tnote broken across lines\t"
+
+
+def test_fix_extra_tabs_preserves_trailing_delimiter():
+    from ffiec_pq_spark.sources.tsv import fix_extra_tabs
+
+    # well-formed row with trailing tab: untouched
+    assert fix_extra_tabs("1\ta\tb\t", 3) == "1\ta\tb\t"
+    # one stray tab inside the last field: merged with a space
+    assert fix_extra_tabs("1\ta\tb\tc\t", 3) == "1\ta\tb c\t"
+
+
 def test_compact_parquet_dir(spark, tmp_path):
     """Many small files fold into few balanced ones with zero row loss."""
     from ffiec_pq_spark.sources.parquet import compact_parquet_dir
