@@ -268,8 +268,9 @@ def connected_components(
     otherwise, even with caching).
 
     Raises ``RuntimeError`` if the loop exits without converging
-    (diameter > max_iter): partial labels silently merge clusters
-    wrongly, which at production scale is a silent-correctness hazard.
+    (diameter > max_iter): under-propagated labels SPLIT a true
+    component into several reported clusters, which at production scale
+    is a silent-correctness hazard.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))

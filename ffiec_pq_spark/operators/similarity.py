@@ -16,8 +16,28 @@
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_PAIR_IDS = itertools.count()
+
+
+def _threshold_pairs(scored: DataFrame, threshold: float) -> DataFrame:
+    """Filter scored pairs on the raw cosine and project it rounded.
+
+    The raw score is projected as a real column behind an ``observe``
+    fence first: filtering directly on the cosine expression would let
+    Catalyst substitute it into both Filter and Project, evaluating the
+    dot+norm folds twice per surviving pair (no CSE across operators).
+    The fence also emits a free candidate-pair count metric."""
+    fenced = scored.observe(
+        f"cosine_pairs_{next(_PAIR_IDS)}", F.count(F.lit(1)).alias("n_candidates")
+    )
+    return fenced.filter(F.col("_raw") >= threshold).select(
+        "part", "id_a", "id_b", F.round("_raw", 6).alias("score")
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -73,13 +93,15 @@ def _pairs_exact(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
-    raw = cosine(F.col("va"), F.col("vb"))
-    return (
+    scored = (
         a.join(b, "part")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(raw >= threshold)
-        .select("part", "id_a", "id_b", F.round(raw, 6).alias("score"))
+        .select(
+            "part", "id_a", "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("_raw"),
+        )
     )
+    return _threshold_pairs(scored, threshold)
 
 
 def _pairs_lsh(
@@ -127,13 +149,15 @@ def _pairs_lsh(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    raw = cosine(F.col("va"), F.col("vb"))
-    return (
+    scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(raw >= threshold)
-        .select("part", "id_a", "id_b", F.round(raw, 6).alias("score"))
+        .select(
+            "part", "id_a", "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("_raw"),
+        )
     )
+    return _threshold_pairs(scored, threshold)
 
 
 def cosine_pairs_within(

@@ -141,7 +141,9 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-_WINNOW_IDS = __import__("itertools").count()
+import itertools as _itertools
+
+_WINNOW_IDS = _itertools.count()
 
 
 def winnow_fingerprints_df(

@@ -61,12 +61,14 @@ def approx_distinct_users(spark, sf_dir):
         F.countDistinct("user_id").alias("n_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
     )
+    # greatest(n_exact, 1): an all-NULL group has countDistinct 0 and a
+    # bare /n_exact would make the pinned boolean NULL, failing the gate
     return agg.select(
         "event_type",
         "n_exact",
         (
             F.abs(F.col("n_approx") - F.col("n_exact"))
-            / F.col("n_exact")
+            / F.greatest(F.col("n_exact"), F.lit(1))
             <= 0.05
         ).alias("approx_within_5pct"),
     )
@@ -94,14 +96,16 @@ def approx_quantile_check(spark, sf_dir):
         F.percentile("value", F.lit(0.5)).alias("m_exact"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("m_approx"),
     )
+    # mixed bound: relative 1% with an absolute 1e-6 floor, so a group
+    # whose exact median is 0 (or epsilon) can't blow up the division
+    # and flip the pinned boolean
+    tol = F.greatest(0.01 * F.abs(F.col("m_exact")), F.lit(1e-6))
     return agg.select(
         "event_type",
         F.round("m_exact", 4).alias("median_exact"),
-        (
-            F.abs(F.col("m_approx") - F.col("m_exact"))
-            / F.abs(F.col("m_exact"))
-            <= 0.01
-        ).alias("approx_within_1pct"),
+        (F.abs(F.col("m_approx") - F.col("m_exact")) <= tol).alias(
+            "approx_within_1pct"
+        ),
     )
 
 

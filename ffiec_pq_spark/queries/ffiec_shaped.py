@@ -174,6 +174,21 @@ def tz_et_to_utc(spark, sf_dir):
     )
 
 
+_ETL_DEMO_DIR: list[str] = []
+
+
+def _etl_demo_workdir() -> str:
+    if not _ETL_DEMO_DIR:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ffiec_etl_demo_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _ETL_DEMO_DIR.append(d)
+    return _ETL_DEMO_DIR[0]
+
+
 @register(
     "ffiec_etl_end_to_end",
     None,  # the pipeline ingests zips the oracle's pre-registered views
@@ -189,8 +204,6 @@ def ffiec_etl_end_to_end(spark, sf_dir):
     parse with two-phase repair -> full-outer+coalesce combine -> wide
     parquet -> type-partitioned long tables with PK assert), and return
     the float long table."""
-    import tempfile
-
     from ffiec_pq_spark.operators.process import ffiec_process
     from ffiec_pq_spark.testing.fixtures import (
         PURE_COLS,
@@ -198,11 +211,11 @@ def ffiec_etl_end_to_end(spark, sf_dir):
         make_call_zip,
     )
 
-    # FIXED work dir (not mkdtemp): the fixture is deterministic and
-    # every output is an idempotent overwrite, so repeated driver/bench
-    # runs reuse one directory instead of leaking a new tree per run
-    work = os.path.join(tempfile.gettempdir(), "ffiec_etl_demo_cache")
-    os.makedirs(work, exist_ok=True)
+    # ONE work dir per process, removed at interpreter exit: repeated
+    # calls in a session reuse it (no per-run mkdtemp leak), while
+    # concurrent processes / other users never share a path (a fixed
+    # /tmp name would race on the zip and collide across users)
+    work = _etl_demo_workdir()
     zp = make_call_zip(work)
     res = ffiec_process(
         spark, [zp], TYPE_DICT, os.path.join(work, "out"), PURE_COLS

@@ -152,7 +152,10 @@ def fix_item_name_case_col(col, extra: tuple[str, ...] = ()):
     ``regexp_replace`` calls, so the dictionary build carries no Python
     UDF at all (the terms are plan literals; Catalyst folds the chain
     into one generated-code projection)."""
-    c = F.trim(col)
+    # (?U)\s matches Unicode whitespace, mirroring Python str.strip()
+    # (F.trim strips ASCII spaces only — a tab/NBSP-padded name would
+    # dodge the sentence-casing entirely)
+    c = F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
     c = F.concat(
         F.upper(c.substr(F.lit(1), F.lit(1))),
         F.lower(c.substr(F.lit(2), F.length(c))),

@@ -129,8 +129,19 @@ def compact_parquet_dir(
     grows with file count until compaction folds them back to
     target-sized row groups.  Round-robin ``repartition(n)`` (not
     ``coalesce``) so output files are balanced regardless of input
-    skew.  Atomic via write-to-tmp + directory swap; the return dict
-    reports before/after file counts and bytes."""
+    skew.
+
+    The swap is two renames, NOT atomic: a crash between them leaves
+    the data at ``<dir>._compact_old`` (recoverable by hand, nothing
+    lost); stale ``._compact_tmp``/``._compact_old`` leftovers from a
+    crashed run are cleaned up on entry so a retry always succeeds.
+    On an object store / HDFS deployment, use a table format's commit
+    (Iceberg/Delta rewrite) instead of directory renames."""
+    tmp = data_dir.rstrip("/") + "._compact_tmp"
+    old = data_dir.rstrip("/") + "._compact_old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     files = [
         p for p in _glob(os.path.join(data_dir, "*.parquet"))
         if os.path.isfile(p)
@@ -144,9 +155,7 @@ def compact_parquet_dir(
     total = sum(os.path.getsize(p) for p in files)
     n_out = max(min_files, -(-total // target_file_bytes))
     df = spark.read.parquet(*files)
-    tmp = data_dir.rstrip("/") + "._compact_tmp"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    old = data_dir.rstrip("/") + "._compact_old"
     os.rename(data_dir, old)
     os.rename(tmp, data_dir)
     shutil.rmtree(old)

@@ -58,8 +58,13 @@ def build_scaled(spark, base: str, out: str, factor: int) -> None:
 
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
-        src, dst = f"{base}/{t}.parquet", f"{out}/{t}.parquet"
+        # abspath: a relative base would store a relative symlink target
+        # that resolves against the cache dir -> dangling link
+        src = os.path.abspath(f"{base}/{t}.parquet")
+        dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
+            if os.path.islink(dst):
+                os.remove(dst)  # dangling leftover from a relative run
             os.symlink(src, dst)
     for t, keys in FACT_KEYS.items():
         dst = f"{out}/{t}.parquet"

@@ -232,6 +232,10 @@ def test_fix_item_name_case_col_matches_python(spark):
         "puerto rico and federal reserve items",
         "remics and cmos under gaap",
         "mmda accounts (mmdas) in u.s. offices",
+        "\ttotal assets",          # tab padding: F.trim would miss it
+        "total liabilities\n",
+        "  total equity\r",
+        "\xa0nbsp padded name\xa0",  # NBSP: stripped by str.strip()
     ]
     df = spark.createDataFrame([(s,) for s in samples], "name string")
     got = [
