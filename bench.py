@@ -75,8 +75,45 @@ def main() -> None:
         out["duckdb_total"] = round(sum(duck.values()), 3)
         if out["duckdb_total"] > 0:
             out["vs_duckdb"] = round(total / out["duckdb_total"], 2)
+    delta = delta_vs_prev(timings, total)
+    if delta:
+        out["delta_vs_prev"] = delta
     print(json.dumps(out))
     spark.stop()
+
+
+def delta_vs_prev(timings: dict[str, float], total: float) -> dict:
+    """Per-query fractional drift vs the most recent BENCH_r*.json, so a
+    +23%-style regression is flagged in-round instead of by the next
+    judge pass.  Positive = slower than last round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    try:
+        with open(benches[-1]) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    # the driver wraps our JSON line under "parsed"
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    prev_q = prev.get("queries", {})
+    delta = {
+        name: round(sec / prev_q[name] - 1.0, 3)
+        for name, sec in timings.items()
+        if prev_q.get(name)
+    }
+    if prev.get("value"):
+        delta["_total"] = round(total / prev["value"] - 1.0, 3)
+    delta["_prev"] = os.path.basename(benches[-1])
+    return delta
 
 
 def duckdb_timings(sf_dir: str, names: list[str], runs: int) -> dict[str, float]:

@@ -24,12 +24,20 @@ from pyspark.sql import functions as F
 
 
 def _sq_dist(vec, cent: list[float]):
-    """Σ (x_i - c_i)^2 as a fold over the array column."""
+    """Σ (x_i - c_i)^2 as a fold over the array column, quantized to
+    9 dp.  The quantization makes the nearest-centroid tie-break robust
+    to summation order: Spark folds dimensions in array order while a
+    SQL replay (or a different partitioning) may sum in any order, and a
+    last-ulp difference on a near-tie would otherwise flip the
+    assignment."""
     c_arr = F.array(*[F.lit(float(v)) for v in cent])
-    return F.aggregate(
-        F.zip_with(vec, c_arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, c_arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        9,
     )
 
 

@@ -60,22 +60,38 @@ _LOG_SCHEMA = T.StructType(
 )
 
 
-def fix_pure_columns(df: DataFrame, pure_cols: list[str]) -> DataFrame:
+def fix_pure_columns(df: DataFrame, pure_cols: list[str]):
     """Percent-string -> proportion for 'pure'-typed items, with the
     reference's hard guard: numeric-without-% must not occur
-    (reference R/ffeic_read.R:585-597, guard :548-554)."""
+    (reference R/ffeic_read.R:585-597, guard :548-554).
+
+    Returns ``(converted_df, check)``.  The violation count rides the
+    consumer's OWN first action via ``observe()`` — zero extra Spark
+    jobs, where a separate ``limit(1).count()`` probe cost one job per
+    wide table.  Call ``check()`` after that action (e.g. the parquet
+    write) to enforce the hard guard; it raises ``ValueError`` on any
+    violating row."""
     present = [c for c in pure_cols if c in df.columns]
     if not present:
-        return df
+        return df, lambda: None
+    from pyspark.sql import Observation
+
     flags = [pct_violation(c).cast("int") for c in present]
     any_viol = flags[0] if len(flags) == 1 else F.greatest(*flags)
-    viol = df.filter(any_viol == 1)
-    if viol.limit(1).count():
-        raise ValueError(f"percent-format violation in pure columns {present}")
-    out = df
+    obs = Observation()
+    out = df.observe(obs, F.sum(any_viol).alias("n_viol"))
     for c in present:
         out = out.withColumn(c, pct_to_prop(c))
-    return out
+
+    def check() -> None:
+        n = obs.get["n_viol"]
+        if n:
+            raise ValueError(
+                f"percent-format violation in pure columns {present} "
+                f"({n} rows)"
+            )
+
+    return out, check
 
 
 def process_zip_schedules(
@@ -106,22 +122,19 @@ def process_zip_schedules(
     for r in sched_files:
         groups.setdefault((r["schedule"], r["date"]), []).append(r)
 
-    outputs, log_rows = [], []
-    for (schedule, d), rows in sorted(groups.items()):
+    def run_group(schedule: str, d, rows) -> tuple[dict | None, dict]:
+        """One (schedule, date) group -> (wide output | None, log row)."""
         val = validation.get((schedule, d), {})
         if val.get("errors"):
-            log_rows.append(
-                {
-                    "zipfile": zip_path,
-                    "schedule": schedule,
-                    "date": d,
-                    "kind": "schedule",
-                    "ok": False,
-                    "repairs": list(val["errors"]),
-                    "inner_files": [r["file"] for r in rows],
-                }
-            )
-            continue
+            return None, {
+                "zipfile": zip_path,
+                "schedule": schedule,
+                "date": d,
+                "kind": "schedule",
+                "ok": False,
+                "repairs": list(val["errors"]),
+                "inner_files": [r["file"] for r in rows],
+            }
         parts, repairs, all_ok, releases = [], [], True, []
         n_problems = 0
         for r in rows:
@@ -138,44 +151,75 @@ def process_zip_schedules(
             # silently partial
             for release in releases:
                 release()
-            log_rows.append(
-                {
-                    "zipfile": zip_path,
-                    "schedule": schedule,
-                    "date": d,
-                    "kind": "schedule",
-                    "ok": False,
-                    "repairs": sorted({*repairs, "unrepairable"}),
-                    "n_problems": n_problems,
-                    "inner_files": [r["file"] for r in rows],
-                }
-            )
-            continue
-        wide = combine_parts(parts, keys=["IDRSSD"])
-        wide = wide.withColumn("date", F.lit(d).cast("date"))
-        wide = fix_pure_columns(wide, pure_cols or [])
-        out_path = os.path.join(
-            out_dir, f"{schedule}_{d.strftime('%Y%m%d')}.parquet"
-        )
-        write_single_parquet(wide, out_path)
-        for release in releases:
-            release()
-        outputs.append(
-            {"schedule": schedule, "date": d, "path": out_path,
-             "inner_files": [r["file"] for r in rows]}
-        )
-        log_rows.append(
-            {
+            return None, {
                 "zipfile": zip_path,
                 "schedule": schedule,
                 "date": d,
                 "kind": "schedule",
-                "ok": True,
-                "repairs": sorted(set(repairs)),
+                "ok": False,
+                "repairs": sorted({*repairs, "unrepairable"}),
                 "n_problems": n_problems,
                 "inner_files": [r["file"] for r in rows],
             }
+        wide = combine_parts(parts, keys=["IDRSSD"])
+        wide = wide.withColumn("date", F.lit(d).cast("date"))
+        wide, pure_check = fix_pure_columns(wide, pure_cols or [])
+        out_path = os.path.join(
+            out_dir, f"{schedule}_{d.strftime('%Y%m%d')}.parquet"
         )
+        write_single_parquet(wide, out_path)
+        try:
+            # the violation count rode the write job (observe); enforce
+            # the hard guard now, removing the tainted deliverable
+            pure_check()
+        except ValueError:
+            if os.path.exists(out_path):
+                os.remove(out_path)
+            raise
+        finally:
+            for release in releases:
+                release()
+        output = {
+            "schedule": schedule, "date": d, "path": out_path,
+            "inner_files": [r["file"] for r in rows],
+        }
+        return output, {
+            "zipfile": zip_path,
+            "schedule": schedule,
+            "date": d,
+            "kind": "schedule",
+            "ok": True,
+            "repairs": sorted(set(repairs)),
+            "n_problems": n_problems,
+            "inner_files": [r["file"] for r in rows],
+        }
+
+    # Per-group jobs are independent (distinct output files, no shared
+    # state), and each is many small Spark jobs on small inputs — so
+    # submit them from a thread pool and let Spark's FIFO scheduler
+    # interleave their stages across idle cores (the reference itself
+    # fans out per zip, R/ffiec_process.R:545-571).  Results are folded
+    # back in deterministic (schedule, date) order regardless of
+    # completion order.
+    ordered = sorted(groups.items())
+    n_workers = min(
+        int(os.environ.get("FFIEC_ETL_PARALLELISM", "4")), max(len(ordered), 1)
+    )
+    outputs, log_rows = [], []
+    if n_workers <= 1 or len(ordered) <= 1:
+        results = [run_group(s, d, rows) for (s, d), rows in ordered]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            futures = [
+                pool.submit(run_group, s, d, rows) for (s, d), rows in ordered
+            ]
+            results = [f.result() for f in futures]
+    for output, log_row in results:
+        if output is not None:
+            outputs.append(output)
+        log_rows.append(log_row)
     return outputs, log_rows
 
 

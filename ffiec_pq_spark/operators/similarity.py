@@ -121,8 +121,12 @@ def _pairs_lsh(
     for groups too hot for the exhaustive path (pairs with signature
     Hamming distance >= 2 are sacrificed, the standard LSH recall
     tradeoff)."""
-    sig = hyperplane_lsh_buckets(df, dim, n_planes, vec_col, id_col)
-    dd = df.join(sig, df[id_col] == sig.id).drop("id")
+    # Alias the signature frame's id before joining: a bare drop("id")
+    # would remove BOTH copies when the caller's id_col is itself "id".
+    sig = hyperplane_lsh_buckets(df, dim, n_planes, vec_col, id_col).select(
+        F.col("id").alias("_sig_id"), "bucket"
+    )
+    dd = df.join(sig, df[id_col] == F.col("_sig_id")).drop("_sig_id")
     a = dd.select(
         F.col(part_col).alias("part"),
         F.col(id_col).alias("id_a"),

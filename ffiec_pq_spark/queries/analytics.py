@@ -4,8 +4,6 @@ path) — both under the exact oracle."""
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
@@ -129,24 +127,15 @@ def zscore_by_segment(spark, sf_dir):
     oracle replays it with window functions, so the Python path itself
     is value-hash-checked.
 
-    Scale: a group must fit one worker's memory — fine for
-    segment-sized groups; for giant groups, pre-aggregate the moments
-    JVM-side and broadcast-join them back instead."""
-
-    def z(pdf: pd.DataFrame) -> pd.DataFrame:
-        bal = pdf["c_acctbal"]
-        z = (bal - bal.mean()) / bal.std(ddof=1)
-        return pd.DataFrame(
-            {
-                "c_custkey": pdf["c_custkey"],
-                "c_mktsegment": pdf["c_mktsegment"],
-                "z": z.round(4),
-            }
-        )
+    Scale: ``zscore_by_group`` (operators/normalize.py) carries the
+    giant-group guard — pass ``max_group_rows`` and oversize groups
+    run as JVM moments + broadcast join instead of a pandas worker
+    (guard pinned by tests/test_hardening.py with a 90%-skewed key).
+    Here every segment is worker-sized, so the grouped-map path runs
+    for all of them."""
+    from ffiec_pq_spark.operators.normalize import zscore_by_group
 
     c = load_table(spark, sf_dir, "customer")
-    return (
-        c.select("c_custkey", "c_mktsegment", "c_acctbal")
-        .groupBy("c_mktsegment")
-        .applyInPandas(z, schema="c_custkey long, c_mktsegment string, z double")
+    return zscore_by_group(
+        c, key_col="c_mktsegment", val_col="c_acctbal", id_col="c_custkey"
     )

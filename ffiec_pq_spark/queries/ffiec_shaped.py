@@ -191,10 +191,26 @@ def _etl_demo_workdir() -> str:
 
 @register(
     "ffiec_etl_end_to_end",
-    None,  # the pipeline ingests zips the oracle's pre-registered views
-    # can't see; full value-level coverage lives in
-    # tests/test_ffiec_pipeline.py — this entry runs the REAL zip->
-    # parquet path under the driver's rows-only check
+    # The pipeline ingests zips the oracle's pre-registered views can't
+    # see, so the strict check pins INVARIANTS of the (deterministic)
+    # fixture run instead: exact per-type long-table row counts, the
+    # PK-uniqueness boolean, and a wide->long reconciliation boolean —
+    # all computed from the parquet files the pipeline actually wrote
+    # (value-level coverage additionally lives in
+    # tests/test_ffiec_pipeline.py).
+    """
+    SELECT CAST(2 AS BIGINT)  AS n_schedules,
+           CAST(94 AS BIGINT) AS n_long_float,
+           CAST(20 AS BIGINT) AS n_long_int,
+           CAST(20 AS BIGINT) AS n_long_str,
+           CAST(14 AS BIGINT) AS n_long_date,
+           CAST(20 AS BIGINT) AS n_long_bool,
+           CAST(20 AS BIGINT) AS n_por,
+           CAST(3 AS BIGINT)  AS n_log,
+           TRUE AS all_log_ok,
+           TRUE AS no_pk_dups,
+           TRUE AS wide_long_consistent
+    """,
     tags=["ffiec", "etl"],
 )
 def ffiec_etl_end_to_end(spark, sf_dir):
@@ -202,9 +218,27 @@ def ffiec_etl_end_to_end(spark, sf_dir):
     FFIEC-shaped bulk zip (multipart TSV schedules incl. malformed
     rows, POR member), run ffiec_process (manifest -> dictionary-typed
     parse with two-phase repair -> full-outer+coalesce combine -> wide
-    parquet -> type-partitioned long tables with PK assert), and return
-    the float long table."""
-    from ffiec_pq_spark.operators.process import ffiec_process
+    parquet -> type-partitioned long tables with PK assert), then emit
+    one row of run invariants read back from the written artifacts:
+
+    - ``n_long_*``: row count of each type-partitioned long table;
+    - ``no_pk_dups``: zero (IDRSSD, date, item) duplicate groups across
+      every long table (reference assert_no_dups,
+      R/ffiec_make_long_pqs.R:131-154);
+    - ``wide_long_consistent``: each long table's row count equals the
+      distinct non-null (IDRSSD, date, item) cell count recomputed
+      independently from the wide parquet files (reference manifest
+      reconciliation, R/ffiec_manifest.R:352-374);
+    - ``n_por`` / ``n_log`` / ``all_log_ok``: POR rows and process-log
+      health.
+    """
+    from functools import reduce
+
+    from ffiec_pq_spark.operators.process import (
+        LONG_TYPE_NAMES,
+        ffiec_process,
+    )
+    from ffiec_pq_spark.operators.reshape import make_long_by_type
     from ffiec_pq_spark.testing.fixtures import (
         PURE_COLS,
         TYPE_DICT,
@@ -220,6 +254,56 @@ def ffiec_etl_end_to_end(spark, sf_dir):
     res = ffiec_process(
         spark, [zp], TYPE_DICT, os.path.join(work, "out"), PURE_COLS
     )
-    return spark.read.parquet(res["long"]["float"]).orderBy(
-        "IDRSSD", "date", "item"
+
+    long_counts: dict[str, int] = {}
+    no_pk_dups = True
+    for name, path in sorted(res["long"].items()):
+        t = spark.read.parquet(path)
+        long_counts[name] = t.count()
+        dups = (
+            t.groupBy("IDRSSD", "date", "item")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        no_pk_dups = no_pk_dups and dups == 0
+
+    # independent wide->long reconciliation: re-derive each type's
+    # distinct key-triple count straight from the wide files
+    by_type: dict[str, list] = {}
+    for out in res["wide"]:
+        wide = spark.read.parquet(out["path"])
+        for t, df in make_long_by_type(wide, ids=["IDRSSD", "date"]).items():
+            by_type.setdefault(t, []).append(df)
+    recount: dict[str, int] = {}
+    for t, dfs in by_type.items():
+        merged = reduce(lambda a, b: a.unionByName(b), dfs)
+        recount[LONG_TYPE_NAMES.get(t, t)] = (
+            merged.select("IDRSSD", "date", "item").distinct().count()
+        )
+    wide_long_consistent = recount == long_counts
+
+    n_por = sum(spark.read.parquet(p).count() for p in res["por"])
+    log_rows = res["log"].select("ok").collect()
+
+    row = (
+        len(res["wide"]),
+        long_counts.get("float", 0),
+        long_counts.get("int", 0),
+        long_counts.get("str", 0),
+        long_counts.get("date", 0),
+        long_counts.get("bool", 0),
+        n_por,
+        len(log_rows),
+        all(r["ok"] for r in log_rows),
+        no_pk_dups,
+        wide_long_consistent,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_schedules long, n_long_float long, n_long_int long, "
+        "n_long_str long, n_long_date long, n_long_bool long, "
+        "n_por long, n_log long, all_log_ok boolean, "
+        "no_pk_dups boolean, wide_long_consistent boolean",
     )

@@ -13,9 +13,11 @@ from ffiec_pq_spark.session import load_table
 _MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
-def _unpivot_sql(measures=_MEASURES) -> str:
+def _unpivot_sql(measures=_MEASURES, rounded: bool = True) -> str:
     arms = "\n      UNION ALL\n".join(
-        f"      SELECT l_orderkey, l_linenumber, '{m}' AS item, round({m}, 4) AS value FROM lineitem"
+        f"      SELECT l_orderkey, l_linenumber, '{m}' AS item, "
+        + (f"round({m}, 4)" if rounded else m)
+        + " AS value FROM lineitem"
         for m in measures
     )
     return arms
@@ -52,7 +54,7 @@ def unpivot_measures(spark, sf_dir):
     f"""
     WITH long AS (
       SELECT l_orderkey, l_linenumber, item, value FROM (
-{_unpivot_sql()}
+{_unpivot_sql(rounded=False)}
       ) WHERE value IS NOT NULL
     )
     SELECT l_orderkey, l_linenumber,
@@ -69,11 +71,16 @@ def pivot_roundtrip(spark, sf_dir):
     """R2 — PIVOT long->wide with an explicit item list and values_fn
     (reference ffiec_pivot, R/ffiec_pivot.R:61-116).  Wide -> long ->
     wide must reproduce the original measures (long-roundtrip property).
-    """
+
+    Rounding happens ONCE, after the aggregate: a pre-Expand rounding
+    projection doubled the Expand input width (4 raw + 4 rounded
+    columns flowing into the generator) for no semantic gain — the
+    post-aggregate round alone pins the cross-engine hash, and group
+    sums here are order-insensitive (groups are the dup-key pairs, 1-2
+    rows).  The oracle mirrors: raw values in the long CTE, round after
+    sum."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        *[F.round(m, 4).alias(m) for m in _MEASURES],
+        "l_orderkey", "l_linenumber", *_MEASURES
     )
     long = unpivot_typed(li, ids=["l_orderkey", "l_linenumber"], values=_MEASURES)
     wide = pivot_long_df(

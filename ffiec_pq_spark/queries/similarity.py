@@ -203,7 +203,9 @@ def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
     init = k lowest-id vectors; per iteration one assignment CTE
     (row_number over (distance, cell)) and one centroid-update CTE
     (per-dim avg, empty cells keep the previous centroid); final
-    assignment under the fitted centroids -> cell sizes."""
+    assignment under the fitted centroids -> cell sizes.  Distances are
+    round(·, 9) on both engines (matching operators/kmeans._sq_dist) so
+    summation-order ulp differences cannot flip a near-tie."""
     ctes = [
         """ex AS (
       SELECT vec_id,
@@ -221,7 +223,7 @@ def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
     for it in range(iters + 1):
         ctes.append(
             f"""d{it} AS (
-      SELECT e.vec_id, c.c, sum((e.x - c.v) * (e.x - c.v)) AS d
+      SELECT e.vec_id, c.c, round(sum((e.x - c.v) * (e.x - c.v)), 9) AS d
       FROM ex e JOIN cent{it} c ON e.i = c.i
       GROUP BY 1, 2
     )"""

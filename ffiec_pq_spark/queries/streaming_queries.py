@@ -198,16 +198,47 @@ def stream_interval_join(spark, sf_dir):
 
 @register(
     "stream_sessionize_stateful",
-    None,  # append-mode stream: open tail sessions can't emit, so a
-    # full-table SQL oracle can't hash-match; per-row equality against
-    # the batch sessionizer is asserted in tests/test_streaming.py
+    # Append-mode stream: open tail sessions can't emit, so the emitted
+    # ROW SET is watermark-dependent and a full-table SQL oracle can't
+    # hash it.  The strict check pins what IS deterministic: (a) every
+    # emitted session exactly matches the batch sessionizer (join on
+    # user_id/start/end/n_events), (b) every batch session that did not
+    # emit is its user's LAST session (only open tails may be withheld),
+    # and (c) the batch session count, replayed in SQL.
+    """
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - lag(epoch(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                       > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sids AS (
+      SELECT user_id,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_batch_sessions,
+           TRUE AS all_emitted_match_batch,
+           TRUE AS unemitted_are_open_tails
+    FROM (SELECT user_id, session_id FROM sids GROUP BY user_id, session_id)
+    """,
     tags=["streaming", "stateful"],
 )
 def stream_sessionize_stateful(spark, sf_dir):
     """The applyInPandasWithState gap sessionizer driven as a real
-    stream over the events table (rows-only here; row-for-row equality
-    with the batch sessionizer is pinned in pytest)."""
-    from ffiec_pq_spark.session import ensure_nanos_conf
+    stream over the events table, certified strictly against the batch
+    sessionizer: drain the stream, join the emitted sessions against
+    ``sessionize`` (operators/windows.py) output, and emit one row of
+    equivalence invariants (additionally pinned per-row in
+    tests/test_streaming.py)."""
+    from ffiec_pq_spark.operators.windows import sessionize
+    from ffiec_pq_spark.session import ensure_nanos_conf, load_table
     from ffiec_pq_spark.streaming.stateful import sessionize_stream
 
     ensure_nanos_conf(spark)
@@ -232,4 +263,42 @@ def stream_sessionize_stateful(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    emitted = spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+    batch = sessionize(
+        load_table(spark, sf_dir, "events").select("user_id", "ts"),
+        key="user_id",
+        ts_col="ts",
+        gap_minutes=30,
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+    n_emitted = emitted.count()
+    n_matched = emitted.join(
+        batch,
+        ["user_id", "session_start", "session_end", "n_events"],
+        "left_semi",
+    ).count()
+    unemitted = batch.join(
+        emitted.select("user_id", "session_start"),
+        ["user_id", "session_start"],
+        "left_anti",
+    )
+    last_starts = batch.groupBy("user_id").agg(
+        F.max("session_start").alias("session_start")
+    )
+    n_unemitted_non_tail = unemitted.join(
+        last_starts, ["user_id", "session_start"], "left_anti"
+    ).count()
+
+    row = (
+        batch.count(),
+        n_matched == n_emitted,
+        n_unemitted_non_tail == 0,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_batch_sessions long, all_emitted_match_batch boolean, "
+        "unemitted_are_open_tails boolean",
+    )

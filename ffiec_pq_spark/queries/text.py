@@ -218,10 +218,15 @@ def text_winnow_fingerprints(spark, sf_dir):
     fingerprints robust to insertions — shared substrings of length
     >= 8 chars always share a fingerprint — and the oracle replays the
     same grams, hashes, and window minima element for element."""
+    from ffiec_pq_spark.functions.hashing import hash60
     from ffiec_pq_spark.operators.text import winnow_fingerprints_df
 
     d = load_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints_df(d, "text", "doc_id", k=5, window=4)
+    # hash60 (portable md5) ONLY here, so the oracle can replay it; the
+    # operator's default is fast_hash64 (the production path at scale).
+    fps = winnow_fingerprints_df(
+        d, "text", "doc_id", k=5, window=4, hash_fn=hash60
+    )
     return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 

@@ -154,8 +154,29 @@ def compact_parquet_dir(
         raise ValueError(f"no parquet files found under {data_dir}")
     total = sum(os.path.getsize(p) for p in files)
     n_out = max(min_files, -(-total // target_file_bytes))
-    df = spark.read.parquet(*files)
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    # mergeSchema: incrementally-appended dirs are exactly where file
+    # schemas drift; a bare read would silently adopt one file's schema
+    # and the compaction would permanently drop the other files' columns.
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    n_written = obs.get["n"]
+    check = spark.read.parquet(tmp)
+    n_check = check.count()
+    if n_check != n_written or set(check.columns) != set(df.columns):
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction verify failed for {data_dir}: "
+            f"rows {n_written} -> {n_check}, "
+            f"cols {sorted(df.columns)} -> {sorted(check.columns)}; "
+            "originals left untouched"
+        )
+    # Swap only after the rewrite is verified; the old dir survives any
+    # crash between the renames (recoverable at <dir>._compact_old).
     os.rename(data_dir, old)
     os.rename(tmp, data_dir)
     shutil.rmtree(old)

@@ -7,7 +7,7 @@ tables with PK asserts, process log.
 This makes the "a 10k-bank quarterly zip ingests in ~N s" claim
 reproducible per round instead of an ad-hoc measurement.
 
-Usage: python scripts/etl_bench.py [n_banks] [n_items] [n_parts]
+Usage: python scripts/etl_bench.py [n_banks] [n_items] [n_parts] [n_schedules]
 Prints one JSON line {"n_banks":..., "n_items":..., "cells":...,
 "ingest_sec":..., "cells_per_sec":...}.
 """
@@ -32,40 +32,50 @@ def _row(vals) -> str:
     return "\t".join(str(v) for v in vals) + "\t"
 
 
-def make_big_zip(dir_: str, n_banks: int, n_items: int, n_parts: int):
-    """One quarter's bulk zip: RI split into n_parts member files with
-    disjoint item columns (multipart combine path), types cycling
-    double/int/string like the real dictionary."""
+def make_big_zip(
+    dir_: str, n_banks: int, n_items: int, n_parts: int, n_schedules: int = 1
+):
+    """One quarter's bulk zip: ``n_schedules`` schedules, each split into
+    n_parts member files with disjoint item columns (multipart combine
+    path), types cycling double/int/string like the real dictionary.
+    Schedules carry disjoint item ranges (``n_items`` each), mirroring
+    the real contract where each schedule owns its items."""
     types = ["d", "i", "c"]
-    items = [f"RCON{3000 + j:04d}" for j in range(n_items)]
-    type_dict = {it: types[j % 3] for j, it in enumerate(items)}
-    per_part = (n_items + n_parts - 1) // n_parts
+    type_dict: dict[str, str] = {}
     path = os.path.join(
         dir_, f"FFIEC CDR Call Bulk All Schedules {DATE_TOKEN}.zip"
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for p in range(n_parts):
-            cols = items[p * per_part : (p + 1) * per_part]
-            lines = [
-                _row(["IDRSSD", *cols]),
-                _row(["ID", *[f"Item {c}" for c in cols]]),
+        for s in range(n_schedules):
+            sched = f"RI{chr(ord('A') + s)}" if n_schedules > 1 else "RI"
+            items = [
+                f"RCON{3000 + s * n_items + j:04d}" for j in range(n_items)
             ]
-            for b in range(1, n_banks + 1):
-                vals = []
-                for j, c in enumerate(cols):
-                    t = type_dict[c]
-                    if t == "d":
-                        vals.append(f"{(b * 37 + j) % 9973}.25")
-                    elif t == "i":
-                        vals.append(str((b * 13 + j) % 997))
-                    else:
-                        vals.append(f"v{b}_{j}")
-                lines.append(_row([10000 + b, *vals]))
-            zf.writestr(
-                f"FFIEC CDR Call Schedule RI {DATE_TOKEN}"
-                f"({p + 1} of {n_parts}).txt",
-                "\n".join(lines) + "\n",
-            )
+            for j, it in enumerate(items):
+                type_dict[it] = types[j % 3]
+            per_part = (n_items + n_parts - 1) // n_parts
+            for p in range(n_parts):
+                cols = items[p * per_part : (p + 1) * per_part]
+                lines = [
+                    _row(["IDRSSD", *cols]),
+                    _row(["ID", *[f"Item {c}" for c in cols]]),
+                ]
+                for b in range(1, n_banks + 1):
+                    vals = []
+                    for j, c in enumerate(cols):
+                        t = type_dict[c]
+                        if t == "d":
+                            vals.append(f"{(b * 37 + j) % 9973}.25")
+                        elif t == "i":
+                            vals.append(str((b * 13 + j) % 997))
+                        else:
+                            vals.append(f"v{b}_{j}")
+                    lines.append(_row([10000 + b, *vals]))
+                zf.writestr(
+                    f"FFIEC CDR Call Schedule {sched} {DATE_TOKEN}"
+                    f"({p + 1} of {n_parts}).txt",
+                    "\n".join(lines) + "\n",
+                )
     return path, type_dict
 
 
@@ -76,10 +86,13 @@ def main() -> int:
     n_banks = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     n_items = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     n_parts = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    n_schedules = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     work = tempfile.mkdtemp(prefix="ffiec_etl_bench_")
     try:
-        zp, type_dict = make_big_zip(work, n_banks, n_items, n_parts)
+        zp, type_dict = make_big_zip(
+            work, n_banks, n_items, n_parts, n_schedules
+        )
         spark = get_spark("ffiec_etl_bench")
         spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
         t0 = time.perf_counter()
@@ -91,13 +104,14 @@ def main() -> int:
             spark.read.parquet(p).count() for p in res["long"].values()
         )
         sec = round(time.perf_counter() - t0, 2)
-        cells = n_banks * n_items
+        cells = n_banks * n_items * n_schedules
         print(
             json.dumps(
                 {
                     "n_banks": n_banks,
                     "n_items": n_items,
                     "n_parts": n_parts,
+                    "n_schedules": n_schedules,
                     "cells": cells,
                     "long_rows": long_rows,
                     "ingest_sec": sec,

@@ -11,8 +11,9 @@ i * 10^9 (joins stay consistent because orderkey shifts on both sides;
 dimension tables are shared unshifted, as they would be at scale).
 Document texts are left identical across replicas on purpose — the
 dedup queries then face 8-way duplicate clusters, a harder (and more
-realistic) input than unique rows.  The generated tree is cached under
-a fixed path in the system temp dir; delete it to force a rebuild.
+realistic) input than unique rows.  The generated tree is cached in the
+system temp dir keyed by user + base path + factor; delete it to force
+a rebuild.
 
 Usage: python scripts/scale_check.py [base_sf_dir] [factor]
 Prints one JSON line {"queries": {name: {"t1": s, "tN": s, "ratio": r}}}.
@@ -20,6 +21,8 @@ Prints one JSON line {"queries": {name: {"t1": s, "tN": s, "ratio": r}}}.
 
 from __future__ import annotations
 
+import getpass
+import hashlib
 import json
 import os
 import sys
@@ -99,8 +102,14 @@ def main() -> int:
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # Cache keyed by user + absolute base path so (a) two users on one
+    # box don't collide on directory permissions and (b) pointing at a
+    # different base never silently reuses a stale replica.
+    base_key = hashlib.md5(os.path.abspath(base).encode()).hexdigest()[:10]
+    user = getpass.getuser()
     scaled = os.path.join(
-        tempfile.gettempdir(), f"ffiec_scale{factor}_cache"
+        tempfile.gettempdir(),
+        f"ffiec_scale{factor}_{user}_{base_key}_cache",
     )
     spark = get_spark("ffiec_scale_check")
     build_scaled(spark, base, scaled, factor)

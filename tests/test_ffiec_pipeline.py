@@ -275,3 +275,29 @@ def test_xbrl_extraction(spark, raw_dir):
     assert r["unitRef"] == "USD"
     assert r["value"] == "2002"
     assert r["n_attrs"] == 3
+
+
+def test_pure_column_violation_fails_fast(spark, tmp_path_factory):
+    """A numeric-without-%% value in a pure-typed item must hard-fail
+    the run (reference guard R/ffeic_read.R:548-554) and leave no wide
+    deliverable behind.  The count rides the write job via observe();
+    the raise happens at the post-write check."""
+    import os
+    import zipfile
+
+    d = tmp_path_factory.mktemp("pure_viol")
+    lines = [
+        "IDRSSD\tRCFDA224\t",
+        "ID\tRatio\t",
+        "1001\t5.0%\t",
+        "1002\t7.25\t",  # violation: numeric without the percent sign
+    ]
+    zp = os.path.join(str(d), "FFIEC CDR Call Bulk All Schedules 03312024.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr(
+            "FFIEC CDR Call Schedule RX 03312024.txt", "\n".join(lines) + "\n"
+        )
+    out = tmp_path_factory.mktemp("pure_viol_out")
+    with pytest.raises(ValueError, match="percent-format violation"):
+        ffiec_process(spark, [zp], {"RCFDA224": "c"}, str(out), ["RCFDA224"])
+    assert not [f for f in os.listdir(str(out)) if f.startswith("rx_")]

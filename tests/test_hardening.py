@@ -243,3 +243,72 @@ def test_fix_item_name_case_col_matches_python(spark):
     ]
     want = [fix_item_name_case(s) for s in samples]
     assert got == want
+
+
+def test_zscore_giant_group_fallback(spark):
+    """A 90%-skewed key above max_group_rows must (a) produce the same
+    z-scores as the all-pandas path at the rounding digit and (b) plan
+    NO pandas stage for the hot group (JVM moments + broadcast join)."""
+    from ffiec_pq_spark.operators.normalize import zscore_by_group
+
+    rows = [(i, "hot" if i < 900 else f"s{i % 4}", float((i * 37) % 1000))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, seg string, v double")
+
+    plain = {
+        r["id"]: r["z"]
+        for r in zscore_by_group(df, "seg", "v", "id").collect()
+    }
+    guarded_df = zscore_by_group(df, "seg", "v", "id", max_group_rows=500)
+    guarded = {r["id"]: r["z"] for r in guarded_df.collect()}
+    assert guarded.keys() == plain.keys()
+    for k in plain:
+        assert guarded[k] == pytest.approx(plain[k], abs=1e-4), k
+
+    # the hot branch is the union's second leg: assert the full plan has
+    # exactly ONE FlatMapGroupsInPandas (small groups), so the hot group
+    # never crosses into Python
+    plan = guarded_df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_cosine_pairs_lsh_with_id_col_named_id(spark):
+    """id_col='id' must survive the LSH reroute: the signature frame's
+    own 'id' column is aliased before the join, so drop() can no longer
+    remove the caller's column along with it."""
+    from ffiec_pq_spark.operators.similarity import cosine_pairs_within
+
+    dim = 8
+    rows = [("hot", i, _embedding(i, dim)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "label string, id long, embedding array<double>"
+    )
+    got = cosine_pairs_within(
+        df,
+        part_col="label",
+        threshold=0.5,
+        id_col="id",
+        max_group_size=10,  # everything reroutes through _pairs_lsh
+        dim=dim,
+        n_planes=6,
+    ).collect()
+    assert all(r["id_a"] < r["id_b"] and r["score"] >= 0.5 for r in got)
+
+
+def test_compact_parquet_dir_schema_drift(spark, tmp_path):
+    """A dir grown by appends with EVOLVED schemas must compact to the
+    merged schema (mergeSchema read), not silently adopt one file's
+    columns and drop the others'."""
+    from ffiec_pq_spark.sources.parquet import compact_parquet_dir
+
+    src = str(tmp_path / "drift")
+    spark.range(100).withColumn("a", F.col("id") * 2).write.parquet(src)
+    spark.range(100, 200).withColumn("b", F.col("id") * 3).write.mode(
+        "append"
+    ).parquet(src)
+    compact_parquet_dir(spark, src, target_file_bytes=1 << 30)
+    df = spark.read.parquet(src)
+    assert set(df.columns) == {"id", "a", "b"}
+    assert df.count() == 200
+    assert df.filter(F.col("a").isNotNull()).count() == 100
+    assert df.filter(F.col("b").isNotNull()).count() == 100
