@@ -119,6 +119,50 @@ def jaccard_pairs(
     return _project_jaccard(inter.join(sa, "id_a").join(sb, "id_b"), threshold)
 
 
+def contamination_overlap(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Eval-set decontamination probe: for every eval document sharing at
+    least one word-``k``-gram with the training corpus, emit
+    ``(eval_id, n_train_docs, n_shared_shingles)`` — the benchmark-leak
+    report every LLM training pipeline runs before a data release.
+
+    Plan: explode distinct shingles on both sides, drop shingles whose
+    TRAIN document frequency exceeds ``max_shingle_df`` (ubiquitous
+    n-grams carry no contamination signal and are exactly the skewed
+    join keys that would degenerate the equi-join at corpus scale —
+    same df-cap as :func:`jaccard_pairs`), equi-join on the shingle,
+    aggregate per eval doc.  One join shuffle + two grouped
+    aggregations; the hot-key cap bounds the worst join fan-out."""
+    ev = doc_shingles(eval_df, text_col, id_col, k).select(
+        F.col("id").alias("eval_id"), "shingle"
+    )
+    tr = doc_shingles(train_df, text_col, id_col, k).select(
+        F.col("id").alias("train_id"), "shingle"
+    )
+    if max_shingle_df is not None:
+        keep = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        tr = tr.join(keep, "shingle")
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("train_id").alias("n_train_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )
+
+
 def _project_jaccard(joined: DataFrame, threshold: float) -> DataFrame:
     """(id_a, id_b, jaccard rounded 6dp), filtered on the UNROUNDED ratio
     so the gate matches an oracle's ``WHERE raw >= t`` exactly (a raw

@@ -64,3 +64,33 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
         ).otherwise(expr)
     return df.filter(h < expr)
+
+
+def balanced_sample(
+    df: DataFrame, key_col: str, strata_col: str, seed: int = 0
+) -> DataFrame:
+    """Class-balanced downsample: every stratum is hash-gate-sampled at
+    ``min_stratum_count / stratum_count``, so the dominant classes fall
+    to (approximately) the rarest one's size — the training-data
+    rebalancing pass, fully deterministic and engine-portable.
+
+    Two aggregations (stratum counts + global min), both tiny; the
+    per-row gate is a broadcast join + narrow filter, so the data-sized
+    path stays one scan with no shuffle.  The gate threshold uses pure
+    INTEGER arithmetic (``min_count * BUCKETS div count``) so an SQL
+    replay computes the identical bucket cutoff with no FP rounding
+    hazard."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    min_c = counts.agg(F.min("_cnt").alias("_min_cnt"))
+    gates = counts.crossJoin(F.broadcast(min_c)).select(
+        strata_col,
+        # `div` = integer division: exact floor on both engines (a
+        # double divide + cast would round-vs-truncate differently)
+        F.expr(f"(_min_cnt * {_BUCKETS}) div _cnt").alias("_gate"),
+    )
+    h = hash60(key_col, seed) % _BUCKETS
+    return (
+        df.join(F.broadcast(gates), strata_col)
+        .filter(h < F.col("_gate"))
+        .drop("_gate")
+    )

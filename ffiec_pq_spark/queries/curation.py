@@ -182,3 +182,58 @@ def curation_pipeline(spark, sf_dir):
         .filter(sample_gate("doc_id", 0.5, seed=99))
         .select("doc_id", "n_tokens", "quality")
     )
+
+
+def _balanced_sql() -> str:
+    from ffiec_pq_spark.functions.hashing import hash60_sql
+
+    gate = f"({hash60_sql('o.o_orderkey', 21)} % 10000)"
+    return f"""
+    WITH counts AS (
+      SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1
+    ),
+    mn AS (SELECT min(cnt) AS min_cnt FROM counts),
+    gates AS (
+      SELECT o_orderstatus, (min_cnt * 10000) // cnt AS gate
+      FROM counts, mn
+    ),
+    sampled AS (
+      SELECT o.o_orderstatus
+      FROM orders o JOIN gates g USING (o_orderstatus)
+      WHERE {gate} < g.gate
+    )
+    SELECT c.o_orderstatus,
+           CAST(c.cnt AS BIGINT) AS n_total,
+           CAST(count(s.o_orderstatus) AS BIGINT) AS n_sampled
+    FROM counts c LEFT JOIN sampled s USING (o_orderstatus)
+    GROUP BY 1, c.cnt
+    """
+
+
+@register(
+    "stratified_balance_counts",
+    _balanced_sql(),
+    tags=["curation", "sampling"],
+)
+def stratified_balance_counts(spark, sf_dir):
+    """Class-balanced downsampling audit: every order-status stratum is
+    deterministically hash-gate-sampled at min_count/count, so the
+    dominant statuses fall to roughly the rarest one's size — per
+    stratum the original and sampled counts.  The gate threshold is
+    integer arithmetic on both engines, so the exact subset (not just
+    its size) is engine-portable."""
+    from ffiec_pq_spark.operators.sampling import balanced_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    sampled = balanced_sample(o, "o_orderkey", "o_orderstatus", seed=21)
+    n_sampled = sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return totals.join(n_sampled, "o_orderstatus", "left").select(
+        "o_orderstatus",
+        "n_total",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )

@@ -312,3 +312,61 @@ def test_compact_parquet_dir_schema_drift(spark, tmp_path):
     assert df.count() == 200
     assert df.filter(F.col("a").isNotNull()).count() == 100
     assert df.filter(F.col("b").isNotNull()).count() == 100
+
+
+def test_balanced_sample_equalizes_strata(spark):
+    """Dominant strata fall to ~the rarest stratum's size; the rare
+    stratum keeps (almost) everything; membership is deterministic."""
+    from ffiec_pq_spark.operators.sampling import balanced_sample
+
+    rows = (
+        [(i, "big") for i in range(1000)]
+        + [(i, "mid") for i in range(1000, 1300)]
+        + [(i, "rare") for i in range(1300, 1350)]
+    )
+    df = spark.createDataFrame(rows, "id long, cls string")
+    s1 = balanced_sample(df, "id", "cls", seed=3)
+    counts = {r["cls"]: r["n"] for r in
+              s1.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every stratum ends within ~40% of the rare size (hash-gate noise)
+    assert counts["rare"] >= 45
+    for c in ("big", "mid"):
+        assert 25 <= counts[c] <= 75, counts
+    # deterministic: identical subset on a rerun
+    ids1 = sorted(r["id"] for r in s1.select("id").collect())
+    ids2 = sorted(
+        r["id"]
+        for r in balanced_sample(df, "id", "cls", seed=3).select("id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_contamination_overlap_known_docs(spark):
+    """Hand-built corpus: the contaminated eval doc is reported with the
+    right train-doc count, the clean one is absent, and a ubiquitous
+    shingle above the df-cap contributes nothing."""
+    from ffiec_pq_spark.operators.dedup import contamination_overlap
+
+    common = "the quick brown fox jumps"  # shared 3-grams w/ train 1+2
+    train = [
+        (1, f"{common} over the lazy dog"),
+        (2, f"{common} into the cold river"),
+        (3, "completely different training content here"),
+    ]
+    ev = [
+        (100, common),                        # contaminated vs docs 1,2
+        (101, "nothing shared with anything"),  # clean
+    ]
+    tr_df = spark.createDataFrame(train, "doc_id long, text string")
+    ev_df = spark.createDataFrame(ev, "doc_id long, text string")
+    got = {
+        r["eval_id"]: (r["n_train_docs"], r["n_shared_shingles"])
+        for r in contamination_overlap(ev_df, tr_df, k=3).collect()
+    }
+    # "the quick brown","quick brown fox","brown fox jumps" shared by 1+2
+    assert got == {100: (2, 3)}
+    # df-cap 1: every shared shingle has train-df 2 -> all dropped
+    got_capped = contamination_overlap(
+        ev_df, tr_df, k=3, max_shingle_df=1
+    ).collect()
+    assert got_capped == []
