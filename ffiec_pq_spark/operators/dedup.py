@@ -137,8 +137,11 @@ def contamination_overlap(
     n-grams carry no contamination signal and are exactly the skewed
     join keys that would degenerate the equi-join at corpus scale —
     same df-cap as :func:`jaccard_pairs`), equi-join on the shingle,
-    aggregate per eval doc.  One join shuffle + two grouped
-    aggregations; the hot-key cap bounds the worst join fan-out."""
+    aggregate per eval doc.  The df-cap is a COUNT window over the
+    shingle partition rather than a separate aggregate-and-join: the
+    train corpus is shingled ONCE (shingling is the CPU-heavy stage),
+    and the window's shingle exchange is the same partitioning the
+    equi-join needs, so the cap rides the join's own shuffle."""
     ev = doc_shingles(eval_df, text_col, id_col, k).select(
         F.col("id").alias("eval_id"), "shingle"
     )
@@ -146,13 +149,14 @@ def contamination_overlap(
         F.col("id").alias("train_id"), "shingle"
     )
     if max_shingle_df is not None:
-        keep = (
-            tr.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_shingle_df)
-            .select("shingle")
+        from pyspark.sql import Window
+
+        df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        tr = (
+            tr.withColumn("_df", df_w)
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
         )
-        tr = tr.join(keep, "shingle")
     return (
         ev.join(tr, "shingle")
         .groupBy("eval_id")

@@ -235,13 +235,24 @@ def ivf_centroid(dim: int, cell_idx: int) -> list[float]:
     return _pseudo_plane(dim, 100 + cell_idx)
 
 
-def ivf_cell(vec: Column, dim: int, n_cells: int) -> Column:
-    """Argmax-cosine cell assignment against the fixed centroids, as one
-    column expression: array_max over (score, cell) structs — ties break
-    to the lowest cell index."""
+def ivf_cell(
+    vec: Column,
+    dim: int,
+    n_cells: int,
+    centroids: list[list[float]] | None = None,
+) -> Column:
+    """Argmax-cosine cell assignment as one column expression: array_max
+    over (score, cell) structs — ties break to the lowest cell index.
+
+    ``centroids`` defaults to the fixed pseudo-random directions; pass
+    the output of ``kmeans_fit`` (operators/kmeans.py) for a TRAINED
+    coarse quantizer — data-shaped cells concentrate each probe's true
+    neighbors into fewer cells, so the same nprobe scans less or
+    recalls more."""
+    cents = centroids or [ivf_centroid(dim, j) for j in range(n_cells)]
     entries = []
-    for j in range(n_cells):
-        cent = F.array(*[F.lit(v) for v in ivf_centroid(dim, j)])
+    for j, c in enumerate(cents):
+        cent = F.array(*[F.lit(float(v)) for v in c])
         entries.append(
             F.struct(
                 cosine(vec, cent).alias("s"),
@@ -252,9 +263,16 @@ def ivf_cell(vec: Column, dim: int, n_cells: int) -> Column:
     return (F.lit(n_cells - 1) - best["negc"]).alias("cell")
 
 
-def probe_cells(probe: list[float], dim: int, n_cells: int, nprobe: int) -> list[int]:
+def probe_cells(
+    probe: list[float],
+    dim: int,
+    n_cells: int,
+    nprobe: int,
+    centroids: list[list[float]] | None = None,
+) -> list[int]:
     """Driver-side: the nprobe cells whose centroids are most similar to
     the probe (the IVF serving step's cell shortlist)."""
+    cents = centroids or [ivf_centroid(dim, j) for j in range(n_cells)]
 
     def cos(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
@@ -263,7 +281,7 @@ def probe_cells(probe: list[float], dim: int, n_cells: int, nprobe: int) -> list
         return d / (na * nb)
 
     scored = sorted(
-        ((cos(probe, ivf_centroid(dim, j)), -j) for j in range(n_cells)),
+        ((cos(probe, c), -j) for j, c in enumerate(cents)),
         reverse=True,
     )
     return [-negj for _, negj in scored[:nprobe]]
@@ -278,6 +296,7 @@ def ann_topk_ivf(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-pruned top-k: assign every vector to its nearest coarse
     centroid, scan only the ``nprobe`` cells nearest the probe, exact
@@ -287,9 +306,12 @@ def ann_topk_ivf(
     filter becomes partition pruning and the scan touches nprobe/n_cells
     of the data; here the assignment is computed on the fly (one
     narrow projection, no shuffle — top-k is TakeOrderedAndProject).
-    """
-    cells = probe_cells(probe, dim, n_cells, nprobe)
-    assigned = df.withColumn("cell", ivf_cell(F.col(vec_col), dim, n_cells))
+    Pass ``centroids=kmeans_fit(df, ...)`` for the trained quantizer
+    (recall bound pinned in tests/test_ann_recall.py)."""
+    cells = probe_cells(probe, dim, n_cells, nprobe, centroids)
+    assigned = df.withColumn(
+        "cell", ivf_cell(F.col(vec_col), dim, n_cells, centroids)
+    )
     return ann_topk_bruteforce(
         assigned.filter(F.col("cell").isin(cells)), probe, k, vec_col, id_col
     )

@@ -52,6 +52,8 @@ QUERIES = [
     "multimodal_frame_sample",
     "events_sessionize",
     "curation_pipeline",
+    "decontaminate_eval_overlap",
+    "stratified_balance_counts",
 ]
 OFFSET = 10**9
 
@@ -87,7 +89,7 @@ def build_scaled(spark, base: str, out: str, factor: int) -> None:
         os.rename(dst + "._tmp", dst)
 
 
-def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()

@@ -65,3 +65,30 @@ def test_multiprobe_strictly_beats_single_bucket(spark, sf_dir):
         cells = set(probe_buckets_multiprobe(probe, DIM, 8, hamming_radius=r))
         sets.append(cells)
     assert sets[0] < sets[1] < sets[2]
+
+
+def test_ivf_trained_quantizer_recall(spark, sf_dir):
+    """IVF with a k-means-TRAINED coarse quantizer: data-shaped cells
+    must hold the fixed-centroid recall bound at the same nprobe, and
+    still genuinely prune (candidate set strictly smaller than the
+    corpus).  Closes the loop kmeans_fit exists for."""
+    from ffiec_pq_spark.operators.kmeans import kmeans_fit
+    from ffiec_pq_spark.operators.similarity import ivf_cell, probe_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = _data_probe(emb)
+    cents = kmeans_fit(emb, k=4, dim=DIM, iters=3)
+    exact = {r["vec_id"] for r in ann_topk_bruteforce(emb, probe, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ann_topk_ivf(
+            emb, probe, dim=DIM, k=10, n_cells=4, nprobe=2, centroids=cents
+        ).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.5
+    n_cand = (
+        emb.withColumn("cell", ivf_cell(F.col("embedding"), DIM, 4, cents))
+        .filter(F.col("cell").isin(probe_cells(probe, DIM, 4, 2, cents)))
+        .count()
+    )
+    assert n_cand < emb.count()
