@@ -78,8 +78,9 @@ def _load_all() -> None:
     from ffiec_pq_spark.queries import streaming_queries  # noqa: F401
     from ffiec_pq_spark.queries import curation  # noqa: F401
     from ffiec_pq_spark.queries import analytics  # noqa: F401
-    from ffiec_pq_spark.queries import text  # noqa: F401
+    from ffiec_pq_spark.queries import extensions  # noqa: F401
     from ffiec_pq_spark.queries import dedup  # noqa: F401
+    from ffiec_pq_spark.queries import text  # noqa: F401
     from ffiec_pq_spark.queries import similarity  # noqa: F401
     from ffiec_pq_spark.queries import reshape  # noqa: F401
     from ffiec_pq_spark.queries import integrity  # noqa: F401

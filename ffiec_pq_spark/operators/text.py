@@ -200,6 +200,67 @@ def winnow_fingerprints_df(
     return hashed.select(id_col, F.array_distinct(wins).alias("fps"))
 
 
+def gram_dup_fraction(col: Column | str, k: int = 2) -> Column:
+    """Gopher-style repetition signal: the fraction of word ``k``-grams
+    that are repeats of an earlier gram in the same document,
+    ``(n_grams - n_distinct_grams) / n_grams``.
+
+    Pure expression over :func:`shingles` — no explode, no shuffle; the
+    ratio is integer/integer so both engines compute the identical
+    double before rounding."""
+    sh = shingles(col, k)
+    n = F.size(sh)
+    return (n - F.size(F.array_distinct(sh))) / n.cast("double")
+
+
+def gram_dup_fraction_sql(expr: str, k: int = 2) -> str:
+    """DuckDB mirror of :func:`gram_dup_fraction`."""
+    sh = shingles_sql(expr, k)
+    return (
+        f"(len({sh}) - len(list_distinct({sh}))) / CAST(len({sh}) AS DOUBLE)"
+    )
+
+
+# PII patterns, RE2-safe (no lookarounds, no backreferences) so the
+# DuckDB oracle runs the IDENTICAL pattern strings.  Deliberately
+# simple/high-precision forms — production corpora tune these; the
+# operator contract is "regex sweep + replace + count, JVM-side".
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-pattern match counts (the audit half of PII scrubbing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder token.  Order is
+    fixed (email -> ipv4 -> phone) so an email's domain dots are
+    consumed before the IPv4 sweep.  All JVM regexp_replace — the
+    100 TB path stays in whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`redact_pii` (global-flag replaces,
+    same order)."""
+    e = expr
+    for pat, repl in PII_PATTERNS.values():
+        e = f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
+    return e
+
+
 def shingles_sql(expr: str, k: int = 3) -> str:
     """DuckDB mirror of :func:`shingles` (oracle side)."""
     w = f"string_split_regex(trim({expr}), '\\s+')"

@@ -13,8 +13,23 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    """The executed (post-AQE-planning) physical plan as text."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The executed (post-AQE-planning) physical plan as text.
+
+    Scan metadata (PushedFilters, ReadSchema, ...) is rendered under a
+    temporarily-raised ``spark.sql.maxMetadataStringLength`` — the
+    100-char default truncates long filter lists mid-entry, which would
+    make pushdown assertions silently vacuous."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
 
 
 def count_exchanges(df: DataFrame) -> int:
@@ -32,7 +47,7 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def scan_read_schema(df: DataFrame) -> list[str]:
     """Column names in each parquet scan's ReadSchema — verifies column
     pruning reached the source (a 2-col projection must not read 16)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(df)
     out: list[str] = []
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         out.extend(f.split(":")[0] for f in m.group(1).split(",") if f)

@@ -38,6 +38,53 @@ _SHINGLE_CTE = f"""
 _SIZES_CTE = "sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id)"
 
 
+_DECON_MAX_DF = 50
+
+
+@register(
+    "decontaminate_eval_overlap",
+    f"""
+    WITH ev AS (
+      SELECT doc_id AS eval_id,
+             unnest(list_distinct({shingles_sql('text', _K)})) AS shingle
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    tr AS (
+      SELECT doc_id AS train_id,
+             unnest(list_distinct({shingles_sql('text', _K)})) AS shingle
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    keep AS (
+      SELECT shingle FROM tr GROUP BY shingle
+      HAVING count(*) <= {_DECON_MAX_DF}
+    ),
+    tr2 AS (SELECT t.* FROM tr t JOIN keep k USING (shingle))
+    SELECT e.eval_id,
+           count(DISTINCT t.train_id) AS n_train_docs,
+           count(DISTINCT e.shingle)  AS n_shared_shingles
+    FROM ev e JOIN tr2 t USING (shingle)
+    GROUP BY 1
+    """,
+    tags=["dedup", "decontamination"],
+)
+def decontaminate_eval_overlap(spark, sf_dir):
+    """Eval-set decontamination report: for each eval document (the
+    deterministic doc_id %% 10 == 0 slice) sharing any word-3-gram with
+    the remaining (train) corpus, the number of overlapping train docs
+    and shared shingles — train-side shingles above document frequency
+    50 are dropped first (no contamination signal, and
+    they are exactly the skewed join keys).  The benchmark-leak scan of
+    a training-data release, as one shingle-equi-join plan."""
+    from ffiec_pq_spark.operators.dedup import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_overlap(
+        ev, tr, k=_K, max_shingle_df=_DECON_MAX_DF
+    )
+
+
 @register(
     "dedup_exact",
     """
@@ -226,50 +273,3 @@ def dedup_simhash(spark, sf_dir):
     bit-for-bit against the SQL oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, n_bits=60)
-
-
-_DECON_MAX_DF = 50
-
-
-@register(
-    "decontaminate_eval_overlap",
-    f"""
-    WITH ev AS (
-      SELECT doc_id AS eval_id,
-             unnest(list_distinct({shingles_sql('text', _K)})) AS shingle
-      FROM documents WHERE doc_id % 10 = 0
-    ),
-    tr AS (
-      SELECT doc_id AS train_id,
-             unnest(list_distinct({shingles_sql('text', _K)})) AS shingle
-      FROM documents WHERE doc_id % 10 <> 0
-    ),
-    keep AS (
-      SELECT shingle FROM tr GROUP BY shingle
-      HAVING count(*) <= {_DECON_MAX_DF}
-    ),
-    tr2 AS (SELECT t.* FROM tr t JOIN keep k USING (shingle))
-    SELECT e.eval_id,
-           count(DISTINCT t.train_id) AS n_train_docs,
-           count(DISTINCT e.shingle)  AS n_shared_shingles
-    FROM ev e JOIN tr2 t USING (shingle)
-    GROUP BY 1
-    """,
-    tags=["dedup", "decontamination"],
-)
-def decontaminate_eval_overlap(spark, sf_dir):
-    """Eval-set decontamination report: for each eval document (the
-    deterministic doc_id %% 10 == 0 slice) sharing any word-3-gram with
-    the remaining (train) corpus, the number of overlapping train docs
-    and shared shingles — train-side shingles above document frequency
-    50 are dropped first (no contamination signal, and
-    they are exactly the skewed join keys).  The benchmark-leak scan of
-    a training-data release, as one shingle-equi-join plan."""
-    from ffiec_pq_spark.operators.dedup import contamination_overlap
-
-    docs = load_table(spark, sf_dir, "documents")
-    ev = docs.filter(F.col("doc_id") % 10 == 0)
-    tr = docs.filter(F.col("doc_id") % 10 != 0)
-    return contamination_overlap(
-        ev, tr, k=_K, max_shingle_df=_DECON_MAX_DF
-    )

@@ -33,26 +33,10 @@ _SINK_IDS = itertools.count()
     tags=["streaming"],
 )
 def stream_hourly_rollup(spark, sf_dir):
-    """Incremental (streaming) tumbling rollup == batch rollup.
+    """Incremental (streaming) tumbling rollup == batch rollup."""
+    from ffiec_pq_spark.streaming.events import stream_events
 
-    The raw testdata stores ``ts`` as TIMESTAMP(NANOS) which Spark reads
-    as long under the nanosAsLong conf; the stream schema mirrors that
-    and converts, exactly like the batch loader."""
-    from ffiec_pq_spark.session import ensure_nanos_conf
-
-    ensure_nanos_conf(spark)
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        # file sources stream a directory; glob-filter to the one table
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = stream_events(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -91,15 +75,10 @@ def stream_dedup_pairs(spark, sf_dir):
     at scale the same plan runs continuously with the state store
     holding the seen-key set (bound it with
     ``dropDuplicatesWithinWatermark`` when keys expire)."""
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    from ffiec_pq_spark.streaming.events import stream_events
+
     stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        stream_events(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
@@ -138,23 +117,11 @@ def stream_interval_join(spark, sf_dir):
     signup.  Both watermarks are what bound both sides' join state at
     scale; the drained append output must hash-equal the batch/DuckDB
     range join exactly."""
-    from ffiec_pq_spark.session import ensure_nanos_conf
+    from ffiec_pq_spark.streaming.events import stream_events
     from ffiec_pq_spark.streaming.joins import interval_join
 
-    ensure_nanos_conf(spark)
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-
     def src():
-        return (
-            spark.readStream.format("parquet")
-            .schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return stream_events(spark, sf_dir)
 
     signups = (
         src()
@@ -238,21 +205,11 @@ def stream_sessionize_stateful(spark, sf_dir):
     equivalence invariants (additionally pinned per-row in
     tests/test_streaming.py)."""
     from ffiec_pq_spark.operators.windows import sessionize
-    from ffiec_pq_spark.session import ensure_nanos_conf, load_table
+    from ffiec_pq_spark.session import load_table
+    from ffiec_pq_spark.streaming.events import stream_events
     from ffiec_pq_spark.streaming.stateful import sessionize_stream
 
-    ensure_nanos_conf(spark)
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = stream_events(spark, sf_dir)
     sess = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
     name = f"stream_sessionize_{next(_SINK_IDS)}"
     q = (

@@ -228,87 +228,3 @@ def text_winnow_fingerprints(spark, sf_dir):
         d, "text", "doc_id", k=5, window=4, hash_fn=hash60
     )
     return fps.select("doc_id", F.explode("fps").alias("fp"))
-
-
-@register(
-    "corpus_tfidf_top_terms",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_TOK}) AS term FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, term, count(*) AS tf
-      FROM tok WHERE term <> '' GROUP BY 1, 2
-    ),
-    per_term AS (
-      SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
-      FROM tf GROUP BY term
-    ),
-    n AS (SELECT count(*) AS n_docs FROM documents)
-    SELECT term, df, total_tf,
-           round(CAST(total_tf AS DOUBLE)
-                 * ((n_docs - df + 0.5) / (df + 0.5)), 6) AS tfidf
-    FROM per_term, n
-    ORDER BY round(CAST(total_tf AS DOUBLE)
-                   * ((n_docs - df + 0.5) / (df + 0.5)), 6) DESC, term ASC
-    LIMIT 20
-    """,
-    tags=["text", "vocab"],
-)
-def corpus_tfidf_top_terms(spark, sf_dir):
-    """Corpus TF-IDF: per-term document frequency and total term
-    frequency, scored with a BM25-style rational idf
-    ``(N - df + 0.5) / (df + 0.5)`` — deliberately log-free so both
-    engines compute bit-identical IEEE doubles (ln() can differ in the
-    last ulp between libm implementations).  Two shuffles total
-    ((doc,term) then term); the scalar N rides in as a broadcast
-    one-row cross join, not a driver-side collect."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .filter(F.col("term") != "")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    per_term = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
-    )
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    score = F.round(
-        F.col("total_tf").cast("double")
-        * ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
-        6,
-    )
-    return (
-        per_term.crossJoin(F.broadcast(n_docs))
-        .select("term", "df", "total_tf", score.alias("tfidf"))
-        .orderBy(F.desc("tfidf"), F.asc("term"))
-        .limit(20)
-    )
-
-
-@register(
-    "corpus_top_tokens",
-    f"""
-    SELECT tok, count(*) AS freq
-    FROM (SELECT unnest({_TOK}) AS tok FROM documents)
-    WHERE tok <> ''
-    GROUP BY tok
-    ORDER BY freq DESC, tok ASC
-    LIMIT 25
-    """,
-    tags=["text", "vocab"],
-)
-def corpus_top_tokens(spark, sf_dir):
-    """Corpus-wide token frequencies, top 25 with deterministic
-    tie-break — the vocabulary/stopword-derivation pass of a tokenizer
-    pipeline.  Explode + single-shuffle count; the top-k is
-    TakeOrderedAndProject, so no global sort at any corpus size."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(tokens("text")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("tok"))
-        .limit(25)
-    )

@@ -93,7 +93,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer div (ns ~1.7e18 exceeds double's exact range — no `/`)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df):
+    """Normalize ``events.ts`` to Spark's native (UTC) TIMESTAMP across
+    the renderings different testdata generations use:
+
+    - TIMESTAMP(NANOS) parquet + nanosAsLong conf -> LongType ns since
+      epoch: integer-div to micros (ns ~1.7e18 exceeds double's exact
+      range — no ``/``) and convert;
+    - TIMESTAMP_NTZ (timestamp[us] parquet without tz annotation): cast
+      under the UTC session zone — a value-preserving re-tag matching
+      DuckDB's naive-UTC reading;
+    - TIMESTAMP: already native.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -31,6 +31,31 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's ``events`` table with ``ts``
+    normalized to native TIMESTAMP, whatever the parquet's rendering
+    (ns-as-long legacy, µs NTZ, or native).
+
+    ``readStream`` requires an explicit schema; hardcoding one silently
+    mis-reads regenerated testdata (µs values integer-divided as if
+    they were ns collapse onto epoch), so the schema comes from a batch
+    footer read of the same file — a metadata-only operation."""
+    import os
+
+    from ffiec_pq_spark.session import ensure_session_confs, normalize_event_ts
+
+    ensure_session_confs(spark)
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        # file sources stream a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_event_ts(stream)
+
+
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream of event parquet/json drops (one file per
     micro-batch locally; kafka source at scale — same downstream plan)."""

@@ -1,0 +1,117 @@
+"""Unit tests for the round-3 extension operators: sequence packing,
+int8 quantization, PII redaction, gram-duplication, funnel staging.
+The end-to-end oracle equivalence of the registered queries is covered
+by test_oracle.py; these pin the operator semantics directly on small
+hand-built frames where the expected values are checkable by eye.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ffiec_pq_spark.operators.packing import pack_sequences
+from ffiec_pq_spark.operators.quantize import (
+    quantize_codes_int8,
+    quantize_scale,
+    reconstruction_err,
+)
+from ffiec_pq_spark.operators.text import (
+    gram_dup_fraction,
+    pii_counts,
+    redact_pii,
+)
+
+
+def test_pack_sequences_whole_doc_boundaries(spark):
+    # budget 10; docs of 4,4,4 tokens: doc3 starts at offset 8 -> seq 0
+    # (whole-doc packing lets a sequence overflow); doc4 at offset 12 -> seq 1.
+    rows = [("a", 1, 4), ("a", 2, 4), ("a", 3, 4), ("a", 4, 3), ("b", 1, 25)]
+    df = spark.createDataFrame(rows, "src string, doc_id int, tok int")
+    out = pack_sequences(df, "tok", 10, part_col="src", order_col="doc_id")
+    got = {(r.src, r.doc_id): r.seq_id for r in out.collect()}
+    assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 0, ("a", 4): 1, ("b", 1): 0}
+
+
+def test_pack_sequences_is_per_partition(spark):
+    # the running sum restarts per part_col: identical doc streams in two
+    # shards produce identical seq ids independently.
+    rows = [(s, i, 7) for s in ("x", "y") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "src string, doc_id int, tok int")
+    out = pack_sequences(df, "tok", 21, part_col="src", order_col="doc_id")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.src, {})[r.doc_id] = r.seq_id
+    assert by_src["x"] == by_src["y"] == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [-2.0, 2.0, 0.001])],
+        "id int, v array<double>",
+    )
+    out = df.select(
+        "id",
+        quantize_codes_int8(F.col("v")).alias("codes"),
+        reconstruction_err(F.col("v")).alias("err"),
+        (F.lit(1.0) / quantize_scale(F.col("v"))).alias("step"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    # max-abs element maps to ±127 exactly (floor(127.0) = 127)
+    assert by_id[1].codes[0] == 127
+    assert by_id[3].codes[0] == -127 or by_id[3].codes[1] == 127
+    # all-zero vector: eps guard keeps codes at 0, err at 0
+    assert by_id[2].codes == [0, 0, 0] and by_id[2].err == 0.0
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        assert r.err <= r.step + 1e-12
+
+
+def test_pii_redact_and_counts(spark):
+    txt = "mail bob.smith@example.com or 10.0.0.1 call 555-1234 done"
+    df = spark.createDataFrame([(txt,), ("clean text",)], "t string")
+    counts = pii_counts("t")
+    out = df.select(
+        redact_pii("t").alias("red"),
+        counts["email"].alias("e"),
+        counts["ipv4"].alias("i"),
+        counts["phone"].alias("p"),
+    ).collect()
+    hit = next(r for r in out if "<EMAIL>" in r.red)
+    assert (hit.e, hit.i, hit.p) == (1, 1, 1)
+    assert hit.red == "mail <EMAIL> or <IP> call <PHONE> done"
+    clean = next(r for r in out if r.red == "clean text")
+    assert (clean.e, clean.i, clean.p) == (0, 0, 0)
+
+
+def test_gram_dup_fraction_values(spark):
+    # "a b a b a" -> 2-grams: [a b, b a, a b, b a] -> 4 grams, 2 distinct -> 0.5
+    df = spark.createDataFrame([("a b a b a",), ("w x y z",)], "text string")
+    out = df.select(
+        "text", F.round(gram_dup_fraction("text", 2), 6).alias("f")
+    ).collect()
+    got = {r.text: r.f for r in out}
+    assert got["a b a b a"] == pytest.approx(0.5)
+    assert got["w x y z"] == 0.0
+
+
+def test_funnel_requires_stage_order(spark, sf_dir):
+    # a purchase BEFORE any click must not count as stage 4
+    from ffiec_pq_spark.queries.extensions import events_funnel
+
+    rows = [
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "purchase", "2024-01-01 01:00:00"),  # no view/click yet -> stage 1
+        (2, "signup", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        (2, "click", "2024-01-01 02:00:00"),
+        (2, "purchase", "2024-01-01 03:00:00"),  # full funnel -> stage 4
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, event_type string, ts string")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = {r.stage: r.n_users for r in events_funnel(spark, d).collect()}
+    assert out == {1: 1, 4: 1}

@@ -87,3 +87,52 @@ def test_ann_topk_no_global_sort(spark, sf_dir):
     df = queries()["ann_cosine_topk"](spark, sf_dir)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: every conjunct reaches the
+    lineitem scan and the projection is 3 columns."""
+    df = queries()["q6_forecast_revenue"](spark, sf_dir)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, pf
+    assert set(scan_read_schema(df)) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }
+
+
+def test_q19_part_predicate_derived_below_join(spark, sf_dir):
+    """The OR-of-ANDs mixes both join sides; Catalyst must still derive
+    the part-only disjunction (brand/size) and push it below the
+    broadcast join into the part scan."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["q19_disjunctive_pushdown"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    # the part-side filter shows up before the join (as a Filter or a
+    # pushed-down scan predicate over p_brand/p_size)
+    assert "p_brand" in plan and "p_size" in plan
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """Four stacked min-over-user windows + distinct + agg share the
+    user_id partitioning: at most 2 exchanges (user_id, then stage)."""
+    df = queries()["events_funnel"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 2
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Packing is one window shuffle on the shard key; the stats
+    group-by rides the same partitioning where AQE allows, so the whole
+    query needs at most 2 exchanges."""
+    df = queries()["pack_sequences_stats"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 2
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    """int8 quantization is pure array expressions — zero exchanges."""
+    df = queries()["embedding_quantize_int8"](spark, sf_dir)
+    assert_plan(df, max_exchanges=0)
