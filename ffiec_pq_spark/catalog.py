@@ -80,6 +80,7 @@ def _load_all() -> None:
     from ffiec_pq_spark.queries import analytics  # noqa: F401
     from ffiec_pq_spark.queries import extensions  # noqa: F401
     from ffiec_pq_spark.queries import dedup  # noqa: F401
+    from ffiec_pq_spark.queries import corpus_ops  # noqa: F401
     from ffiec_pq_spark.queries import text  # noqa: F401
     from ffiec_pq_spark.queries import similarity  # noqa: F401
     from ffiec_pq_spark.queries import reshape  # noqa: F401

@@ -94,3 +94,72 @@ def balanced_sample(
         .filter(h < F.col("_gate"))
         .drop("_gate")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, int],
+    budget_tokens: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Training-mixture sampling: downsample each source shard toward a
+    target token budget split by integer ``weights`` (e.g.
+    ``{"web": 6, "wiki": 3, "code": 1}`` with ``budget_tokens=1e9``
+    targets 600M/300M/100M tokens).  A source already under its target
+    is kept whole (gate caps at 100%) — classic under-represented-
+    source protection; sources not in ``weights`` are dropped.
+
+    The per-source gate is ``least(BUCKETS, target_tokens * BUCKETS div
+    source_tokens)`` — pure integer arithmetic, so the SQL oracle
+    computes the identical cutoff, and membership is a content hash of
+    ``key_col``: the same document is in or out on any engine, any
+    partitioning, any re-run (auditable training mixes).
+
+    One tiny per-source aggregate broadcast back onto the scan; the
+    data-sized path stays a single pass with no shuffle.
+    """
+    total_w = sum(weights.values())
+    tok = F.col(token_col)
+    totals = df.groupBy(source_col).agg(F.sum(tok).alias("_src_tok"))
+    gate_expr = F.lit(None).cast("long")
+    for src, w in sorted(weights.items()):
+        t = (budget_tokens * w) // total_w
+        gate_expr = F.when(
+            F.col(source_col) == src,
+            F.least(
+                F.lit(_BUCKETS).cast("long"),
+                F.expr(f"({t} * {_BUCKETS}) div _src_tok"),
+            ),
+        ).otherwise(gate_expr)
+    gates = totals.select(source_col, gate_expr.alias("_gate"))
+    h = hash60(key_col, seed) % _BUCKETS
+    return (
+        df.join(F.broadcast(gates), source_col)
+        .filter(h < F.col("_gate"))
+        .drop("_gate")
+    )
+
+
+def mixture_gate_sql(
+    key_expr: str,
+    source_col: str,
+    src_tok_expr: str,
+    weights: dict[str, int],
+    budget_tokens: int,
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of the per-row mixture gate (same integer
+    arithmetic, same hash)."""
+    total_w = sum(weights.values())
+    cases = " ".join(
+        f"WHEN {source_col} = '{s}' THEN least({_BUCKETS}, "
+        f"({(budget_tokens * w) // total_w} * {_BUCKETS}) // {src_tok_expr})"
+        for s, w in sorted(weights.items())
+    )
+    return (
+        f"(({hash60_sql(key_expr, seed)} % {_BUCKETS}) < "
+        f"(CASE {cases} END))"
+    )

@@ -64,3 +64,36 @@ def salted_agg(
             for name, (_, comb) in metrics.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_from: Column | str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: the manual salting analogue for joins, for
+    when the small side is too big to broadcast but the big side's join
+    key is hot (a handful of values holding most rows — ``event_type``,
+    ``lang``, a null-heavy foreign key).
+
+    The big side gains a deterministic salt in ``[0, n_salts)`` hashed
+    from a high-cardinality column (never ``rand()`` — task retries
+    would re-salt and duplicate rows); the small side is replicated
+    ``n_salts`` times via an explode, and the join runs on
+    ``(key, salt)`` — so one hot key spreads over ``n_salts`` reducers
+    instead of stalling one.  Replication costs ``n_salts x |small|``
+    rows of shuffle, the price of the even spread; AQE's skew-join
+    split is the automatic alternative when it fires, this is the
+    explicit one that always does.
+
+    Result == ``big.join(small, key)`` exactly (inner), with the salt
+    column dropped.
+    """
+    salt = F.pmod(F.xxhash64(salt_from), F.lit(n_salts)).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return b.join(s, [key, "_salt"], "inner").drop("_salt")

@@ -1,0 +1,303 @@
+"""Corpus-construction operators, second batch: training-mixture
+sampling, inverted-index postings, bigram collocations (rational PMI),
+an explicit salted skew join, and a ROLLUP subtotal plan.
+
+Registers after ``dedup`` — right at the certification-window boundary;
+the longest-uncertified queries keep the guaranteed slots and this
+module takes whatever the window still covers (the strict pandas-path
+comparator in scripts/driver_check.py certifies the rest each round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.hashing import hash60_sql
+from ffiec_pq_spark.operators.sampling import mixture_gate_sql, mixture_sample
+from ffiec_pq_spark.operators.skew import salted_join
+from ffiec_pq_spark.operators.text import token_count, tokens
+from ffiec_pq_spark.session import load_table
+
+_TOK = "string_split_regex(trim(text), '\\s+')"
+
+_MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2}
+_MIX_BUDGET = 2_000  # tokens at sf0.01; the gate formula is sf-relative
+
+
+@register(
+    "mixture_sample_counts",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOK}) AS tok FROM documents
+    ),
+    tot AS (
+      SELECT source, CAST(sum(tok) AS BIGINT) AS src_tok
+      FROM t GROUP BY source
+    ),
+    kept AS (
+      SELECT t.doc_id, t.source, t.tok
+      FROM t JOIN tot USING (source)
+      WHERE {mixture_gate_sql('doc_id', 't.source', 'src_tok', _MIX_WEIGHTS, _MIX_BUDGET)}
+    )
+    SELECT tot.source,
+           CAST(src_tok AS BIGINT)                 AS orig_tokens,
+           count(kept.doc_id)                      AS kept_docs,
+           CAST(coalesce(sum(kept.tok), 0) AS BIGINT) AS kept_tokens
+    FROM tot LEFT JOIN kept ON tot.source = kept.source
+    WHERE tot.source IN ('src0', 'src1', 'src2')
+    GROUP BY 1, 2
+    """,
+    tags=["curation", "sampling"],
+)
+def mixture_sample_counts(spark, sf_dir):
+    """Training-mixture audit: documents hash-gate-downsampled toward a
+    5:3:2 token-budget split across three sources
+    (:func:`~ffiec_pq_spark.operators.sampling.mixture_sample`), then
+    original vs kept tokens per source.  The gate cutoff is integer
+    arithmetic over per-source token totals, so the oracle reproduces
+    the exact membership, not just the sizes.  The totals aggregate is
+    tiny and broadcasts back onto the scan — one data-sized pass."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("tok")
+    )
+    kept = mixture_sample(
+        d, "doc_id", "source", "tok", _MIX_WEIGHTS, _MIX_BUDGET
+    )
+    totals = (
+        d.filter(F.col("source").isin(*sorted(_MIX_WEIGHTS)))
+        .groupBy("source")
+        .agg(F.sum("tok").alias("orig_tokens"))
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("tok").alias("kept_tokens"),
+    )
+    return (
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "orig_tokens",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "inverted_index_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+      WHERE t <> '' GROUP BY 1, 2
+    )
+    SELECT term,
+           count(*)                  AS df,
+           CAST(sum(tf) AS BIGINT)   AS cf,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+    FROM tf
+    GROUP BY term
+    HAVING count(*) BETWEEN 2 AND 8
+    """,
+    tags=["text", "index"],
+)
+def inverted_index_terms(spark, sf_dir):
+    """Inverted-index build: per term, document frequency, collection
+    frequency, and the sorted posting list (mid-frequency terms only —
+    df 2..8 — the band a retrieval index actually stores; hapaxes and
+    stopwords are handled by other passes).  Postings serialize as a
+    sorted comma-joined string so the value hash pins the exact list.
+    One explode + two shuffles ((doc,term) then term); posting lists
+    are bounded by the df cap, so no reducer hot-spots at corpus
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("doc_id"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df").between(2, 8))
+    )
+
+
+@register(
+    "bigram_pmi_top",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t, CAST(i AS INTEGER) AS pos
+      FROM (
+        SELECT doc_id, unnest({_TOK}) AS t,
+               generate_subscripts({_TOK}, 1) AS i
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+    bi AS (
+      SELECT a.t AS w1, b.t AS w2, count(*) AS c_xy
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, c_xy,
+           round(CAST(c_xy AS DOUBLE) * n_tok
+                 / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS pmi_ratio
+    FROM bi
+    JOIN uni u1 ON bi.w1 = u1.t
+    JOIN uni u2 ON bi.w2 = u2.t
+    CROSS JOIN n
+    WHERE c_xy >= 5
+    ORDER BY pmi_ratio DESC, w1, w2
+    LIMIT 30
+    """,
+    tags=["text", "collocations"],
+)
+def bigram_pmi_top(spark, sf_dir):
+    """Collocation extraction: adjacent-word pairs scored by the
+    rational PMI core ``P(xy)/(P(x)P(y)) = c_xy * N / (c_x * c_y)``
+    (log-free, so both engines produce the identical double), min count
+    5, top 30.  Bigrams come straight off the token array (posexplode
+    windows, no self-join on Spark's side — the SQL self-join is the
+    oracle's formulation); unigram counts broadcast onto the bigram
+    aggregate.  Explode + two bounded shuffles at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t"))
+        .filter(F.col("t") != "")
+    )
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    # adjacent pairs without a self-join: slide the token array itself
+    pairs = d.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    tokens("text"),
+                    F.slice(tokens("text"), 2, 1_000_000),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+                lambda p: (p["w1"] != "") & (p["w2"] != ""),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.col("c_xy").cast("double")
+                * F.col("n_tok")
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(30)
+    )
+
+
+_N_SALTS = 8
+
+
+@register(
+    "salted_join_enrich",
+    """
+    WITH dim AS (
+      SELECT event_type, CAST(len(event_type) AS DOUBLE) / 10 AS w
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT user_id % 50 AS user_bucket,
+           count(*)     AS n_events,
+           round(sum(value * w), 4) AS weighted_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY 1
+    """,
+    tags=["skew", "join"],
+)
+def salted_join_enrich(spark, sf_dir):
+    """Skew-safe dimension enrich: events carry only 5 distinct
+    ``event_type`` values, so a shuffle equi-join on it would pile each
+    type onto one reducer.  :func:`~ffiec_pq_spark.operators.skew.
+    salted_join` salts the fact side from ``event_id`` and explodes the
+    dim 8x, spreading every hot key over 8 reducers; the result is
+    verified equal to the plain join by the oracle.  (At this dim size
+    you would broadcast instead — the query pins the technique for the
+    too-big-to-broadcast case, and the salt must never be rand().)"""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.length("event_type").cast("double") / 10).alias("w"),
+        )
+    )
+    joined = salted_join(ev, dim, "event_type", F.col("event_id"), _N_SALTS)
+    return joined.groupBy((F.col("user_id") % 50).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("w")), 4).alias("weighted_value"),
+    )
+
+
+@register(
+    "orders_rollup_year_priority",
+    """
+    SELECT coalesce(CAST(CAST(year(o_orderdate) AS INTEGER) AS VARCHAR), 'ALL')
+             AS order_year,
+           CASE WHEN CAST(year(o_orderdate) AS INTEGER) IS NULL THEN 'ALL'
+                ELSE coalesce(o_orderpriority, 'ALL') END AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+    tags=["relational", "rollup"],
+)
+def orders_rollup_year_priority(spark, sf_dir):
+    """ROLLUP subtotals: order counts and revenue per (year, priority),
+    per year, and grand total in one pass — Spark's Expand feeds a
+    single hash aggregate, the same shape CUBE uses but with the
+    hierarchical grouping-set list.  NULL grouping labels are
+    normalized to 'ALL' on both engines so the hash can't confuse a
+    subtotal row with a null data value."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("int")
+    rolled = (
+        o.select(yr.alias("_yr"), "o_orderpriority", "o_totalprice")
+        .rollup("_yr", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    return rolled.select(
+        F.coalesce(F.col("_yr").cast("string"), F.lit("ALL")).alias("order_year"),
+        F.when(F.col("_yr").isNull(), "ALL")
+        .otherwise(F.coalesce("o_orderpriority", F.lit("ALL")))
+        .alias("priority"),
+        "n_orders",
+        "total_price",
+    )

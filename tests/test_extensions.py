@@ -115,3 +115,42 @@ def test_funnel_requires_stage_order(spark, sf_dir):
         ev.write.parquet(f"{d}/events.parquet")
         out = {r.stage: r.n_users for r in events_funnel(spark, d).collect()}
     assert out == {1: 1, 4: 1}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from ffiec_pq_spark.operators.skew import salted_join
+    from ffiec_pq_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("w", F.length("event_type").cast("double"))
+    )
+    plain = ev.join(dim, "event_type").select("event_id", "event_type", "w")
+    salted = salted_join(ev, dim, "event_type", F.col("event_id"), 8).select(
+        "event_id", "event_type", "w"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_mixture_sample_respects_budget_and_caps(spark):
+    from ffiec_pq_spark.operators.sampling import mixture_sample
+
+    rows = [("big", i, 100) for i in range(200)] + [("small", i, 100) for i in range(3)]
+    df = spark.createDataFrame(rows, "source string, doc_id int, tok int")
+    # big has 20_000 tokens, small 300; weights 1:1, budget 2_000 ->
+    # big targets 1_000 tokens (rate 5%), small targets 1_000 but only
+    # has 300 -> gate caps at 100% and keeps every row.
+    kept = mixture_sample(df, "doc_id", "source", "tok", {"big": 1, "small": 1}, 2_000)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 3
+    assert 0 < counts.get("big", 0) < 40  # ~5% of 200, hash-gate variance
+    # deterministic: same membership on re-run
+    again = mixture_sample(df, "doc_id", "source", "tok", {"big": 1, "small": 1}, 2_000)
+    assert kept.exceptAll(again).count() == 0
+    # unweighted sources are dropped entirely
+    only_big = mixture_sample(df, "doc_id", "source", "tok", {"big": 1}, 2_000)
+    assert only_big.filter(F.col("source") == "small").count() == 0
