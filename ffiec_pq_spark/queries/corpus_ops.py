@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.operators.chunking import chunk_sql
 from ffiec_pq_spark.functions.hashing import hash60_sql
 from ffiec_pq_spark.operators.sampling import mixture_gate_sql, mixture_sample
 from ffiec_pq_spark.operators.skew import salted_join
@@ -300,4 +301,105 @@ def orders_rollup_year_priority(spark, sf_dir):
         .alias("priority"),
         "n_orders",
         "total_price",
+    )
+
+
+_CHUNK, _OVERLAP = 48, 12
+
+
+@register(
+    "chunk_documents_stats",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               {chunk_sql('text', _CHUNK, _OVERLAP)['count']} - 1)) AS i
+      FROM documents
+    ),
+    x AS (
+      SELECT c.doc_id, i AS chunk_id,
+             {chunk_sql('text', _CHUNK, _OVERLAP)['text']} AS chunk_text,
+             CAST({chunk_sql('text', _CHUNK, _OVERLAP)['ntok']} AS BIGINT)
+               AS n_chunk_tokens
+      FROM c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           count(*)                           AS n_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS chunked_tokens,
+           md5(string_agg(chunk_text, '|' ORDER BY chunk_id)) AS chunks_md5,
+           CAST(max(n_chunk_tokens) AS BIGINT) AS max_chunk_tokens
+    FROM x GROUP BY doc_id
+    """,
+    tags=["text", "chunking", "rag"],
+)
+def chunk_documents_stats(spark, sf_dir):
+    """RAG chunking audit: every document split into 48-token windows
+    with 12-token overlap (:func:`~ffiec_pq_spark.operators.chunking.
+    chunk_documents` — pure slice/sequence array expressions, map-only
+    at any scale), then per-document chunk count, total chunked tokens,
+    and an md5 over the ordered chunk texts — the hash pins the exact
+    chunk boundaries, not just the counts."""
+    from ffiec_pq_spark.operators.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "text", "doc_id", _CHUNK, _OVERLAP)
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("chunked_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                "|",
+            )
+        ).alias("chunks_md5"),
+        F.max("n_chunk_tokens").alias("max_chunk_tokens"),
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lead(event_type) OVER w AS next_type,
+             date_diff('microsecond', CAST(ts AS TIMESTAMP),
+                       lead(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type, next_type,
+           count(*) AS n_transitions,
+           round(avg(CAST(gap_us AS DOUBLE) / 1000000.0), 4) AS avg_gap_s
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=["temporal", "markov"],
+)
+def events_transition_matrix(spark, sf_dir):
+    """Next-event transition matrix: per (event, next-event) pair the
+    transition count and mean gap — the label-generation pass for
+    next-action models and the sanity check on session plausibility.
+    One window shuffle on user_id (lead over the ts order), then a
+    25-cell aggregate; gaps subtract exact microsecond longs before any
+    double arithmetic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    ).filter(F.col("next_type").isNotNull())
+    return s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(F.avg(F.col("gap_us").cast("double") / 1_000_000.0), 4).alias(
+            "avg_gap_s"
+        ),
     )

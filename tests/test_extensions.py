@@ -154,3 +154,26 @@ def test_mixture_sample_respects_budget_and_caps(spark):
     # unweighted sources are dropped entirely
     only_big = mixture_sample(df, "doc_id", "source", "tok", {"big": 1}, 2_000)
     assert only_big.filter(F.col("source") == "small").count() == 0
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    from ffiec_pq_spark.operators.chunking import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "a b c")], "doc_id int, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=40, overlap=10)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    short = [r for r in rows if r.doc_id == 2]
+    assert len(short) == 1 and short[0].chunk_text == "a b c"
+    long = [r for r in rows if r.doc_id == 1]
+    # n=100, chunk=40, stride=30 -> 1 + ceil(60/30) = 3 chunks
+    assert [r.chunk_id for r in long] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in long] == [40, 40, 40]  # 60+40 = clamp at 100
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(long, long[1:]):
+        assert a.chunk_text.split()[-10:] == b.chunk_text.split()[:10]
+    # de-overlapped concatenation reconstructs the document
+    rebuilt = long[0].chunk_text.split()
+    for r in long[1:]:
+        rebuilt += r.chunk_text.split()[10:]
+    assert " ".join(rebuilt) == words
