@@ -48,12 +48,8 @@ def reconstruction_err(vec: Column) -> Column:
     step) by construction; the oracle pins that bound as a boolean."""
     s = _scale(vec)
     codes = quantize_codes_int8(vec)
-    n = F.size(vec)
-    errs = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.abs(
-            F.element_at(vec, i).cast("double") - F.element_at(codes, i) / s
-        ),
+    errs = F.zip_with(
+        vec, codes, lambda x, c: F.abs(x.cast("double") - c / s)
     )
     return F.array_max(errs)
 
