@@ -54,6 +54,17 @@ QUERIES = [
     "curation_pipeline",
     "decontaminate_eval_overlap",
     "stratified_balance_counts",
+    # round-3 extension operators
+    "pack_sequences_stats",
+    "text_repetition_stats",
+    "chunk_documents_stats",
+    "mixture_sample_counts",
+    "bigram_pmi_top",
+    "inverted_index_terms",
+    "salted_join_enrich",
+    "events_funnel",
+    "events_transition_matrix",
+    "embedding_quantize_int8",
 ]
 OFFSET = 10**9
 
