@@ -68,3 +68,34 @@ def quantize_int8_sql(vec_expr: str) -> dict[str, str]:
         f"i -> abs(CAST({vec_expr}[i] AS DOUBLE) - ({codes})[i] / {scale})))"
     )
     return {"scale": scale, "codes": codes, "max_err": err}
+
+
+def linear_score(vec: Column, weights: list[float], bias: float) -> Column:
+    """Model-inference-as-a-column: the dot product of an embedding
+    against a fixed weight vector plus bias — the quality-classifier /
+    reward-model scoring stage of a curation pipeline, expressed as a
+    broadcast-free JVM fold (the weights ride inside the plan as a
+    literal array; at 100 TB this is a map-only stage in whole-stage
+    codegen, no Python, no shuffle).
+
+    Determinism contract: ``F.aggregate`` folds left-to-right in array
+    order, matching a sequential SQL sum over the index — same IEEE
+    operation order, bit-identical doubles on both engines (unlike a
+    parallel/tree reduction)."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    prods = F.zip_with(vec, w, lambda x, y: x.cast("double") * y)
+    return (
+        F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p) + F.lit(float(bias))
+    )
+
+
+def linear_score_sql(vec_expr: str, weights: list[float], bias: float) -> str:
+    """DuckDB mirror: list_reduce over the same literal weights, same
+    left-to-right order, same double arithmetic."""
+    lits = ", ".join(repr(float(x)) for x in weights)
+    return (
+        f"(list_reduce(list_prepend(0.0, list_transform("
+        f"list_zip({vec_expr}, [{lits}]), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2])), (a, b) -> a + b) "
+        f"+ {float(bias)!r})"
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.operators.chunking import chunk_sql
+from ffiec_pq_spark.operators.quantize import linear_score, linear_score_sql
 from ffiec_pq_spark.functions.hashing import hash60_sql
 from ffiec_pq_spark.operators.sampling import mixture_gate_sql, mixture_sample
 from ffiec_pq_spark.operators.skew import salted_join
@@ -402,4 +403,39 @@ def events_transition_matrix(spark, sf_dir):
         F.round(F.avg(F.col("gap_us").cast("double") / 1_000_000.0), 4).alias(
             "avg_gap_s"
         ),
+    )
+
+
+# deterministic 64-dim weight vector (pseudo-random but fixed): the
+# classifier the inference stage applies; both engines embed the same
+# literals in their plans.
+_W = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
+_BIAS = 0.05
+
+
+@register(
+    "embedding_linear_score",
+    f"""
+    SELECT vec_id, label,
+           round({linear_score_sql('embedding', _W, _BIAS)}, 6) AS margin,
+           ({linear_score_sql('embedding', _W, _BIAS)} > 0.0) AS pred
+    FROM embeddings
+    """,
+    tags=["similarity", "inference"],
+)
+def embedding_linear_score(spark, sf_dir):
+    """Broadcast-weights model inference: every embedding scored by a
+    fixed linear classifier (dot product + bias) entirely as a JVM
+    array fold (:func:`~ffiec_pq_spark.operators.quantize.
+    linear_score`) — the shape of running a quality/reward scorer over
+    a 100 TB corpus with no Python and no shuffle.  Left-to-right fold
+    order matches the oracle's sequential list_reduce, so the margins
+    are bit-identical before the 6-dp round."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = linear_score(F.col("embedding"), _W, _BIAS)
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(s, 6).alias("margin"),
+        (s > F.lit(0.0)).alias("pred"),
     )
