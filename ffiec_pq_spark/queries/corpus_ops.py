@@ -341,8 +341,11 @@ def chunk_documents_stats(spark, sf_dir):
     and an md5 over the ordered chunk texts — the hash pins the exact
     chunk boundaries, not just the counts."""
     from ffiec_pq_spark.operators.chunking import chunk_documents
+    from ffiec_pq_spark.session import spread
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread: chunk-text materialization is CPU-bound and a small
+    # single-row-group scan is ONE task (no-op on multi-split inputs)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     ch = chunk_documents(d, "text", "doc_id", _CHUNK, _OVERLAP)
     return ch.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),

@@ -170,7 +170,12 @@ def text_repetition_stats(spark, sf_dir):
     token-frequency half is one explode + one (doc_id, token) shuffle
     — the same shape as the TF-IDF pass, so at 100 TB the two can
     share a scan."""
-    d = load_table(spark, sf_dir, "documents")
+    from ffiec_pq_spark.session import spread
+
+    # spread: the gram-fraction projection is the CPU-heavy stage, and a
+    # small single-row-group file scans as ONE task — repartition first
+    # so it uses every core (no-op on real multi-split inputs).
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = (
         d.select("doc_id", F.explode(tokens("text")).alias("t"))
         .filter(F.col("t") != "")
@@ -350,7 +355,9 @@ def embedding_quantize_int8(spark, sf_dir):
     bit-identical across engines.  Pure array expressions; map-only at
     100 TB, and the 4x size cut is what makes the ANN serving path
     memory-resident."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from ffiec_pq_spark.session import spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     vec = F.col("embedding")
     codes = quantize_codes_int8(vec)
     err = reconstruction_err(vec)
