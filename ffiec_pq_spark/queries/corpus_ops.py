@@ -442,3 +442,94 @@ def embedding_linear_score(spark, sf_dir):
         F.round(s, 6).alias("margin"),
         (s > F.lit(0.0)).alias("pred"),
     )
+
+
+_KNN_K = 3
+
+
+@register(
+    "knn_label_propagation",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id, t.label,
+             round(sum(q.x * t.x)
+                   / (sqrt(sum(q.x * q.x)) * sqrt(sum(t.x * t.x))), 6) AS s
+      FROM (SELECT * FROM ex WHERE vec_id % 10 = 0) q
+      JOIN (SELECT * FROM ex WHERE vec_id % 10 <> 0) t ON q.i = t.i
+      GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT q_id, t_id, label, s,
+             row_number() OVER (PARTITION BY q_id ORDER BY s DESC, t_id ASC)
+               AS rn
+      FROM sims
+    ),
+    votes AS (
+      SELECT q_id, label, count(*) AS n_votes, max(s) AS best_s
+      FROM top WHERE rn <= {_KNN_K} GROUP BY 1, 2
+    )
+    SELECT q_id, label AS pred_label, n_votes, round(best_s, 6) AS best_score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY n_votes DESC, best_s DESC, label ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    tags=["similarity", "labeling"],
+)
+def knn_label_propagation(spark, sf_dir):
+    """Weak-supervision label propagation: every held-out vector (the
+    deterministic ``vec_id % 10 == 0`` slice) takes the majority label
+    of its 3 nearest labeled neighbors by cosine (ties: more votes,
+    then higher best score, then smaller label).
+
+    The probe batch broadcasts against the labeled corpus — the
+    standard inference layout when queries are few and the corpus is
+    huge; per-query ranking is one window over the broadcast-join
+    output, and scores are ranked after a 6-dp round on both engines so
+    parallel-vs-sequential summation cannot reorder the cutoff."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    t = e.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"), "label"
+    )
+    s = F.round(
+        cosine(
+            F.transform(F.col("q_vec"), lambda x: x.cast("double")),
+            F.transform(F.col("t_vec"), lambda x: x.cast("double")),
+        ),
+        6,
+    )
+    sims = t.join(F.broadcast(q)).select("q_id", "t_id", "label", s.alias("s"))
+    wk = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("t_id"))
+    top = sims.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = top.groupBy("q_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.max("s").alias("best_s")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.desc("best_s"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            F.round("best_s", 6).alias("best_score"),
+        )
+    )
