@@ -496,20 +496,29 @@ def knn_label_propagation(spark, sf_dir):
     parallel-vs-sequential summation cannot reorder the cutoff."""
     from pyspark.sql import Window
 
-    from ffiec_pq_spark.operators.similarity import cosine
+    from ffiec_pq_spark.operators.similarity import dot, norm
+    from ffiec_pq_spark.session import spread
 
     e = load_table(spark, sf_dir, "embeddings")
+    # norms hoist to one computation per VECTOR (not per pair); the
+    # per-pair work is the dot product alone — same arithmetic as
+    # sum(q·t)/(|q||t|), just not recomputed n×m times
     q = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
     )
-    t = e.filter(F.col("vec_id") % 10 != 0).select(
-        F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"), "label"
+    # spread the labeled side: the cosine fan-out is the CPU-heavy
+    # stage and a single-row-group scan is ONE task (no-op at scale)
+    t = spread(e.filter(F.col("vec_id") % 10 != 0)).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("t_vec"),
+        norm(F.col("embedding")).alias("t_norm"),
+        "label",
     )
     s = F.round(
-        cosine(
-            F.transform(F.col("q_vec"), lambda x: x.cast("double")),
-            F.transform(F.col("t_vec"), lambda x: x.cast("double")),
-        ),
+        dot(F.col("q_vec"), F.col("t_vec"))
+        / (F.col("q_norm") * F.col("t_norm")),
         6,
     )
     sims = t.join(F.broadcast(q)).select("q_id", "t_id", "label", s.alias("s"))
