@@ -82,23 +82,31 @@ def ann_topk_bruteforce(
 def _pairs_exact(
     df: DataFrame, part_col: str, threshold: float, vec_col: str, id_col: str
 ) -> DataFrame:
-    """Exhaustive within-partition pairs (quadratic in the group size)."""
+    """Exhaustive within-partition pairs (quadratic in the group size).
+
+    Norms are hoisted to one computation per VECTOR before the
+    self-join — the per-pair work is the dot product alone, with the
+    arithmetic unchanged (``dot/(na*nb)`` is exactly ``cosine``)."""
     a = df.select(
         F.col(part_col).alias("part"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("_na"),
     )
     b = df.select(
         F.col(part_col).alias("part"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("_nb"),
     )
     scored = (
         a.join(b, "part")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "part", "id_a", "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("_raw"),
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
+            ).alias("_raw"),
         )
     )
     return _threshold_pairs(scored, threshold)
