@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.operators.chunking import chunk_sql
+from ffiec_pq_spark.operators.layout import interleave_bits_sql
 from ffiec_pq_spark.operators.quantize import linear_score, linear_score_sql
 from ffiec_pq_spark.functions.hashing import hash60_sql
 from ffiec_pq_spark.operators.sampling import mixture_gate_sql, mixture_sample
@@ -540,5 +541,62 @@ def knn_label_propagation(spark, sf_dir):
             F.col("label").alias("pred_label"),
             "n_votes",
             F.round("best_s", 6).alias("best_score"),
+        )
+    )
+
+
+_ZBITS = 11  # covers user buckets (0..2047) and minute-of-day (0..1439)
+
+
+@register(
+    "events_zorder_stats",
+    f"""
+    WITH d AS (
+      SELECT (user_id % 2048) AS au,
+             (CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) * 60
+              + CAST(extract(minute FROM CAST(ts AS TIMESTAMP)) AS BIGINT)) AS bm
+      FROM events
+    ),
+    z AS (
+      SELECT au, bm,
+             {interleave_bits_sql('au', 'bm', 11)} AS zval
+      FROM d
+    )
+    SELECT (zval >> 16) AS z_bucket,
+           count(*)  AS n_rows,
+           min(au)   AS min_user_bucket,
+           max(au)   AS max_user_bucket,
+           min(bm)   AS min_minute,
+           max(bm)   AS max_minute
+    FROM z GROUP BY 1
+    """,
+    tags=["layout", "zorder"],
+)
+def events_zorder_stats(spark, sf_dir):
+    """Z-order clustering audit: events mapped to the Morton code of
+    (user bucket, minute-of-day), then per z-range the bounding box of
+    both dimensions — narrow boxes on BOTH axes are exactly the
+    property that makes min/max file pruning work for predicates on
+    either column after a z-ordered write
+    (:func:`~ffiec_pq_spark.operators.layout.zorder_write`).  Pure
+    shift/mask expressions; one aggregation."""
+    from ffiec_pq_spark.operators.layout import interleave_bits
+
+    ev = load_table(spark, sf_dir, "events")
+    au = (F.col("user_id") % 2048).alias("au")
+    bm = (
+        F.hour("ts").cast("long") * 60 + F.minute("ts").cast("long")
+    ).alias("bm")
+    d = ev.select(au, bm)
+    z = interleave_bits(F.col("au"), F.col("bm"), _ZBITS)
+    return (
+        d.select("au", "bm", z.alias("zval"))
+        .groupBy(F.shiftright("zval", 16).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("au").alias("min_user_bucket"),
+            F.max("au").alias("max_user_bucket"),
+            F.min("bm").alias("min_minute"),
+            F.max("bm").alias("max_minute"),
         )
     )

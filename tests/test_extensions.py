@@ -177,3 +177,29 @@ def test_chunk_documents_overlap_and_reconstruction(spark):
     for r in long[1:]:
         rebuilt += r.chunk_text.split()[10:]
     assert " ".join(rebuilt) == words
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ffiec_pq_spark.operators.layout import zorder_write
+
+    # uniform grid over (a, b): any single-column sort leaves the other
+    # column spanning the full range in every file; z-order bounds both.
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = str(tmp_path / "zordered")
+    zorder_write(df, out, "a", "b", bits=6, n_files=16)
+
+    import glob
+
+    boxes = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        t = pq.read_table(f)
+        pa, pb = t.column("a").to_pylist(), t.column("b").to_pylist()
+        boxes.append((max(pa) - min(pa), max(pb) - min(pb)))
+    assert len(boxes) >= 8
+    # every file's bounding box is narrow on BOTH axes (global span 63);
+    # a lexicographic sort would give span ~63 on the trailing column.
+    for da, db in boxes:
+        assert da <= 32 and db <= 32, boxes
