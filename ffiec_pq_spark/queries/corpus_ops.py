@@ -600,3 +600,138 @@ def events_zorder_stats(spark, sf_dir):
             F.max("bm").alias("max_minute"),
         )
     )
+
+
+_TOPK_PER_SRC = 5
+
+
+@register(
+    "fixed_k_per_source",
+    f"""
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {hash60_sql('doc_id', seed=3)} ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_TOPK_PER_SRC}
+    """,
+    tags=["curation", "sampling"],
+)
+def fixed_k_per_source(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sampling: each source
+    contributes its k=5 lowest-content-hash documents — a fixed-size
+    eval slice whose membership is stable across engines, partitioning,
+    and re-runs (rate-based gates give approximate sizes; ranking a
+    content hash gives exact ones).  One window shuffle on the
+    stratum."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.functions.hashing import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash60("doc_id", seed=3).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK_PER_SRC)
+        .drop("rn")
+    )
+
+
+@register(
+    "events_cumulative_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT d AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    """,
+    tags=["temporal", "analytics"],
+)
+def events_cumulative_users(spark, sf_dir):
+    """Cumulative-unique-users growth curve: distinct users resolve to
+    their first-seen day (one aggregation), then a running sum over the
+    tiny per-day series — the scalable form of 'count distinct users to
+    date' (a naive distinct-over-window would re-deduplicate the full
+    history per day).  The global window runs over ~days rows, not
+    data-sized input."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@register(
+    "value_outliers_mad",
+    """
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, max(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_outliers,
+           round(max(m.med), 6) AS median_value,
+           round(max(m.mad), 6) AS mad_value
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    WHERE abs(e.value - m.med) > 3.5 * 1.4826 * m.mad
+    GROUP BY 1
+    """,
+    tags=["analytics", "outliers"],
+)
+def value_outliers_mad(spark, sf_dir):
+    """Robust outlier gate: per event type, values beyond 3.5 robust
+    sigmas (median absolute deviation x 1.4826) of the median — the
+    curation-metric outlier filter that heavy tails cannot corrupt the
+    way mean/stddev gates can.  Two grouped exact percentiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, both linear-
+    interpolated) over a 5-key group, each a tiny broadcast back onto
+    the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    out = ev.join(F.broadcast(mad), "event_type").filter(
+        F.abs(F.col("value") - F.col("med")) > 3.5 * 1.4826 * F.col("mad")
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(F.max("mad"), 6).alias("mad_value"),
+    )
