@@ -735,3 +735,116 @@ def value_outliers_mad(spark, sf_dir):
         F.round(F.max("med"), 6).alias("median_value"),
         F.round(F.max("mad"), 6).alias("mad_value"),
     )
+
+
+_CMS_W, _CMS_D = 16, 3  # width (buckets) x depth (hash rows)
+
+
+def _cms_sql() -> str:
+    rows = []
+    for j in range(_CMS_D):
+        rows.append(
+            f"cms{j} AS (SELECT ({hash60_sql('event_type', seed=j)} % {_CMS_W})"
+            f" AS b, count(*) AS c FROM events GROUP BY 1)"
+        )
+    return ", ".join(rows)
+
+
+@register(
+    "countmin_heavy_hitters",
+    f"""
+    WITH {_cms_sql()},
+    exact AS (
+      SELECT event_type, count(*) AS exact_count,
+             ({hash60_sql('event_type', seed=0)} % {_CMS_W}) AS b0,
+             ({hash60_sql('event_type', seed=1)} % {_CMS_W}) AS b1,
+             ({hash60_sql('event_type', seed=2)} % {_CMS_W}) AS b2
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.exact_count,
+           least(c0.c, c1.c, c2.c) AS cms_estimate,
+           (least(c0.c, c1.c, c2.c) >= e.exact_count) AS never_undercounts
+    FROM exact e
+    JOIN cms0 c0 ON e.b0 = c0.b
+    JOIN cms1 c1 ON e.b1 = c1.b
+    JOIN cms2 c2 ON e.b2 = c2.b
+    """,
+    tags=["analytics", "sketch"],
+)
+def countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch, certified exactly: a depth-3 x width-16 CMS
+    over event types built from three grouped counts (each CMS row is
+    one map-side-combined aggregation — the mergeable-sketch shape that
+    runs incrementally over a stream or tree-merges across 1000
+    executors), then every key's estimate = min over its three buckets.
+    Deterministic hashes mean the oracle reproduces the exact estimate,
+    and the CMS guarantee (never undercounts) rides along as a pinned
+    boolean."""
+    from ffiec_pq_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    out = exact
+    for j in range(_CMS_D):
+        cms = (
+            ev.groupBy((hash60("event_type", seed=j) % _CMS_W).alias(f"b{j}"))
+            .agg(F.count(F.lit(1)).alias(f"c{j}"))
+        )
+        out = out.withColumn(
+            f"b{j}", hash60("event_type", seed=j) % _CMS_W
+        ).join(F.broadcast(cms), f"b{j}")
+    est = F.least(*[F.col(f"c{j}") for j in range(_CMS_D)])
+    return out.select(
+        "event_type",
+        "exact_count",
+        est.alias("cms_estimate"),
+        (est >= F.col("exact_count")).alias("never_undercounts"),
+    )
+
+
+@register(
+    "sentence_stats",
+    """
+    WITH s AS (
+      SELECT doc_id, trim(sent) AS sent
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '[.!?]+')) AS sent
+        FROM documents
+      ) WHERE trim(sent) <> ''
+    )
+    SELECT doc_id,
+           count(*) AS n_sentences,
+           CAST(min(len(string_split_regex(trim(sent), '\\s+'))) AS BIGINT)
+             AS min_sent_tokens,
+           CAST(max(len(string_split_regex(trim(sent), '\\s+'))) AS BIGINT)
+             AS max_sent_tokens,
+           CAST(sum(len(string_split_regex(trim(sent), '\\s+'))) AS BIGINT)
+             AS total_sent_tokens
+    FROM s GROUP BY doc_id
+    """,
+    tags=["text", "segmentation"],
+)
+def sentence_stats(spark, sf_dir):
+    """Sentence segmentation (regex boundary split on [.!?]+) with
+    per-document sentence count and token-length extremes — the
+    sentence-level quality signals (fragment detection, run-on
+    detection) of a text-curation pass.  One explode + one grouped
+    aggregation; the splitter is the identical RE2 pattern on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("sent"),
+        )
+        .select("doc_id", F.trim("sent").alias("sent"))
+        .filter(F.col("sent") != "")
+    )
+    ntok = F.size(F.split(F.trim(F.col("sent")), r"\s+"))
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.min(ntok).alias("min_sent_tokens"),
+        F.max(ntok).alias("max_sent_tokens"),
+        F.sum(ntok).alias("total_sent_tokens"),
+    )
