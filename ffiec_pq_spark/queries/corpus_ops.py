@@ -1,6 +1,10 @@
-"""Corpus-construction operators, second batch: training-mixture
-sampling, inverted-index postings, bigram collocations (rational PMI),
-an explicit salted skew join, and a ROLLUP subtotal plan.
+"""Corpus-construction operators, second batch: training-mixture and
+exact-k-per-stratum sampling, inverted-index postings, bigram
+collocations (rational PMI), sentence segmentation, an explicit salted
+skew join, ROLLUP subtotals, RAG chunking audit, next-event transition
+matrix, kNN label propagation, broadcast linear-model scoring, Z-order
+clustering audit, cumulative-user growth, median/MAD outlier gate, and
+exactly-certified count-min heavy hitters.
 
 Registers after ``dedup`` — right at the certification-window boundary;
 the longest-uncertified queries keep the guaranteed slots and this

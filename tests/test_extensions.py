@@ -203,3 +203,26 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     # a lexicographic sort would give span ~63 on the trailing column.
     for da, db in boxes:
         assert da <= 32 and db <= 32, boxes
+
+
+def test_interleave_bits_roundtrip(spark):
+    from ffiec_pq_spark.operators.layout import interleave_bits
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 63, 64, 1023) for b in (0, 2, 7, 100, 1023)],
+        "a long, b long",
+    )
+    z = interleave_bits(F.col("a"), F.col("b"), bits=10)
+    # de-interleave in-plan: gather even bits back into a, odd into b
+    back_a = sum(
+        (F.shiftright(z, 2 * i).bitwiseAND(F.lit(1)) * F.lit(2**i) for i in range(10)),
+        F.lit(0).cast("long"),
+    )
+    back_b = sum(
+        (F.shiftright(z, 2 * i + 1).bitwiseAND(F.lit(1)) * F.lit(2**i) for i in range(10)),
+        F.lit(0).cast("long"),
+    )
+    bad = df.select(
+        "a", "b", back_a.alias("ra"), back_b.alias("rb")
+    ).filter((F.col("a") != F.col("ra")) | (F.col("b") != F.col("rb")))
+    assert bad.count() == 0
