@@ -852,3 +852,90 @@ def sentence_stats(spark, sf_dir):
         F.max(ntok).alias("max_sent_tokens"),
         F.sum(ntok).alias("total_sent_tokens"),
     )
+
+
+@register(
+    "corpus_bias_contingency",
+    """
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+    cols_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY source),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM obs)
+    SELECT obs.lang, obs.source, o AS observed,
+           round(CAST(r AS DOUBLE) * c / total, 6) AS expected,
+           round(o * CAST(total AS DOUBLE) / (CAST(r AS DOUBLE) * c), 6)
+             AS lift
+    FROM obs JOIN rows_ USING (lang) JOIN cols_ USING (source) CROSS JOIN n
+    """,
+    tags=["curation", "audit"],
+)
+def corpus_bias_contingency(spark, sf_dir):
+    """Dataset bias audit: the (language x source) contingency table
+    with expected counts under independence and the lift ratio
+    ``observed * N / (row_total * col_total)`` — the first table a
+    curation review reads to spot a source feeding one language only.
+    Rational arithmetic throughout (no chi-square p-value, which would
+    need engine-variant special functions); three tiny aggregates
+    broadcast onto the cell table."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("total"))
+    return (
+        obs.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("o").alias("observed"),
+            F.round(
+                F.col("r").cast("double") * F.col("c") / F.col("total"), 6
+            ).alias("expected"),
+            F.round(
+                F.col("o") * F.col("total").cast("double")
+                / (F.col("r").cast("double") * F.col("c")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "events_context_pairs",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type, 2) OVER w AS ctx1,
+             lag(event_type, 1) OVER w AS ctx2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT ctx1 || '>' || ctx2 AS context, event_type AS label,
+           count(*) AS n_examples
+    FROM s WHERE ctx1 IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=["temporal", "training-pairs"],
+)
+def events_context_pairs(spark, sf_dir):
+    """Next-action training-example extraction: (2-event context ->
+    label) pairs per user history with example counts — the
+    supervised-pair materialization step of a behavioral model
+    pipeline.  One window shuffle on user_id (two lags share the same
+    frame), one bounded aggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.lag("event_type", 2).over(w).alias("ctx1"),
+        F.lag("event_type", 1).over(w).alias("ctx2"),
+        F.col("event_type").alias("label"),
+    ).filter(F.col("ctx1").isNotNull())
+    return s.groupBy(
+        F.concat_ws(">", "ctx1", "ctx2").alias("context"), "label"
+    ).agg(F.count(F.lit(1)).alias("n_examples"))
