@@ -68,6 +68,11 @@ def kmeans_init(
         .limit(k)
         .collect()
     )
+    if not rows:
+        # fail fast with a diagnosable error: an empty centroid list
+        # would otherwise surface as an obscure VOID-type
+        # AnalysisException from array_min(array()) in assign_cells
+        raise ValueError("kmeans_init: cannot seed centroids from an empty input")
     return [list(r["v"]) for r in rows]
 
 

@@ -1,0 +1,50 @@
+"""Empty-input robustness: every registry query must run (possibly to
+zero rows) against schema-correct EMPTY tables — the empty-partition /
+empty-snapshot edge a 100 TB pipeline hits routinely (a new date
+partition, a filtered-out shard, a cold-start corpus).
+
+Trainers that genuinely cannot proceed without data (k-means seeding)
+must fail fast with a clear diagnostic, never an analyzer artifact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ffiec_pq_spark.catalog import queries
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# trainers that fail fast (with a clear error) on empty input by design
+EXPECT_RAISE = {"kmeans_cell_sizes": ValueError}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory, sf_dir):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(sf_dir, f"{t}.parquet"))
+        empty = pa.table({f.name: pa.array([], type=f.type) for f in schema})
+        pq.write_table(empty, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def test_all_queries_survive_empty_tables(spark, empty_sf_dir):
+    failures = []
+    for name, fn in queries().items():
+        expected = EXPECT_RAISE.get(name)
+        try:
+            fn(spark, empty_sf_dir).limit(5).collect()
+            if expected is not None:
+                failures.append(f"{name}: expected {expected.__name__}, ran fine")
+        except Exception as e:  # noqa: BLE001 - classifying everything
+            if expected is None or not isinstance(e, expected):
+                failures.append(f"{name}: {type(e).__name__}: {str(e)[:140]}")
+    assert not failures, "\n".join(failures)
