@@ -939,3 +939,39 @@ def events_context_pairs(spark, sf_dir):
     return s.groupBy(
         F.concat_ws(">", "ctx1", "ctx2").alias("context"), "label"
     ).agg(F.count(F.lit(1)).alias("n_examples"))
+
+
+@register(
+    "segment_regression_trend",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(regr_slope(value,
+             CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS DOUBLE)), 6)
+             AS slope,
+           round(regr_intercept(value,
+             CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS DOUBLE)), 6)
+             AS intercept,
+           round(corr(value,
+             CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS DOUBLE)), 6)
+             AS correlation
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["analytics", "regression"],
+)
+def segment_regression_trend(spark, sf_dir):
+    """Model-per-segment fitting: a least-squares value-vs-hour trend
+    line (slope, intercept, correlation) PER event type in one grouped
+    aggregation — ``regr_slope``/``regr_intercept``/``corr`` are
+    algebraic (sums of products), so the whole fit is map-side partials
+    + one shuffle, the distributed form of fitting thousands of tiny
+    per-segment models without a Python loop."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), hr), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), hr), 6).alias("intercept"),
+        F.round(F.corr(F.col("value"), hr), 6).alias("correlation"),
+    )

@@ -228,3 +228,80 @@ def text_winnow_fingerprints(spark, sf_dir):
         d, "text", "doc_id", k=5, window=4, hash_fn=hash60
     )
     return fps.select("doc_id", F.explode("fps").alias("fp"))
+
+
+@register(
+    "substring_containment",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {{norm}} AS norm FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(norm) - 4, 1)),
+               i -> (('0x' || substr(md5('s0:' || substr(norm, i, 5)), 1, 15))::BIGINT)
+             ) AS hs
+      FROM g
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 3, 1)),
+               j -> list_min(hs[j:j+3])
+             )) AS fps
+      FROM h
+    ),
+    fps AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    ev AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0),
+    tr AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0),
+    shared AS (
+      SELECT e.doc_id, count(*) AS n_shared
+      FROM ev e JOIN tr t ON e.fp = t.fp
+      GROUP BY 1
+    )
+    SELECT ev.doc_id,
+           count(*) AS n_fps,
+           coalesce(max(s.n_shared), 0) AS n_shared,
+           round(CAST(coalesce(max(s.n_shared), 0) AS DOUBLE) / count(*), 6)
+             AS containment
+    FROM ev LEFT JOIN shared s ON ev.doc_id = s.doc_id
+    GROUP BY 1
+    """.replace("{norm}", _NORM_SQL),
+    tags=["text", "fingerprint", "decontamination"],
+)
+def substring_containment(spark, sf_dir):
+    """Substring-level containment (quote/contamination detection): for
+    each held-out document, the fraction of its winnowing fingerprints
+    that also occur anywhere in the train slice — catches verbatim
+    reuse of >=8-char substrings, which shingle-level decontamination
+    (word 3-grams) can miss across tokenization changes.  Reuses the
+    winnowing operator on both slices; the join key is a 60-bit
+    fingerprint, so the semi-join is uniform and the per-doc aggregate
+    bounded."""
+    from ffiec_pq_spark.operators.text import winnow_fingerprints_df
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints_df(
+        d, "text", "doc_id", k=5, window=4, hash_fn=hash60
+    ).select("doc_id", F.explode("fps").alias("fp"))
+    ev = fps.filter(F.col("doc_id") % 10 == 0)
+    tr = fps.filter(F.col("doc_id") % 10 != 0).select("fp").distinct()
+    shared = (
+        ev.join(tr, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        ev.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fps",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("n_fps"), 6
+            ).alias("containment"),
+        )
+    )
