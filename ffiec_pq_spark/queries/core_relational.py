@@ -786,7 +786,16 @@ def quantiles_by_flag(spark, sf_dir):
     the same continuous-quantile definition).  At 100 TB switch to
     approx_percentile: one pass, mergeable sketches, bounded memory —
     exact percentile must materialize each group's values."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from ffiec_pq_spark.session import spread
+
+    # spread: exact percentile buffers each group's values in the
+    # partial aggregate, so a near-single-split scan serializes the
+    # buffering on few tasks (no-op on real multi-split inputs)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
+    )
     return li.groupBy("l_returnflag").agg(
         *[
             F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(name)

@@ -282,9 +282,13 @@ def substring_containment(spark, sf_dir):
     from ffiec_pq_spark.operators.text import winnow_fingerprints_df
 
     d = load_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints_df(
-        d, "text", "doc_id", k=5, window=4, hash_fn=hash60
-    ).select("doc_id", F.explode("fps").alias("fp"))
+    # persist: the fingerprint table feeds both the eval and train
+    # slices; uncached, the winnowing (the CPU-heavy stage) runs twice
+    fps = (
+        winnow_fingerprints_df(d, "text", "doc_id", k=5, window=4, hash_fn=hash60)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .persist()
+    )
     ev = fps.filter(F.col("doc_id") % 10 == 0)
     tr = fps.filter(F.col("doc_id") % 10 != 0).select("fp").distinct()
     shared = (
