@@ -46,6 +46,9 @@ QUERIES = [
     "pivot_roundtrip",
     "dup_key_groups",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "substring_containment",
     "text_quality_score",
     "corpus_tfidf_top_terms",
     "text_winnow_fingerprints",
