@@ -259,3 +259,39 @@ def stream_sessionize_stateful(spark, sf_dir):
         "n_batch_sessions long, all_emitted_match_batch boolean, "
         "unemitted_are_open_tails boolean",
     )
+
+
+@register(
+    "stream_dedup_bounded_state",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=["streaming", "dedup"],
+)
+def stream_dedup_bounded_state(spark, sf_dir):
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` expires each seen-key entry once
+    the watermark passes its event time — the form that can run forever
+    at 100 TB (plain ``dropDuplicates`` state grows with the distinct-
+    key count unboundedly).  With a watermark wider than the finite
+    test stream's timespan no key expires mid-drain, so the drained
+    output must still equal the batch DISTINCT exactly — which is
+    precisely the correctness contract: bounding state must not change
+    results within the lateness horizon."""
+    from ffiec_pq_spark.streaming.events import stream_events
+
+    stream = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_wm_{next(_SINK_IDS)}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
