@@ -100,8 +100,13 @@ def jaccard_pairs(
     the set-size aggregate, and shingling is the CPU-heavy stage — an
     uncached plan recomputes it three times (measured 3x wall time).
     The cache is the exploded (id, shingle) pairs, far smaller than
-    the pair fan-out, and the context cleaner frees it once the query's
-    references drop."""
+    the pair fan-out.  It is deliberately session-lifetime: Spark's
+    CacheManager pins cached plans until explicit unpersist or session
+    stop (it does NOT free on reference drop), but it also dedupes by
+    logical plan, so re-running the same query reuses one entry rather
+    than accumulating.  Long-lived sessions cycling through many
+    DISTINCT inputs should ``spark.catalog.clearCache()`` between
+    pipelines."""
     sh = doc_shingles(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_df is not None:
@@ -275,7 +280,9 @@ def minhash_near_dups(
     assert n_perm % n_bands == 0
     # shingle ONCE and cache: signatures, the verify self-join's two
     # branches, and the set sizes all read the same (id, shingle) frame
-    # (uncached, shingling — the CPU-heavy stage — would run 4x)
+    # (uncached, shingling — the CPU-heavy stage — would run 4x).
+    # Session-lifetime cache by design (CacheManager dedupes same-plan
+    # persists; clearCache() between pipelines on long-lived sessions)
     sh = doc_shingles(df, text_col, id_col, k).persist()
     sig = minhash_signatures(
         df, text_col, id_col, k, n_perm, seed, _shingles=sh

@@ -131,7 +131,13 @@ def mixture_sample(
             F.col(source_col) == src,
             F.least(
                 F.lit(_BUCKETS).cast("long"),
-                F.expr(f"({t} * {_BUCKETS}) div _src_tok"),
+                # a source whose token total is 0 (or NULL) divides to
+                # NULL; it is by definition under its target, so the
+                # keep-whole contract applies — coalesce to keep-all
+                F.coalesce(
+                    F.expr(f"({t} * {_BUCKETS}) div _src_tok"),
+                    F.lit(_BUCKETS).cast("long"),
+                ),
             ),
         ).otherwise(gate_expr)
     gates = totals.select(source_col, gate_expr.alias("_gate"))
@@ -155,8 +161,9 @@ def mixture_gate_sql(
     arithmetic, same hash)."""
     total_w = sum(weights.values())
     cases = " ".join(
-        f"WHEN {source_col} = '{s}' THEN least({_BUCKETS}, "
-        f"({(budget_tokens * w) // total_w} * {_BUCKETS}) // {src_tok_expr})"
+        f"WHEN {source_col} = '{s}' THEN least({_BUCKETS}, coalesce("
+        f"({(budget_tokens * w) // total_w} * {_BUCKETS}) // {src_tok_expr}, "
+        f"{_BUCKETS}))"
         for s, w in sorted(weights.items())
     )
     return (

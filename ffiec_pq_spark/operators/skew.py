@@ -89,11 +89,23 @@ def salted_join(
     explicit one that always does.
 
     Result == ``big.join(small, key)`` exactly (inner), with the salt
-    column dropped.
+    column dropped.  Precondition: ``key`` must be the only column name
+    the two inputs share (a standard equi-join precondition — any other
+    shared name would be ambiguous in the joined output regardless of
+    salting); the salt column itself is auto-suffixed until it collides
+    with neither input, so a user column literally named ``_salt``
+    cannot be silently clobbered.
     """
+    salt_col = "_salt"
+    taken = set(big.columns) | set(small.columns)
+    i = 0
+    while salt_col in taken:
+        salt_col = f"_salt_{i}"
+        i += 1
     salt = F.pmod(F.xxhash64(salt_from), F.lit(n_salts)).cast("int")
-    b = big.withColumn("_salt", salt)
+    b = big.withColumn(salt_col, salt)
     s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+        salt_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
     )
-    return b.join(s, [key, "_salt"], "inner").drop("_salt")
+    return b.join(s, [key, salt_col], "inner").drop(salt_col)

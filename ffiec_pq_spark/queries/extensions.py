@@ -594,10 +594,9 @@ def q6_forecast_revenue(spark, sf_dir):
 )
 def q10_returned_revenue_topk(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue per customer over a
-    4-table join, top 20.  nation broadcasts; customer joins post-agg
-    ... actually pre-agg here like the spec; the top-k is
-    TakeOrderedAndProject (no global sort), tie-broken on c_custkey so
-    the cutoff is deterministic."""
+    4-table join, top 20.  nation broadcasts; customer joins pre-agg as
+    in the spec; the top-k is TakeOrderedAndProject (no global sort),
+    tie-broken on c_custkey so the cutoff is deterministic."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))

@@ -283,7 +283,9 @@ def substring_containment(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     # persist: the fingerprint table feeds both the eval and train
-    # slices; uncached, the winnowing (the CPU-heavy stage) runs twice
+    # slices; uncached, the winnowing (the CPU-heavy stage) runs twice.
+    # Session-lifetime cache by design (CacheManager dedupes same-plan
+    # persists; clearCache() between pipelines on long-lived sessions)
     fps = (
         winnow_fingerprints_df(d, "text", "doc_id", k=5, window=4, hash_fn=hash60)
         .select("doc_id", F.explode("fps").alias("fp"))
