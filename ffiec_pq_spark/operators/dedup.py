@@ -84,6 +84,75 @@ def doc_set_sizes(
     )
 
 
+def _content_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, rep, g) per document: ``rep`` = min id among documents with
+    byte-identical NORMALIZED content (lower + trim + whitespace
+    collapse — the same normalization the shingler applies, so equal
+    hash implies equal token sequence implies equal shingle set), ``g``
+    = copy count.  One shuffle on the content hash.
+
+    This is the collapse step that makes the pairwise dedup operators
+    duplicate-proof: on a corpus where documents repeat d times, every
+    shingle's document frequency and every near-dup clique grows by d,
+    so pair fan-out grows by d² — but the DISTINCT-content relation
+    stays fixed.  Run the quadratic-shaped work on representatives,
+    then expand results back to copies (pure output materialization)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_chash")
+    return (
+        df.select(
+            F.col(id_col).alias("id"), fingerprint_md5(text_col).alias("_chash")
+        )
+        .withColumn("rep", F.min("id").over(w))
+        .withColumn("g", F.count(F.lit(1)).over(w))
+        .drop("_chash")
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, copies: DataFrame, score_col: str
+) -> DataFrame:
+    """Cross-group expansion: every representative pair (id_a, id_b,
+    score) becomes |A|x|B| copy pairs with the same score, emitted as
+    (least, greatest) so the id_a < id_b contract survives arbitrary
+    id interleaving between the two groups."""
+    ca = copies.select(F.col("rep").alias("_ra"), F.col("id").alias("_ia"))
+    cb = copies.select(F.col("rep").alias("_rb"), F.col("id").alias("_ib"))
+    return (
+        rep_pairs.join(ca, rep_pairs.id_a == ca._ra)
+        .join(cb, rep_pairs.id_b == cb._rb)
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            F.col(score_col),
+        )
+    )
+
+
+def _within_group_pairs(
+    qualifying_reps: DataFrame, copies: DataFrame, score_col: str
+) -> DataFrame:
+    """All C(g, 2) copy pairs inside each qualifying group (one row per
+    rep with the group's score): the pairs the naive pipeline finds
+    between identical copies, produced here without ever joining them
+    on shingles."""
+    ca = copies.select(F.col("rep").alias("_r"), F.col("id").alias("_ia"))
+    cb = copies.select(F.col("rep").alias("_r"), F.col("id").alias("_ib"))
+    return (
+        qualifying_reps.join(ca, qualifying_reps.id == ca._r)
+        .join(cb, qualifying_reps.id == cb._r)
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.col(score_col),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -91,6 +160,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard).
 
@@ -106,19 +176,72 @@ def jaccard_pairs(
     logical plan, so re-running the same query reuses one entry rather
     than accumulating.  Long-lived sessions cycling through many
     DISTINCT inputs should ``spark.catalog.clearCache()`` between
-    pipelines."""
-    sh = doc_shingles(df, text_col, id_col, k).persist()
+    pipelines.
+
+    ``collapse_exact`` (default): exact-duplicate documents are
+    collapsed to one representative BEFORE the shingle self-join and
+    the resulting rep pairs are expanded back to copy pairs afterwards
+    (:func:`_content_groups`) — identical output, but the quadratic-
+    shaped work runs on distinct content only, so a corpus where every
+    document repeats d times costs ~1x the distinct corpus instead of
+    d².  The df-cap is preserved exactly by weighting each rep's
+    shingles with its copy count g (raw df = Σ g); within-group pairs
+    score c/(2s − c) where c = |capped set|, s = |uncapped set| — the
+    same value the naive pipeline derives pairwise.  The SQL oracle
+    runs the NAIVE formulation, so the driver's hash compare proves
+    this rewrite, not just exercises it."""
+    if not collapse_exact:
+        sh = doc_shingles(df, text_col, id_col, k).persist()
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+        if max_shingle_df is not None:
+            keep = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df_"))
+                .filter(F.col("df_") <= max_shingle_df)
+                .select("shingle")
+            )
+            sh = sh.join(keep, "shingle")
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(
+            F.col("id").alias("id_a"), F.col("set_size").alias("size_a")
+        )
+        sb = sizes.select(
+            F.col("id").alias("id_b"), F.col("set_size").alias("size_b")
+        )
+        return _project_jaccard(
+            inter.join(sa, "id_a").join(sb, "id_b"), threshold
+        )
+
+    groups = _content_groups(df, text_col, id_col).persist()
+    rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
+    rep_docs = df.join(
+        rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    sh = doc_shingles(rep_docs, text_col, id_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    shc = sh
     if max_shingle_df is not None:
+        # raw document frequency = Σ copy-count over reps: identical
+        # copies all contain the shingle, so the weighted sum equals
+        # the naive per-document count exactly
         keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
+            sh.join(rep_ids, "id")
+            .groupBy("shingle")
+            .agg(F.sum("g").alias("df_"))
             .filter(F.col("df_") <= max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle")
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+        shc = sh.join(keep, "shingle")
+    csize = shc.groupBy("id").agg(F.count(F.lit(1)).alias("_c"))
+    a = shc.select(F.col("id").alias("id_a"), "shingle")
+    b = shc.select(F.col("id").alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -127,7 +250,32 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
-    return _project_jaccard(inter.join(sa, "id_a").join(sb, "id_b"), threshold)
+    raw = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    rep_pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+    )
+    copies = groups.select("rep", "id")
+    cross = _expand_rep_pairs(rep_pairs, copies, "jaccard")
+    # within-group score: identical copies share exactly the capped set
+    # (c shingles) over uncapped sizes s each -> c / (2s - c); reps
+    # with an empty uncapped set have no sizes row and produce no pair,
+    # matching the naive join (nothing to join on)
+    raw_w = F.col("_c") / (2 * F.col("set_size") - F.col("_c"))
+    qual = (
+        rep_ids.filter(F.col("g") >= 2)
+        .join(sizes, "id")
+        .join(csize, "id", "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        .filter(raw_w >= threshold)
+        .select("id", F.round(raw_w, 6).alias("jaccard"))
+    )
+    within = _within_group_pairs(qual, copies, "jaccard")
+    return cross.unionByName(within)
 
 
 def contamination_overlap(
@@ -274,10 +422,54 @@ def minhash_near_dups(
     n_bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: candidates from banding, then exact
-    Jaccard verification of candidates only: (id_a, id_b, jaccard)."""
+    Jaccard verification of candidates only: (id_a, id_b, jaccard).
+
+    ``collapse_exact`` (default): exact-duplicate documents collapse to
+    one representative before signatures/banding/verification and the
+    rep pairs expand back to copy pairs at the end (see
+    :func:`_content_groups`).  Identical copies have identical
+    signatures, hence identical bands, so (x∈A, y∈B) is a naive
+    candidate iff (rep_A, rep_B) is — and every within-group pair of a
+    rep with a non-empty shingle set is a candidate scoring exactly
+    1.0.  Output is identical to the naive pipeline (the SQL oracle
+    replays the naive one), but duplicate-heavy corpora no longer grow
+    the candidate verification quadratically."""
     assert n_perm % n_bands == 0
+    if collapse_exact:
+        groups = _content_groups(df, text_col, id_col).persist()
+        rep_docs = df.join(
+            groups.filter(F.col("id") == F.col("rep")).select(
+                F.col("id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        rep_pairs = minhash_near_dups(
+            rep_docs, text_col, id_col, k, n_perm, n_bands, threshold, seed,
+            collapse_exact=False,
+        )
+        copies = groups.select("rep", "id")
+        cross = _expand_rep_pairs(rep_pairs, copies, "jaccard")
+        # identical copies: jaccard exactly 1.0 whenever the shingle
+        # set is non-empty (threshold <= 1 always admits them; an
+        # empty set produces no signature row, hence no naive pair)
+        sizes_rep = doc_shingles(rep_docs, text_col, id_col, k).groupBy(
+            "id"
+        ).agg(F.count(F.lit(1)).alias("set_size"))
+        qual = (
+            groups.filter(F.col("id") == F.col("rep"))
+            .filter(F.col("g") >= 2)
+            .select("id")
+            .join(sizes_rep, "id", "left_semi")
+            .withColumn("jaccard", F.round(F.lit(1.0), 6))
+        )
+        if threshold > 1.0:
+            qual = qual.filter(F.lit(False))
+        within = _within_group_pairs(qual, copies, "jaccard")
+        return cross.unionByName(within)
     # shingle ONCE and cache: signatures, the verify self-join's two
     # branches, and the set sizes all read the same (id, shingle) frame
     # (uncached, shingling — the CPU-heavy stage — would run 4x).

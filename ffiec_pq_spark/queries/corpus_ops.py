@@ -494,41 +494,27 @@ def knn_label_propagation(spark, sf_dir):
     of its 3 nearest labeled neighbors by cosine (ties: more votes,
     then higher best score, then smaller label).
 
-    The probe batch broadcasts against the labeled corpus — the
-    standard inference layout when queries are few and the corpus is
-    huge; per-query ranking is one window over the broadcast-join
-    output, and scores are ranked after a 6-dp round on both engines so
-    parallel-vs-sequential summation cannot reorder the cutoff."""
+    Exact kNN via :func:`~ffiec_pq_spark.operators.similarity.
+    knn_exact_topk`: tiled probe broadcast + per-partition BLAS matmul
+    emitting only local top-3 candidates (ties kept), then one tiny
+    global window — the former broadcast-cartesian materialized every
+    (probe x corpus) pair through the window shuffle, which is the
+    O(0.1 n²)-ROWS shape that cannot survive scale even when the
+    arithmetic must remain O(n·m).  (IVF/LSH routing is NOT used here:
+    these embeddings are unclustered, so approximate routing would
+    change answers; the exact operator's cost is the matmul, which is
+    the brute-force baseline's floor.)  Scores rank after a 6-dp round
+    on both engines so summation order cannot reorder the cutoff."""
     from pyspark.sql import Window
 
-    from ffiec_pq_spark.operators.similarity import dot, norm
-    from ffiec_pq_spark.session import spread
+    from ffiec_pq_spark.operators.similarity import knn_exact_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    # norms hoist to one computation per VECTOR (not per pair); the
-    # per-pair work is the dot product alone — same arithmetic as
-    # sum(q·t)/(|q||t|), just not recomputed n×m times
-    q = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        norm(F.col("embedding")).alias("q_norm"),
-    )
-    # spread the labeled side: the cosine fan-out is the CPU-heavy
-    # stage and a single-row-group scan is ONE task (no-op at scale)
-    t = spread(e.filter(F.col("vec_id") % 10 != 0)).select(
-        F.col("vec_id").alias("t_id"),
-        F.col("embedding").alias("t_vec"),
-        norm(F.col("embedding")).alias("t_norm"),
-        "label",
-    )
-    s = F.round(
-        dot(F.col("q_vec"), F.col("t_vec"))
-        / (F.col("q_norm") * F.col("t_norm")),
-        6,
-    )
-    sims = t.join(F.broadcast(q)).select("q_id", "t_id", "label", s.alias("s"))
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    t = e.filter(F.col("vec_id") % 10 != 0)
+    cand = knn_exact_topk(t, q, k=_KNN_K)
     wk = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("t_id"))
-    top = sims.withColumn("rn", F.row_number().over(wk)).filter(
+    top = cand.withColumn("rn", F.row_number().over(wk)).filter(
         F.col("rn") <= _KNN_K
     )
     votes = top.groupBy("q_id", "label").agg(

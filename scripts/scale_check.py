@@ -68,6 +68,11 @@ QUERIES = [
     "events_funnel",
     "events_transition_matrix",
     "embedding_quantize_int8",
+    # round-4 additions
+    "knn_label_propagation",
+    "countmin_heavy_hitters",
+    "sentence_stats",
+    "segment_regression_trend",
 ]
 OFFSET = 10**9
 
@@ -118,6 +123,7 @@ def main() -> int:
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    only = set(sys.argv[3:])  # optional: restrict to named queries
     # Cache keyed by user + absolute base path so (a) two users on one
     # box don't collide on directory permissions and (b) pointing at a
     # different base never silently reuses a stale replica.
@@ -134,6 +140,8 @@ def main() -> int:
     queries = catalog.queries()
     out: dict[str, dict] = {}
     for name in QUERIES:
+        if only and name not in only:
+            continue
         t1 = time_query(queries[name], spark, base)
         tn = time_query(queries[name], spark, scaled)
         out[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 2)}
@@ -153,6 +161,10 @@ def main() -> int:
             d, "text", "doc_id", k=5, window=4, hash_fn=fast_hash64
         )
 
+    if only and "text_winnow_fast_hash64" not in only:
+        print(json.dumps({"factor": factor, "queries": out}))
+        spark.stop()
+        return 0
     t1 = time_query(_win_fast, spark, base)
     tn = time_query(_win_fast, spark, scaled)
     out["text_winnow_fast_hash64"] = {

@@ -204,3 +204,94 @@ def test_winnow_shared_substring_shares_fingerprint(spark, prefix, suffix, core)
         for r in winnow_fingerprints_df(df, "text", "doc_id", k=5, window=4).collect()
     }
     assert fps[0] & fps[1], (doc_a, doc_b)
+
+
+_doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=24), min_size=1, max_size=8
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts, dups=st.integers(1, 3))
+def test_collapse_exact_equals_naive(spark, texts, dups):
+    """The duplicate-collapse rewrite of the pairwise dedup operators
+    (run on distinct-content representatives, expand back to copies)
+    must be row-identical to the naive formulation — including under
+    replication (every doc duplicated ``dups`` times with shifted ids),
+    empty shingle sets, and the df-cap's weighted-frequency semantics."""
+    from ffiec_pq_spark.operators.dedup import jaccard_pairs, minhash_near_dups
+
+    rows = []
+    for rep in range(dups):
+        rows += [
+            (i + rep * 1000, t) for i, t in enumerate(texts)
+        ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn, kw in [
+        (jaccard_pairs, dict(k=2, threshold=0.2, max_shingle_df=3)),
+        (jaccard_pairs, dict(k=2, threshold=0.2)),
+        (minhash_near_dups, dict(k=2, n_perm=8, n_bands=4, threshold=0.2)),
+    ]:
+        a = sorted(
+            tuple(r) for r in fn(df, **kw, collapse_exact=True).collect()
+        )
+        b = sorted(
+            tuple(r) for r in fn(df, **kw, collapse_exact=False).collect()
+        )
+        assert a == b, (kw, a, b)
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(1, 12),
+    k=st.integers(1, 4),
+    seed=st.integers(0, 3),
+)
+def test_knn_exact_topk_matches_bruteforce(spark, n, k, seed):
+    """knn_exact_topk's local-top-k pruning (ties kept at the k-th
+    rounded score) must reproduce the exact global top-k under
+    (s DESC, t_id ASC) for arbitrary small corpora, including rounded
+    score ties from repeated vectors."""
+    import itertools
+
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.similarity import knn_exact_topk
+
+    # deterministic small vectors with planted duplicates (score ties)
+    vecs = []
+    for i in range(n):
+        base = [(((i * 7 + j * 3 + seed) % 5) - 2) * 0.5 + 0.25 for j in range(4)]
+        vecs.append((i, base, f"l{i % 2}"))
+    vecs.append((n, vecs[0][1], "l1"))  # exact duplicate -> tied scores
+    t = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    q = spark.createDataFrame(
+        [(100, [0.5, -0.25, 0.75, 0.1])], "vec_id long, embedding array<double>"
+    )
+    cand = knn_exact_topk(t, q, k=k)
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("t_id"))
+    got = [
+        (r["t_id"], r["s"])
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .orderBy("rn")
+        .collect()
+    ]
+    # python-side brute force with identical rounding and ordering
+    import math
+
+    qv = [0.5, -0.25, 0.75, 0.1]
+    nq = math.sqrt(sum(x * x for x in qv))
+
+    def score(v):
+        d = sum(a * b for a, b in zip(qv, v))
+        nv = math.sqrt(sum(x * x for x in v))
+        return round(d / (nv * nq), 6)
+
+    ref = sorted(
+        ((tid, score(v)) for tid, v, _ in vecs),
+        key=lambda p: (-p[1], p[0]),
+    )[:k]
+    assert got == ref
