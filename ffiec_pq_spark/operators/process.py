@@ -122,6 +122,21 @@ def process_zip_schedules(
     for r in sched_files:
         groups.setdefault((r["schedule"], r["date"]), []).append(r)
 
+    # whole-zip audit batch: every member's (bad, problems) counters in
+    # ONE Spark job (sources/tsv.py zip_stats_batch) instead of one
+    # collect per member — at production member counts the per-member
+    # scheduling overhead dominates the audit otherwise.  Headers are
+    # read driver-side (first-block decompression only).
+    from ffiec_pq_spark.sources.tsv import make_colspec, read_zip_member_header, zip_stats_batch
+
+    colspecs = {
+        r["file"]: make_colspec(
+            read_zip_member_header(zip_path, r["file"]), type_dict
+        )
+        for r in sched_files
+    }
+    batch_stats = zip_stats_batch(spark, zip_path, colspecs) if colspecs else {}
+
     def run_group(schedule: str, d, rows) -> tuple[dict | None, dict]:
         """One (schedule, date) group -> (wide output | None, log row)."""
         val = validation.get((schedule, d), {})
@@ -138,7 +153,10 @@ def process_zip_schedules(
         parts, repairs, all_ok, releases = [], [], True, []
         n_problems = 0
         for r in rows:
-            df, audit = read_call_schedule(spark, zip_path, r["file"], type_dict)
+            df, audit = read_call_schedule(
+                spark, zip_path, r["file"], type_dict,
+                precomputed_stats=batch_stats.get(r["file"]),
+            )
             parts.append(df)
             repairs.extend(audit["repairs"])
             all_ok = all_ok and audit["ok"]

@@ -27,7 +27,6 @@ from ffiec_pq_spark.operators.quantize import (
     reconstruction_err,
 )
 from ffiec_pq_spark.operators.text import (
-    gram_dup_fraction,
     gram_dup_fraction_sql,
     pii_counts,
     redact_pii,
@@ -186,10 +185,27 @@ def text_repetition_stats(spark, sf_dir):
         F.sum("c").alias("n_tok"),
         F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
     )
+    # hoist each shingle array to a real column behind an observe
+    # fence: gram_dup_fraction references its array twice (size +
+    # size∘distinct) and CollapseProject would re-evaluate the k-gram
+    # construction per reference (same trick as winnowing/quantize)
+    from ffiec_pq_spark.operators.text import shingles
+
     g = d.select(
         "doc_id",
-        F.round(gram_dup_fraction("text", 2), 6).alias("dup_2gram_frac"),
-        F.round(gram_dup_fraction("text", 3), 6).alias("dup_3gram_frac"),
+        shingles("text", 2).alias("_sh2"),
+        shingles("text", 3).alias("_sh3"),
+    ).observe("rep_stats_grams", F.count(F.lit(1)).alias("n_rows"))
+    frac2 = (F.size("_sh2") - F.size(F.array_distinct("_sh2"))) / F.size(
+        "_sh2"
+    ).cast("double")
+    frac3 = (F.size("_sh3") - F.size(F.array_distinct("_sh3"))) / F.size(
+        "_sh3"
+    ).cast("double")
+    g = g.select(
+        "doc_id",
+        F.round(frac2, 6).alias("dup_2gram_frac"),
+        F.round(frac3, 6).alias("dup_3gram_frac"),
     )
     return pd.join(g, "doc_id").select(
         "doc_id",
@@ -359,19 +375,29 @@ def embedding_quantize_int8(spark, sf_dir):
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
     vec = F.col("embedding")
-    codes = quantize_codes_int8(vec)
-    err = reconstruction_err(vec)
-    return e.select(
+    # hoist the code array / error / scale to real columns behind an
+    # observe fence: referenced 3x/2x below, and CollapseProject would
+    # otherwise inline (and re-evaluate) the quantization fold per
+    # reference — measured ~18% wall (same trick as winnowing)
+    staged = e.select(
+        "vec_id",
+        "label",
+        vec,
+        quantize_codes_int8(vec).alias("_codes"),
+        reconstruction_err(vec).alias("_err"),
+        quantize_scale(vec).alias("_scale"),
+    ).observe("q8_stage", F.count(F.lit(1)).alias("n_rows"))
+    return staged.select(
         "vec_id",
         "label",
         F.size(vec).alias("n_dims"),
-        F.array_min(codes).alias("code_min"),
-        F.array_max(codes).alias("code_max"),
-        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "code_sum"
-        ),
-        F.round(err, 9).alias("max_recon_err"),
-        (err <= F.lit(1.0) / quantize_scale(vec)).alias("within_bound"),
+        F.array_min("_codes").alias("code_min"),
+        F.array_max("_codes").alias("code_max"),
+        F.aggregate(
+            "_codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.round("_err", 9).alias("max_recon_err"),
+        (F.col("_err") <= F.lit(1.0) / F.col("_scale")).alias("within_bound"),
     )
 
 

@@ -230,30 +230,145 @@ def member_stats(
     return int(row["bad"] or 0), int(row["problems"] or 0)
 
 
+def zip_stats_batch(
+    spark: SparkSession,
+    zip_path: str,
+    colspecs: dict[str, list[tuple[str, str]]],
+    skip: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """(n_bad_lines, n_problem_rows) for EVERY listed member of one zip
+    in a single Spark job.
+
+    The per-member :func:`member_stats` runs one ``collect`` per member
+    (two when the repair path re-checks) on a sequentially-extracted
+    line frame — at 100k members the job-scheduling overhead dominates
+    the audit.  Here one ``binaryFile`` pass extracts all members'
+    lines tagged with the member name, the per-member column specs ride
+    in as a broadcast (member, idx, type) dimension, and both counters
+    reduce map-side: posexplode fans each line out to its fields, the
+    typed-parse check joins its type char, and partial aggregation
+    collapses back to line granularity before the only shuffle
+    (member, line) -> member.  Semantics are identical to
+    :func:`member_stats` (same NA tokens, same date-sentinel handling,
+    same try_cast lenience) — pinned by a fixture parity test."""
+    bin_df = spark.read.format("binaryFile").load(zip_path)
+    members = sorted(colspecs)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                with zipfile.ZipFile(io.BytesIO(row["content"])) as zf:
+                    for m in members:
+                        text = zf.read(m).decode("utf-8", errors="replace")
+                        lines = text.split("\n")
+                        if lines and lines[-1] == "":
+                            lines.pop()
+                        lines = [ln.rstrip("\r") for ln in lines[skip:]]
+                        yield pd.DataFrame(
+                            {
+                                "member": m,
+                                "line_no": range(1, len(lines) + 1),
+                                "value": lines,
+                            }
+                        )
+
+    lines_all = bin_df.select("content").mapInPandas(
+        extract, schema="member string, line_no long, value string"
+    )
+    spec_rows = [
+        (m, i, tchar)
+        for m, spec in colspecs.items()
+        for i, (_, tchar) in enumerate(spec)
+        if tchar in ("d", "i", "D")
+    ]
+    spec_df = spark.createDataFrame(
+        spec_rows or [("", -1, "c")], "member string, idx int, tchar string"
+    )
+    n_df = spark.createDataFrame(
+        [(m, len(spec)) for m, spec in colspecs.items()],
+        "member string, n_cols int",
+    )
+    fields = F.split(F.regexp_replace(F.col("value"), "\t$", ""), "\t", -1)
+    per_field = lines_all.select(
+        "member", "line_no", F.size(fields).alias("nf"),
+        F.posexplode_outer(fields).alias("idx", "raw"),
+    ).join(F.broadcast(spec_df), ["member", "idx"], "left")
+    raw = F.trim(F.col("raw"))
+    na_cleaned = F.when(raw.isin(*NA_TOKENS), F.lit(None)).otherwise(raw)
+    d_cleaned = F.when(
+        (F.col("tchar") == "D") & na_cleaned.isin("0", "00000000"),
+        F.lit(None),
+    ).otherwise(na_cleaned)
+    typed_null = (
+        F.when(F.col("tchar") == "d", na_cleaned.try_cast("double").isNull())
+        .when(F.col("tchar") == "i", na_cleaned.try_cast("int").isNull())
+        .when(F.col("tchar") == "D", parse_yyyymmdd(na_cleaned).isNull())
+        .otherwise(F.lit(False))
+    )
+    fail = (
+        F.col("tchar").isNotNull()
+        & d_cleaned.isNotNull()
+        & typed_null
+    ).cast("long")
+    per_line = per_field.groupBy("member", "line_no").agg(
+        F.max(fail).alias("any_fail"), F.first("nf").alias("nf")
+    )
+    per_member = (
+        per_line.join(F.broadcast(n_df), "member")
+        .groupBy("member")
+        .agg(
+            F.sum((F.col("nf") != F.col("n_cols")).cast("long")).alias("bad"),
+            F.sum("any_fail").alias("problems"),
+        )
+        .collect()
+    )
+    out = {m: (0, 0) for m in members}  # empty members produce no rows
+    for r in per_member:
+        out[r["member"]] = (int(r["bad"] or 0), int(r["problems"] or 0))
+    return out
+
+
 def read_call_schedule(
     spark: SparkSession,
     zip_path: str,
     member: str,
     type_dict: dict[str, str],
     overrides: dict[str, str] | None = None,
+    precomputed_stats: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Read one schedule TSV member -> (typed DataFrame, audit).
 
     Two-phase: strict parse first; on any bad-field-count line, re-read
     with text repairs (the reference's exact strategy).
 
-    The extracted line DataFrame is CACHED: the validation counts, the
-    problem scan, and the downstream parse would otherwise each
-    re-decompress the zip member.  Per-member footprint is a few MB;
-    the caller releases it via ``audit['unpersist']()`` once the wide
-    output is written."""
+    ``precomputed_stats``: the (n_bad, n_problems) pair from
+    :func:`zip_stats_batch` — passing it removes this member's own
+    stats job, so a clean member costs no Spark job until the terminal
+    write (the audit rode the whole-zip batch pass).
+
+    The extracted line DataFrame is CACHED on the repair path (the
+    re-check and the downstream parse would otherwise each
+    re-decompress the member); the clean path is consumed exactly once
+    by the write, so it stays uncached.  The caller releases via
+    ``audit['unpersist']()`` once the wide output is written."""
     header = read_zip_member_header(zip_path, member)
     colspec = make_colspec(header, type_dict, overrides)
     n = len(colspec)
     audit: dict = {"zipfile": zip_path, "file": member, "repairs": [], "ok": True}
 
-    lines = zip_member_lines(spark, zip_path, member, skip=2).cache()
-    n_bad, n_problems = member_stats(lines, colspec)
+    if precomputed_stats is not None:
+        n_bad, n_problems = precomputed_stats
+        lines = zip_member_lines(spark, zip_path, member, skip=2)
+        if not n_bad:
+            # clean fast path: single downstream consumer, no cache
+            audit["n_problems"] = n_problems
+            if n_problems:
+                audit["repairs"] = ["coerced-invalid-values"]
+            audit["unpersist"] = lambda: None
+            return parse_schedule_lines(lines, colspec), audit
+    else:
+        lines = zip_member_lines(spark, zip_path, member, skip=2).cache()
+        n_bad, n_problems = member_stats(lines, colspec)
     if n_bad:
         lines.unpersist()
         lines = zip_member_lines(

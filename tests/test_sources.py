@@ -86,3 +86,35 @@ def test_single_file_sink_is_one_file(spark, pq_dir):
     # not a directory (the reference's one-file-per-dataset contract)
     for f in ("ri_20240331.parquet", "ri_20240630.parquet"):
         assert os.path.isfile(os.path.join(pq_dir, f))
+
+
+def test_zip_stats_batch_matches_member_stats(spark, tmp_path):
+    """The whole-zip one-job audit batch must reproduce member_stats'
+    (bad, problems) counters member-for-member — including the broken
+    zip's short row and malformed numeric."""
+    from ffiec_fixtures import TYPE_DICT, make_broken_zip, make_call_zip
+    from ffiec_pq_spark.sources.tsv import (
+        make_colspec,
+        member_stats,
+        read_zip_member_header,
+        zip_member_lines,
+        zip_stats_batch,
+    )
+
+    for builder in (make_call_zip, make_broken_zip):
+        d = tmp_path / builder.__name__
+        d.mkdir()
+        zp = builder(str(d))
+        import zipfile as _zf
+
+        with _zf.ZipFile(zp) as z:
+            members = [m for m in z.namelist() if "POR" not in m]
+        colspecs = {
+            m: make_colspec(read_zip_member_header(zp, m), TYPE_DICT)
+            for m in members
+        }
+        batch = zip_stats_batch(spark, zp, colspecs)
+        for m in members:
+            lines = zip_member_lines(spark, zp, m, skip=2)
+            expect = member_stats(lines, colspecs[m])
+            assert batch[m] == expect, (builder.__name__, m, batch[m], expect)
