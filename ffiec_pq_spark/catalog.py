@@ -74,6 +74,11 @@ _NEVER_SAMPLED_FIRST = [
     "sentence_stats",
     "substring_containment",
     "value_outliers_mad",
+    # round-4 additions (new this round, so by definition never sampled)
+    "hll_portable_sketch",
+    "bloom_membership_filter",
+    "char_entropy_quality",
+    "semantic_dedup_cells",
 ]
 
 
@@ -116,6 +121,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import sketches  # noqa: F401
     from ffiec_pq_spark.queries import temporal  # noqa: F401
     from ffiec_pq_spark.queries import ffiec_shaped  # noqa: F401
     from ffiec_pq_spark.queries import multimodal  # noqa: F401

@@ -344,10 +344,11 @@ def knn_exact_topk(
     pays a per-pair JVM fold) with the standard distributed brute-force
     kNN layout:
 
-    - probes are pulled driver-side in bounded TILES of ``tile_size``
-      (at 100 TB the tile loop is the outer batch dimension — each tile
-      is one broadcast + one corpus pass; tiles are independent so the
-      passes pipeline);
+    - probes are STREAMED driver-side (``toLocalIterator``: one probe
+      partition resident at a time, never the whole probe set) and cut
+      into bounded TILES of ``tile_size`` (at 100 TB the tile loop is
+      the outer batch dimension — each tile is one broadcast + one
+      corpus pass; tiles are independent so the passes pipeline);
     - each corpus partition computes the tile's scores as ONE float64
       BLAS matmul inside ``mapInPandas`` (Arrow-batched; the per-pair
       cost is a fused multiply-add instead of a per-element
@@ -372,17 +373,24 @@ def knn_exact_topk(
     from ffiec_pq_spark.session import spread
 
     spark = t_df.sparkSession
-    q_rows = q_df.select(id_col, vec_col).collect()
     carry_fields = ", ".join(
         f"{c} {t_df.schema[c].dataType.simpleString()}" for c in carry_cols
     )
     schema = f"q_id long, t_id long, {carry_fields}, s double"
-    if not q_rows:
-        return spark.createDataFrame([], schema)
     src = spread(t_df.select(id_col, *carry_cols, vec_col))
     tiles = []
-    for lo in range(0, len(q_rows), tile_size):
-        tile = q_rows[lo : lo + tile_size]
+
+    def _tile_iter():
+        buf: list = []
+        for r in q_df.select(id_col, vec_col).toLocalIterator():
+            buf.append(r)
+            if len(buf) == tile_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    for tile in _tile_iter():
         qids = np.array([r[id_col] for r in tile], dtype=np.int64)
         Q = np.array([r[vec_col] for r in tile], dtype=np.float64)
         nq = np.sqrt((Q * Q).sum(axis=1))
@@ -415,10 +423,109 @@ def knn_exact_topk(
                 yield pd.DataFrame(out)
 
         tiles.append(src.mapInPandas(gen, schema))
+    if not tiles:
+        return spark.createDataFrame([], schema)
     cand = tiles[0]
     for extra in tiles[1:]:
         cand = cand.unionByName(extra)
     return cand
+
+
+def semantic_dedup_counts(
+    emb: DataFrame,
+    asg: DataFrame,
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cell SemDeDup counts ``(cell, n_members, n_dropped,
+    n_kept)``: a vector is DROPPED iff some smaller-id vector in its
+    cell has cosine >= ``tau`` with it (greedy keep-lowest-id).
+
+    Exact-duplicate collapse (the same duplicate-proofing as
+    ``jaccard_pairs``/``minhash_near_dups``): byte-identical vectors
+    share a representative (min id), the quadratic cosine pairing runs
+    on REPRESENTATIVES only, and copy groups contribute their drops
+    arithmetically —
+
+    - every non-min copy of a group with nonzero norm is dropped
+      (identical vectors score exactly 1.0 >= tau; zero-norm copies
+      produce NULL cosine in the naive pipeline and are never dropped,
+      so they are excluded);
+    - the group MIN is dropped iff a rep of another same-cell group
+      with a SMALLER min id scores >= tau (rep ids are group minima,
+      so rep-id comparison is exactly the naive any-smaller-copy
+      test).
+
+    Output is identical to the naive all-pairs formulation (the
+    registered query's SQL oracle replays the naive form, so the
+    driver's hash compare proves the rewrite); cost on a corpus where
+    each vector repeats d times stays ~1x the distinct corpus instead
+    of d^2.  ``asg`` is ``(id, cell)`` for EVERY vector (cell
+    assignment is a pure function of the vector, so copies always
+    land with their representative)."""
+    from pyspark.sql import Window
+
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("_chash", F.md5(F.col("v").cast("string")))
+    w = Window.partitionBy("_chash")
+    grouped = e.withColumn("rep", F.min("vid").over(w)).withColumn(
+        "g", F.count(F.lit(1)).over(w)
+    )
+    reps = (
+        grouped.filter(F.col("vid") == F.col("rep"))
+        .select("vid", "v", "g", norm(F.col("v")).alias("nrm"))
+        .join(asg.withColumnRenamed("id", "vid"), "vid")
+    )
+    a = reps.select(
+        F.col("vid").alias("id_a"),
+        "cell",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = reps.select(
+        F.col("vid").alias("id_b"),
+        "cell",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    # try_divide: zero-norm vectors yield NULL cosine (never dropped),
+    # matching the naive pipeline under ANSI mode instead of raising
+    cos = F.round(
+        F.try_divide(
+            dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+        ),
+        6,
+    )
+    cross_dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", F.col("id_b").alias("rep"), cos.alias("cos"))
+        .filter(F.col("cos") >= tau)
+        .select("cell", "rep")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n_cross"))
+    )
+    within_dropped = (
+        reps.filter((F.col("g") >= 2) & (F.col("nrm") > 0))
+        .groupBy("cell")
+        .agg(F.sum(F.col("g") - 1).alias("_n_within"))
+    )
+    sizes = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    nd = F.coalesce("_n_cross", F.lit(0)) + F.coalesce("_n_within", F.lit(0))
+    return (
+        sizes.join(cross_dropped, "cell", "left")
+        .join(within_dropped, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            nd.alias("n_dropped"),
+            (F.col("n_members") - nd).alias("n_kept"),
+        )
+    )
 
 
 def probe_buckets_multiprobe(

@@ -198,14 +198,15 @@ def lsh_bucket_histogram(spark, sf_dir):
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
-    """Replay the deterministic Lloyd loop as a literal CTE chain:
-    init = k lowest-id vectors; per iteration one assignment CTE
-    (row_number over (distance, cell)) and one centroid-update CTE
-    (per-dim avg, empty cells keep the previous centroid); final
-    assignment under the fitted centroids -> cell sizes.  Distances are
-    round(·, 9) on both engines (matching operators/kmeans._sq_dist) so
-    summation-order ulp differences cannot flip a near-tie."""
+def _kmeans_ctes(k: int = 4, iters: int = 3) -> list[str]:
+    """The deterministic Lloyd loop as a literal CTE chain (shared by
+    the cell-size oracle and the semantic-dedup oracle): init = k
+    lowest-id vectors; per iteration one assignment CTE (row_number
+    over (distance, cell)) and one centroid-update CTE (per-dim avg,
+    empty cells keep the previous centroid).  The final assignment CTE
+    is ``asg{iters}``.  Distances are round(·, 9) on both engines
+    (matching operators/kmeans._sq_dist) so summation-order ulp
+    differences cannot flip a near-tie."""
     ctes = [
         """ex AS (
       SELECT vec_id,
@@ -251,6 +252,12 @@ def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
       FROM cent{it} p LEFT JOIN upd{it} u ON u.c = p.c AND u.i = p.i
     )"""
             )
+    return ctes
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
+    """Cell sizes under the fitted centroids (see _kmeans_ctes)."""
+    ctes = _kmeans_ctes(k, iters)
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -273,6 +280,76 @@ def kmeans_cell_sizes(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     asg = kmeans_assignments(emb, k=4, dim=_DIM, iters=3)
     return asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_sql(k: int = 4, iters: int = 3) -> str:
+    ctes = _kmeans_ctes(k, iters)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c AS cell,
+             round(sum(ea.x * eb.x) / (na.nrm * nb.nrm), 6) AS cos
+      FROM asg{iters} a
+      JOIN asg{iters} b ON a.c = b.c AND a.vec_id < b.vec_id
+      JOIN ex ea ON ea.vec_id = a.vec_id
+      JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY 1, 2, 3, na.nrm, nb.nrm
+    ),
+    drops AS (
+      SELECT DISTINCT cell, id_b FROM pairs WHERE cos >= {_SEMDEDUP_TAU}
+    )
+    SELECT s.cell, s.n_members,
+           coalesce(d.n_dropped, 0) AS n_dropped,
+           s.n_members - coalesce(d.n_dropped, 0) AS n_kept
+    FROM (SELECT c AS cell, count(*) AS n_members FROM asg{iters} GROUP BY c) s
+    LEFT JOIN (SELECT cell, count(*) AS n_dropped FROM drops GROUP BY cell) d
+      USING (cell)
+    """
+    )
+
+
+@register(
+    "semantic_dedup_cells",
+    _semdedup_sql(k=4, iters=3),
+    tags=["similarity", "dedup", "iterative"],
+)
+def semantic_dedup_cells(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: k-means cells bound the
+    quadratic cosine pairing to WITHIN-cell candidates, then any vector
+    with a smaller-id neighbor at cosine >= 0.35 in its cell is
+    dropped (greedy keep-lowest-id).  Per cell: members / dropped /
+    kept.
+
+    This is the embedding-level answer to the shingle dedup family:
+    near-duplicate *meaning*, not near-duplicate bytes.  The cell
+    restriction is the entire scale story — pair count falls from
+    C(n,2) to Σ_cell C(n_cell,2), and on a real corpus cells are
+    balanced by the trainer, so the within-cell self-join shuffles on
+    cell id and never materializes a cross-cell pair.  On top of that,
+    :func:`~ffiec_pq_spark.operators.similarity.semantic_dedup_counts`
+    collapses byte-identical vectors to representatives before the
+    pairing (copy groups contribute drops arithmetically), so a
+    duplicate-heavy corpus costs ~1x the distinct corpus instead of
+    d^2.  The oracle replays the NAIVE formulation — the deterministic
+    Lloyd loop (shared CTE chain with kmeans_cell_sizes) plus all-pairs
+    cosine in exploded-component form — so the driver's hash compare
+    proves the collapse rewrite; cosines round at 6 dp on both engines
+    before the threshold so summation-order ulp cannot flip a drop
+    decision."""
+    from ffiec_pq_spark.operators.kmeans import kmeans_assignments
+    from ffiec_pq_spark.operators.similarity import semantic_dedup_counts
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assignments(emb, k=4, dim=_DIM, iters=3)
+    return semantic_dedup_counts(emb, asg, _SEMDEDUP_TAU)
 
 
 def _lsh_topk_sql(n_planes: int = 8) -> str:

@@ -73,6 +73,10 @@ QUERIES = [
     "countmin_heavy_hitters",
     "sentence_stats",
     "segment_regression_trend",
+    "hll_portable_sketch",
+    "bloom_membership_filter",
+    "char_entropy_quality",
+    "semantic_dedup_cells",
 ]
 OFFSET = 10**9
 

@@ -295,3 +295,160 @@ def test_knn_exact_topk_matches_bruteforce(spark, n, k, seed):
         key=lambda p: (-p[1], p[0]),
     )[:k]
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# repair_member_text fuzz: plant embedded newlines / extra tabs at
+# arbitrary row+field positions and assert the two-phase repair always
+# restores a rectangular member (the CRLF interaction in
+# sources/tsv.py:113-125 was previously pinned by 3 handwritten cases).
+
+_field = st.text(alphabet="abc xyz0", min_size=1, max_size=6)
+
+
+@st.composite
+def _corrupted_member(draw):
+    n_cols = draw(st.integers(2, 5))
+    n_rows = draw(st.integers(1, 8))
+    rows = [
+        [draw(_field) for _ in range(n_cols)] for _ in range(n_rows)
+    ]
+    # newline corruption: inject at an interior/end position (pos >= 1)
+    # of a field — never pos 0, where the preceding character in the
+    # assembled text is a row-boundary tab or newline and the repair
+    # regex deliberately refuses to join
+    nl_plan = {}
+    for r in range(n_rows):
+        for c in range(n_cols):
+            if draw(st.booleans()) and draw(st.integers(0, 3)) == 0:
+                pos = draw(st.integers(1, len(rows[r][c])))
+                tok = draw(st.sampled_from(["\n", "\r\n"]))
+                nl_plan[(r, c)] = (pos, tok)
+    # extra-tab corruption: only in the LAST field (mid-field tabs merge
+    # neighbouring fields by design, shifting values; last-field tabs
+    # have exact space-join semantics)
+    tab_rows = {
+        r
+        for r in range(n_rows)
+        if draw(st.booleans()) and draw(st.integers(0, 3)) == 0
+    }
+    terminators = [
+        draw(st.sampled_from(["\n", "\r\n"])) for _ in range(n_rows)
+    ]
+    return rows, nl_plan, tab_rows, terminators, n_cols
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=_corrupted_member())
+def test_repair_member_text_fuzz(data):
+    from ffiec_pq_spark.sources.tsv import repair_member_text
+
+    rows, nl_plan, tab_rows, terminators, n_cols = data
+    # a planted tab immediately before a planted newline would make the
+    # newline tab-adjacent — the exact boundary the repair regex treats
+    # as legitimate — so tab and newline corruption are exclusive per
+    # field: no last-field tab on rows whose LAST field takes a newline
+    tab_rows = {r for r in tab_rows if (r, n_cols - 1) not in nl_plan}
+    corrupted_rows = []
+    for r, fields in enumerate(rows):
+        fs = list(fields)
+        for (rr, cc), (pos, tok) in nl_plan.items():
+            if rr == r:
+                f = fs[cc]
+                fs[cc] = f[:pos] + tok + f[pos:]
+        if r in tab_rows:
+            mid = max(1, len(fields[-1]) // 2)
+            fs[-1] = fs[-1][:mid] + "\t" + fs[-1][mid:]
+        corrupted_rows.append("\t".join(fs) + "\t")
+    text = "".join(
+        line + term for line, term in zip(corrupted_rows, terminators)
+    )
+
+    repaired, tags = repair_member_text(text, n_cols)
+    lines = repaired.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+
+    # rectangularity: every row survives with exactly n_cols fields and
+    # its trailing delimiter tab
+    assert len(lines) == len(rows)
+    for ln in lines:
+        assert ln.endswith("\t")
+        assert len(ln[:-1].split("\t")) == n_cols
+
+    # value semantics: newline -> single space at the same offset;
+    # last-field tab -> space; untouched rows byte-identical
+    for r, fields in enumerate(rows):
+        expect = list(fields)
+        if r in tab_rows:
+            mid = max(1, len(expect[-1]) // 2)
+            expect[-1] = expect[-1][:mid] + " " + expect[-1][mid:]
+        for (rr, cc), (pos, _tok) in nl_plan.items():
+            if rr == r:
+                f = expect[cc]
+                expect[cc] = f[:pos] + " " + f[pos:]
+        assert lines[r] == "\t".join(expect) + "\t", f"row {r}"
+
+    # tag accounting
+    assert ("newline-gsub" in tags) == bool(nl_plan)
+    assert ("tab-repair" in tags) == bool(tab_rows)
+
+
+def test_semantic_dedup_counts_matches_naive_with_duplicates(spark):
+    """The rep-collapse rewrite must equal the naive all-pairs drop
+    rule on a corpus with exact-duplicate groups (the path sf* data
+    never exercises: no byte-identical vectors there), including a
+    zero-norm duplicate group whose NULL cosines drop nothing."""
+    import math
+
+    from ffiec_pq_spark.operators.similarity import semantic_dedup_counts
+
+    vecs = {
+        # cell 0: dup group {1, 4, 9} + near-dup 2 of 1 + unrelated 3
+        1: [1.0, 0.0, 0.0],
+        4: [1.0, 0.0, 0.0],
+        9: [1.0, 0.0, 0.0],
+        2: [0.99, 0.1, 0.0],
+        3: [0.0, 1.0, 0.0],
+        # cell 1: zero-norm dup group {5, 6} + singleton 7, 8 similar to 7
+        5: [0.0, 0.0, 0.0],
+        6: [0.0, 0.0, 0.0],
+        7: [0.0, 0.0, 1.0],
+        8: [0.0, 0.05, 1.0],
+    }
+    cells = {1: 0, 4: 0, 9: 0, 2: 0, 3: 0, 5: 1, 6: 1, 7: 1, 8: 1}
+    tau = 0.9
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    asg = spark.createDataFrame(
+        [(i, c) for i, c in cells.items()], "id long, cell int"
+    )
+    got = {
+        r["cell"]: (r["n_members"], r["n_dropped"], r["n_kept"])
+        for r in semantic_dedup_counts(emb, asg, tau).collect()
+    }
+
+    # naive: drop x iff exists y < x same cell with round(cos, 6) >= tau
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    want = {}
+    for c in set(cells.values()):
+        ids = sorted(i for i, cc in cells.items() if cc == c)
+        dropped = sum(
+            1
+            for x in ids
+            if any(
+                (s := cos(vecs[x], vecs[y])) is not None and s >= tau
+                for y in ids
+                if y < x
+            )
+        )
+        want[c] = (len(ids), dropped, len(ids) - dropped)
+    assert got == want
