@@ -54,6 +54,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         df = queries[name](spark, sf_dir)
+        # per-query untimed warmup, mirroring the DuckDB side: the
+        # first execution pays whole-stage codegen compilation + the
+        # JIT/GC transient, which a resident engine pays once — without
+        # it the min-of-N is measurably noisy (q1 swung 0.30-0.68s
+        # run-to-run at 3 timed reps; the round-3 "TPC-H trio creep"
+        # was this, not a plan change)
+        df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
