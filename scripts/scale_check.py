@@ -184,6 +184,13 @@ def main() -> int:
             out[name]["note"] = NOTES[name]
         print(f"{name:28} {t1:7.3f}s -> {tn:7.3f}s  x{out[name]['ratio']}",
               file=sys.stderr, flush=True)
+        # the dedup/winnow family persists its shingle/fingerprint
+        # tables for the session lifetime (operators document
+        # clearCache() between pipelines); 31 queries x base+replica
+        # would otherwise accumulate cached plans until GC pressure
+        # pollutes later timings (salted_join_enrich measured 2.7x in
+        # the full sweep vs 0.9x in isolation before this)
+        spark.catalog.clearCache()
 
     # non-registry extra: winnowing with the production hash (xxhash64)
     # instead of the oracle-portable md5 — the registry query is
