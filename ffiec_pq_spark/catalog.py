@@ -76,9 +76,11 @@ _NEVER_SAMPLED_FIRST = [
     "value_outliers_mad",
     # round-4 additions (new this round, so by definition never sampled)
     "hll_portable_sketch",
+    "hll_merge_check",
     "bloom_membership_filter",
     "char_entropy_quality",
     "semantic_dedup_cells",
+    "upsert_keep_latest",
 ]
 
 

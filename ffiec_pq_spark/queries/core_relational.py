@@ -826,3 +826,78 @@ def rollup_revenue(spark, sf_dir):
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "upsert_keep_latest",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             o_totalprice AS total, 1 AS version
+      FROM orders WHERE o_orderkey % 5 != 0
+    ),
+    updates AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             o_totalprice + 100.0 AS total, 2 AS version
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+      SELECT k,
+             max_by(pri, version)     AS pri,
+             max_by(total, version)   AS total,
+             max(version)             AS version
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+      GROUP BY k
+    )
+    SELECT pri AS o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_updates,
+           round(sum(total), 2) AS sum_total
+    FROM merged GROUP BY pri
+    """,
+    tags=["merge", "agg"],
+)
+def upsert_keep_latest(spark, sf_dir):
+    """MERGE/upsert keep-latest semantics — the restated-filing case
+    the reference handles by re-writing whole parquet files
+    (R/ffiec_process.R overwrite flow): a base table and an update
+    batch with overlapping keys fold to the highest-version row per
+    key.
+
+    Spark-first shape: ``unionByName`` + ONE grouped ``max_by(payload,
+    version)`` aggregation — a single shuffle on the key with map-side
+    partials, no window sort, no per-key row_number.  At 100 TB the
+    update batch is typically partition-pruned (only affected dates
+    rescanned) and the same one-shuffle merge applies per partition.
+    Versions are distinct per key by construction (each side
+    contributes at most one row per key), so max_by is deterministic;
+    the output aggregates per priority so the oracle hash is
+    schema-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("total"),
+        F.lit(1).alias("version"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice") + 100.0).alias("total"),
+        F.lit(2).alias("version"),
+    )
+    merged = (
+        base.unionByName(updates)
+        .groupBy("k")
+        .agg(
+            F.max_by("pri", "version").alias("pri"),
+            F.max_by("total", "version").alias("total"),
+            F.max("version").alias("version"),
+        )
+    )
+    return merged.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("version") == 2).cast("long")).alias("n_from_updates"),
+        F.round(F.sum("total"), 2).alias("sum_total"),
+    )

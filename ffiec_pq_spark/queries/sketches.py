@@ -161,6 +161,117 @@ def hll_portable_sketch(spark, sf_dir):
     )
 
 
+def _hll_merge_sql() -> str:
+    h = hash60_sql("user_id")
+    bits = _bits_case_sql("w")
+    return f"""
+    WITH hashed AS (
+      SELECT user_id % 2 AS half,
+             ({h}) % {_HLL_M} AS bucket,
+             max({_HLL_WBITS + 1} - {bits}) AS m_j
+      FROM (SELECT user_id, ({h}) // {_HLL_M} AS w FROM events)
+      GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT bucket, max(m_j) AS m_j FROM hashed GROUP BY bucket
+    ),
+    whole AS (
+      SELECT ({h}) % {_HLL_M} AS bucket,
+             max({_HLL_WBITS + 1} - {bits}) AS m_j
+      FROM (SELECT user_id, ({h}) // {_HLL_M} AS w FROM events)
+      GROUP BY 1
+    ),
+    cmp AS (
+      SELECT count(*) AS n_buckets,
+             CAST(sum(CASE WHEN m.m_j = w.m_j THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_equal
+      FROM merged m JOIN whole w USING (bucket)
+    ),
+    state AS (
+      SELECT max(m_j) AS rmax, count(*) AS n_hit,
+             CAST(sum((1::BIGINT) << (max_all - m_j)) AS BIGINT) AS s_hit
+      FROM (SELECT m_j, max(m_j) OVER () AS max_all FROM merged)
+    )
+    SELECT c.n_buckets, c.n_equal,
+           c.n_buckets = c.n_equal AS merge_lossless,
+           round((({_HLL_ALPHA} * {_HLL_M}) * {_HLL_M}) * pow(2.0, s.rmax)
+                 / (s.s_hit + ({_HLL_M} - s.n_hit) * ((1::BIGINT) << s.rmax)),
+                 2) AS hll_est,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_exact
+    FROM cmp c, state s
+    """
+
+
+@register("hll_merge_check", _hll_merge_sql(), tags=["sketch", "approx"])
+def hll_merge_check(spark, sf_dir):
+    """The property that makes HLL usable at 100 TB: registers computed
+    on DISJOINT partitions merge by per-bucket max into exactly the
+    whole-corpus registers — so the sketch reduces map-side, ships 64
+    bytes per partition, and never rescans.  The query computes both
+    sides (halves split on ``user_id % 2``, then merged; whole corpus
+    directly), pins ``merge_lossless`` for the oracle to hash-check,
+    and reports the merged estimate next to the exact count (same
+    integer-exact arithmetic as ``hll_portable_sketch``)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = hash60(F.col("user_id"))
+    base = ev.select(
+        (F.col("user_id") % 2).alias("half"), h.alias("_h")
+    ).select(
+        "half",
+        (F.col("_h") % _HLL_M).alias("bucket"),
+        F.shiftright(F.col("_h"), 6).alias("w"),
+    )
+    rho = F.lit(_HLL_WBITS + 1) - _bits_case(F.col("w"))
+    halves = base.groupBy("half", "bucket").agg(F.max(rho).alias("m_j"))
+    merged = halves.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    whole = base.groupBy("bucket").agg(F.max(rho).alias("m_j"))
+    cmp_df = (
+        merged.withColumnRenamed("m_j", "m_m")
+        .join(whole.withColumnRenamed("m_j", "m_w"), "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("m_m") == F.col("m_w")).cast("long")).alias(
+                "n_equal"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()
+    state = (
+        merged.withColumn("r", F.max("m_j").over(w_all))
+        .groupBy()
+        .agg(
+            F.max("r").alias("rmax"),
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum(F.expr("shiftleft(1L, cast(r - m_j AS int))")).alias(
+                "s_hit"
+            ),
+        )
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    s_scaled = F.col("s_hit") + (F.lit(_HLL_M) - F.col("n_hit")) * F.expr(
+        "shiftleft(1L, cast(rmax AS int))"
+    )
+    est = (
+        F.lit(_HLL_ALPHA * _HLL_M)
+        * F.lit(float(_HLL_M))
+        * F.pow(F.lit(2.0), F.col("rmax"))
+        / s_scaled
+    )
+    return (
+        cmp_df.crossJoin(state)
+        .crossJoin(exact)
+        .select(
+            "n_buckets",
+            "n_equal",
+            (F.col("n_buckets") == F.col("n_equal")).alias("merge_lossless"),
+            F.round(est, 2).alias("hll_est"),
+            "n_exact",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational Bloom filter
 # ---------------------------------------------------------------------------

@@ -136,3 +136,46 @@ def test_quantize_is_map_only(spark, sf_dir):
     """int8 quantization is pure array expressions — zero exchanges."""
     df = queries()["embedding_quantize_int8"](spark, sf_dir)
     assert_plan(df, max_exchanges=0)
+
+
+def test_bloom_bits_join_broadcasts(spark, sf_dir):
+    """The Bloom bit table (<= 8192 rows) must broadcast against the
+    probe side — the whole point of the pattern at 100 TB."""
+    df = queries()["bloom_membership_filter"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_knn_no_cartesian(spark, sf_dir):
+    """Exact kNN must NOT plan a cartesian/broadcast-nested-loop over
+    (probes x corpus); candidates come from the tiled mapInPandas."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["knn_label_propagation"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_on_cell(spark, sf_dir):
+    """SemDeDup's pair join must key on the cell id (bounded fan-out),
+    never a cartesian of the full corpus."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["semantic_dedup_cells"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
+
+
+def test_hll_state_is_grouped_aggregate(spark, sf_dir):
+    """The portable HLL reduces to (event_type, bucket) registers via a
+    grouped aggregate with map-side partials — no window over raw rows,
+    no collect."""
+    df = queries()["hll_portable_sketch"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    # registers + per-type rollup + exact-count join: a handful of
+    # exchanges over 64-row-per-type state, never a raw-row window
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
