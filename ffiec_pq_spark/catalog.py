@@ -81,6 +81,7 @@ _NEVER_SAMPLED_FIRST = [
     "char_entropy_quality",
     "semantic_dedup_cells",
     "upsert_keep_latest",
+    "stream_upsert_latest",
 ]
 
 

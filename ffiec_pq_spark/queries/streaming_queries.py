@@ -295,3 +295,91 @@ def stream_dedup_bounded_state(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_upsert_latest",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_users,
+           round(sum(value), 4) AS total_latest_value
+    FROM latest WHERE rn = 1 GROUP BY event_type
+    """,
+    tags=["streaming", "merge"],
+)
+def stream_upsert_latest(spark, sf_dir):
+    """Incremental MERGE via ``foreachBatch`` — the production pattern
+    for maintaining a keep-latest table off a stream (CDC / restated
+    facts): the events table is staged as four files and streamed one
+    file per micro-batch (genuinely multi-batch), and each batch folds
+    into an accumulating per-user latest-event state with ONE grouped
+    ``max(struct(ts, event_id, payload))`` — associative and
+    tie-broken by the unique event_id, so the final state is identical
+    for ANY batch order and equals the batch window answer the oracle
+    replays.  At 100 TB the state write is MERGE INTO a partitioned
+    table (Delta/Iceberg); the versioned parquet swap here is the same
+    dataflow.
+
+    The returned aggregate (5 rows) is driver-materialized so the
+    staging directory can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.session import ensure_session_confs, load_table
+    from ffiec_pq_spark.streaming.events import read_event_stream
+
+    ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="stream_upsert_")
+    try:
+        src = os.path.join(workdir, "src")
+        (
+            ev.repartition(4, F.col("event_id") % 4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        state = {"path": None, "version": 0}
+        payload = F.struct("ts", "event_id", "event_type", "value")
+
+        def merge_batch(batch_df, epoch_id):
+            reduced = batch_df.groupBy("user_id").agg(
+                F.max(payload).alias("s")
+            )
+            if state["path"] is not None:
+                prev = spark.read.parquet(state["path"])
+                reduced = (
+                    prev.select("user_id", payload.alias("s"))
+                    .unionByName(reduced)
+                    .groupBy("user_id")
+                    .agg(F.max("s").alias("s"))
+                )
+            state["version"] += 1
+            out = os.path.join(workdir, f"state_v{state['version']}")
+            reduced.select("user_id", "s.*").write.parquet(out)
+            state["path"] = out
+
+        q = (
+            read_event_stream(spark, src)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state["path"])
+        agg = final.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_latest_value"),
+        )
+        rows = agg.collect()  # <= |event types| rows, sanctioned
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
