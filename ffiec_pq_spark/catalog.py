@@ -82,6 +82,8 @@ _NEVER_SAMPLED_FIRST = [
     "semantic_dedup_cells",
     "upsert_keep_latest",
     "stream_upsert_latest",
+    "fuzzy_token_pairs_ed1",
+    "events_value_histogram",
 ]
 
 

@@ -139,3 +139,35 @@ def zscore_by_segment(spark, sf_dir):
     return zscore_by_group(
         c, key_col="c_mktsegment", val_col="c_acctbal", id_col="c_custkey"
     )
+
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(least(9, greatest(0, floor(value / 10.0))) AS INTEGER)
+             AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=["analytics", "histogram"],
+)
+def events_value_histogram(spark, sf_dir):
+    """Equi-width histogram (10 buckets of width 10, clamped) per event
+    type — the profiling primitive behind range-partition planning and
+    skew detection.  One grouped aggregation with map-side partials;
+    the bucket expression is pure floor arithmetic so both engines
+    compute the identical bucket for every row (DuckDB has no
+    width_bucket; the explicit form is engine-portable)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 10.0))
+    ).cast("int")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )

@@ -311,3 +311,88 @@ def substring_containment(spark, sf_dir):
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "fuzzy_token_pairs_ed1",
+    """
+    WITH toks AS (
+      SELECT DISTINCT t AS tok FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        FROM documents
+        UNION ALL
+        SELECT unnest(regexp_extract_all(lower(p_name), '[a-z]+')) AS t
+        FROM part
+      ) WHERE length(t) BETWEEN 3 AND 12
+    ),
+    vars AS (
+      SELECT tok, unnest(list_append(
+        list_transform(generate_series(1, length(tok)),
+          i -> substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok) - i)),
+        tok)) AS v
+      FROM toks
+    ),
+    pairs AS (
+      SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.tok < b.tok
+    )
+    SELECT length(tok_a) AS len_a, count(*) AS n_pairs
+    FROM pairs WHERE levenshtein(tok_a, tok_b) = 1
+    GROUP BY 1
+    """,
+    tags=["text", "fuzzy-join"],
+)
+def fuzzy_token_pairs_ed1(spark, sf_dir):
+    """Fuzzy string self-join at edit distance 1 via DELETION
+    NEIGHBORHOODS (the SymSpell scheme): every token expands to its
+    1-deletion variants plus itself, candidates are pairs sharing a
+    variant (this covers substitutions — same position deleted on both
+    — and insertions/deletions — one side's deletion equals the other
+    token), and the built-in ``levenshtein`` verifies candidates
+    exactly.  Output: ED-1 pair counts by token length.
+
+    The scale contract is the whole point: a naive fuzzy join is
+    O(|vocab|^2) levenshtein calls; the neighborhood join generates
+    O(L) narrow variant rows per token, shuffles once on the variant
+    key, and verifies only candidates.  Hot variants (short tokens'
+    deletions) can be df-capped exactly like shingles
+    (`operators/dedup.py`) if a real vocabulary needs it."""
+    d = load_table(spark, sf_dir, "documents")
+    p = load_table(spark, sf_dir, "part")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok")
+    ).unionByName(
+        p.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("p_name")), F.lit("[a-z]+"), 0
+                )
+            ).alias("tok")
+        )
+    )
+    toks = words.filter(F.length("tok").between(3, 12)).distinct()
+    vars_df = toks.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, length(tok)), "
+                "i -> concat(substring(tok, 1, i - 1), "
+                "substring(tok, i + 1, length(tok) - i))), tok)"
+            )
+        ).alias("v"),
+    )
+    a = vars_df.select(F.col("tok").alias("tok_a"), "v")
+    b = vars_df.select(F.col("tok").alias("tok_b"), "v")
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    return (
+        pairs.filter(F.levenshtein("tok_a", "tok_b") == 1)
+        .groupBy(F.length("tok_a").alias("len_a"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
