@@ -84,6 +84,8 @@ _NEVER_SAMPLED_FIRST = [
     "stream_upsert_latest",
     "fuzzy_token_pairs_ed1",
     "events_value_histogram",
+    "range_sharded_export",
+    "events_value_equidepth",
 ]
 
 

@@ -171,3 +171,92 @@ def events_value_histogram(spark, sf_dir):
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+@register(
+    "range_sharded_export",
+    """
+    SELECT 8 AS n_shards,
+           count(*) AS n_rows,
+           true AS ranges_disjoint,
+           true AS counts_complete
+    FROM events
+    """,
+    tags=["layout", "export"],
+)
+def range_sharded_export(spark, sf_dir):
+    """Training-data export layout: ``repartitionByRange`` shards the
+    corpus into totally-ordered, non-overlapping key ranges — the
+    shape a dataloader wants (shard N's every key < shard N+1's) and
+    the only way to get a global order at 100 TB without a single-node
+    sort.  The query materializes the 8-shard layout, then PROVES the
+    contract and pins it for the oracle: per-shard (min, max, count)
+    via one aggregation, disjointness checked shard-to-shard with a
+    window over the 8 stat rows, row conservation against the source
+    count.  Spark's range sampler is seeded deterministically, so the
+    layout is reproducible run-to-run."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    key = F.struct("user_id", "event_id")  # unique -> strict total order
+    sharded = ev.repartitionByRange(8, "user_id", "event_id").select(
+        F.spark_partition_id().alias("pid"), key.alias("k")
+    )
+    stats = sharded.groupBy("pid").agg(
+        F.min("k").alias("kmin"),
+        F.max("k").alias("kmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("pid")
+    flagged = stats.withColumn("next_min", F.lead("kmin").over(w)).withColumn(
+        "ok", F.col("next_min").isNull() | (F.col("kmax") < F.col("next_min"))
+    )
+    total = ev.count()  # driver scalar: pins row conservation
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n").alias("n_rows"),
+        F.min(F.col("ok").cast("int")).cast("boolean").alias(
+            "ranges_disjoint"
+        ),
+        (F.sum("n") == F.lit(total)).alias("counts_complete"),
+    )
+
+
+@register(
+    "events_value_equidepth",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(4) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS q
+      FROM events
+    )
+    SELECT event_type, q,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM t GROUP BY 1, 2
+    """,
+    tags=["analytics", "histogram"],
+)
+def events_value_equidepth(spark, sf_dir):
+    """Equi-DEPTH histogram (quartile buckets of equal row count) per
+    event type — the complement of `events_value_histogram`'s
+    equi-width buckets, and the statistic behind range-boundary
+    planning on skewed values.  ntile orders by ``(value, event_id)``
+    so ties split identically on both engines; per-type window then
+    one grouped aggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("q"))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

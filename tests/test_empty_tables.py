@@ -23,7 +23,11 @@ TABLES = [
 ]
 
 # trainers that fail fast (with a clear error) on empty input by design
-EXPECT_RAISE = {"kmeans_cell_sizes": ValueError}
+EXPECT_RAISE = {
+    "kmeans_cell_sizes": ValueError,
+    # seeds the same k-means trainer before its cell-bounded pairing
+    "semantic_dedup_cells": ValueError,
+}
 
 
 @pytest.fixture(scope="module")

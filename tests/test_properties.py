@@ -452,3 +452,69 @@ def test_semantic_dedup_counts_matches_naive_with_duplicates(spark):
         )
         want[c] = (len(ids), dropped, len(ids) - dropped)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    member_keys=st.sets(st.integers(0, 400), min_size=0, max_size=30),
+    probe_keys=st.sets(st.integers(0, 400), min_size=1, max_size=30),
+)
+def test_bloom_bits_never_false_negative(spark, member_keys, probe_keys):
+    """The relational Bloom pattern's guarantee: every probe that IS a
+    member must be flagged (all k bit positions present), for arbitrary
+    member/probe sets."""
+    from ffiec_pq_spark.functions.hashing import hash60
+
+    m_bits, k = 512, 3
+    if member_keys:
+        members = spark.createDataFrame(
+            [(x,) for x in member_keys], "key long"
+        )
+        positions = F.array(
+            *[(hash60(F.col("key"), seed=j) % m_bits) for j in range(k)]
+        )
+        bits = {
+            r["bit"]
+            for r in members.select(
+                F.explode(positions).alias("bit")
+            ).collect()
+        }
+    else:
+        bits = set()
+    probes = spark.createDataFrame([(x,) for x in probe_keys], "key long")
+    positions = F.array(
+        *[(hash60(F.col("key"), seed=j) % m_bits) for j in range(k)]
+    )
+    got = {
+        r["key"]: set(r["ps"])
+        for r in probes.select("key", positions.alias("ps")).collect()
+    }
+    for key, ps in got.items():
+        flagged = ps <= bits
+        if key in member_keys:
+            assert flagged, f"member {key} not flagged (false negative)"
+
+
+@settings(**_SETTINGS)
+@given(
+    base=st.dictionaries(st.integers(0, 20), st.integers(0, 100), max_size=12),
+    updates=st.dictionaries(st.integers(0, 20), st.integers(0, 100), max_size=12),
+)
+def test_upsert_merge_equals_dict_update(spark, base, updates):
+    """The grouped max_by merge must equal Python dict semantics:
+    updates win on key collision, both sides' exclusive keys survive."""
+    rows = [(k, float(v), 1) for k, v in base.items()] + [
+        (k, float(v), 2) for k, v in updates.items()
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, val double, version int")
+    merged = (
+        df.groupBy("k")
+        .agg(F.max(F.struct("version", "val")).alias("s"))
+        .select("k", "s.val")
+    )
+    got = {r["k"]: r["val"] for r in merged.collect()}
+    want = {**{k: float(v) for k, v in base.items()},
+            **{k: float(v) for k, v in updates.items()}}
+    assert got == want
