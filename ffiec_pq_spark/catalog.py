@@ -86,6 +86,7 @@ _NEVER_SAMPLED_FIRST = [
     "events_value_histogram",
     "range_sharded_export",
     "events_value_equidepth",
+    "leakage_safe_split_counts",
 ]
 
 

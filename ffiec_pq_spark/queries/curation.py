@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.hashing import hash60, hash60_sql
 from ffiec_pq_spark.operators.profile import profile_columns
 from ffiec_pq_spark.operators.sampling import (
     deterministic_sample,
@@ -236,4 +237,85 @@ def stratified_balance_counts(spark, sf_dir):
         "o_orderstatus",
         "n_total",
         F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
+@register(
+    "leakage_safe_split_counts",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS chash
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, chash,
+             CASE
+               WHEN ({hash60_sql('chash', seed=7)}) % 10 < 8 THEN 'train'
+               WHEN ({hash60_sql('chash', seed=7)}) % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM g
+    ),
+    straddle AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_straddling_groups
+      FROM (
+        SELECT chash FROM assigned GROUP BY chash
+        HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT a.split,
+           count(*) AS n_docs,
+           count(DISTINCT a.chash) AS n_groups,
+           s.n_straddling_groups
+    FROM assigned a CROSS JOIN straddle s
+    GROUP BY a.split, s.n_straddling_groups
+    """,
+    tags=["curation", "split", "dedup"],
+)
+def leakage_safe_split_counts(spark, sf_dir):
+    """Dedup-aware train/val/test split: the split is a deterministic
+    hash of the document's NORMALIZED CONTENT (the same canonical form
+    the dedup family keys on), so byte-identical duplicates always land
+    in the same split — the leakage mode a row-hash split permits (one
+    copy in train, one in eval) is structurally impossible, and the
+    oracle hash-checks that as a pinned-zero ``n_straddling_groups``
+    column.  80/10/10 by integer bucket arithmetic; per split: row and
+    distinct-group counts.
+
+    Scale: one narrow projection + two grouped aggregations; the
+    content hash rides the scan (no join with a dedup table needed),
+    and the same chash column is what the exact-dedup and SemDeDup
+    collapse steps key on — the split composes with them for free."""
+    from ffiec_pq_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("chash")
+    )
+    bucket = hash60(F.col("chash"), seed=7) % 10
+    assigned = g.select(
+        "doc_id",
+        "chash",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    straddle = (
+        assigned.groupBy("chash")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum((F.col("ns") > 1).cast("long")).alias(
+                "n_straddling_groups"
+            )
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("chash").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(straddle))
     )

@@ -518,3 +518,28 @@ def test_upsert_merge_equals_dict_update(spark, base, updates):
     want = {**{k: float(v) for k, v in base.items()},
             **{k: float(v) for k, v in updates.items()}}
     assert got == want
+
+
+def test_leakage_safe_split_colocates_duplicates(spark, tmp_path):
+    """With byte- and whitespace-variant duplicates present, every copy
+    group lands in ONE split (n_straddling_groups = 0) and counts
+    reconcile: rows sum to the corpus, groups sum to distinct
+    contents."""
+    from ffiec_pq_spark.queries.curation import leakage_safe_split_counts
+
+    rows = []
+    for i in range(60):
+        base = f"document body number {i % 20} with shared content"
+        text = base if i % 3 == 0 else ("  " + base.upper().lower() + " ")
+        rows.append((i, text, "en", "src", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["split"]: r
+        for r in leakage_safe_split_counts(spark, str(tmp_path)).collect()
+    }
+    assert sum(r["n_docs"] for r in out.values()) == 60
+    assert sum(r["n_groups"] for r in out.values()) == 20
+    assert all(r["n_straddling_groups"] == 0 for r in out.values())
