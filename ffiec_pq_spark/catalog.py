@@ -87,6 +87,7 @@ _NEVER_SAMPLED_FIRST = [
     "range_sharded_export",
     "events_value_equidepth",
     "leakage_safe_split_counts",
+    "snapshot_diff_counts",
 ]
 
 

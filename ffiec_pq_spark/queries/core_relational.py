@@ -901,3 +901,69 @@ def upsert_keep_latest(spark, sf_dir):
         F.sum((F.col("version") == 2).cast("long")).alias("n_from_updates"),
         F.round(F.sum("total"), 2).alias("sum_total"),
     )
+
+
+@register(
+    "snapshot_diff_counts",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS total, o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS total,
+             o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT CASE
+             WHEN b.k IS NULL THEN 'added'
+             WHEN n.k IS NULL THEN 'removed'
+             WHEN b.total != n.total OR b.st != n.st THEN 'changed'
+             ELSE 'unchanged'
+           END AS status,
+           count(*) AS n,
+           round(sum(coalesce(n.total, b.total)), 2) AS sum_total
+    FROM base b FULL OUTER JOIN new n ON b.k = n.k
+    GROUP BY 1
+    """,
+    tags=["merge", "diff"],
+)
+def snapshot_diff_counts(spark, sf_dir):
+    """Snapshot diff (the CDC building block): two table versions fold
+    through ONE full-outer join on the key into added / removed /
+    changed / unchanged classes with per-class row counts and totals.
+    This is how a pipeline derives an incremental update feed from
+    periodic full snapshots (the reference re-publishes whole parquet
+    files per quarter — this operator is what turns two of those into
+    a delta).  One shuffle on the key; payload comparison is column
+    equality, no hashing needed when the payload is narrow."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_totalprice").alias("btotal"),
+        F.col("o_orderstatus").alias("bst"),
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 50.0
+        ).otherwise(F.col("o_totalprice")).alias("ntotal"),
+        F.col("o_orderstatus").alias("nst"),
+    )
+    joined = base.join(new, base.bk == new.nk, "full_outer")
+    status = (
+        F.when(F.col("bk").isNull(), "added")
+        .when(F.col("nk").isNull(), "removed")
+        .when(
+            (F.col("btotal") != F.col("ntotal"))
+            | (F.col("bst") != F.col("nst")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.coalesce("ntotal", "btotal")), 2).alias("sum_total"),
+    )

@@ -77,6 +77,15 @@ QUERIES = [
     "bloom_membership_filter",
     "char_entropy_quality",
     "semantic_dedup_cells",
+    "hll_merge_check",
+    "upsert_keep_latest",
+    "stream_upsert_latest",
+    "fuzzy_token_pairs_ed1",
+    "events_value_histogram",
+    "events_value_equidepth",
+    "range_sharded_export",
+    "leakage_safe_split_counts",
+    "snapshot_diff_counts",
 ]
 OFFSET = 10**9
 
@@ -99,6 +108,12 @@ NOTES = {
     "decontaminate_eval_overlap": (
         "output rows grow with eval-train overlap, which the 8-way "
         "duplicate replica inflates by design"
+    ),
+    "events_value_equidepth": (
+        "exact ntile requires a per-event-type TOTAL ordering (5 "
+        "partition keys -> 5 reducers, n log n sort growth); the "
+        "at-scale alternative for equi-depth boundaries is the "
+        "mergeable approx-quantile sketch (approx_quantile_check)"
     ),
 }
 
