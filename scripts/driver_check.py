@@ -147,6 +147,11 @@ def main() -> int:
             rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
         rec["sec"] = round(time.time() - t0, 2)
         results[name] = rec
+        # the dedup/winnow family persists session-lifetime caches;
+        # 130+ sequential queries would otherwise accumulate them
+        # (same hygiene as scale_check — correctness is unaffected,
+        # but GC pressure skews the per-query seconds)
+        spark.catalog.clearCache()
         ok = rec["err"] is None
         if not ok:
             failed.append(name)
