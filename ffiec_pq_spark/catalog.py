@@ -88,6 +88,7 @@ _NEVER_SAMPLED_FIRST = [
     "events_value_equidepth",
     "leakage_safe_split_counts",
     "snapshot_diff_counts",
+    "score_threshold_metrics",
 ]
 
 

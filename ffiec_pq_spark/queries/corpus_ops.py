@@ -961,3 +961,70 @@ def segment_regression_trend(spark, sf_dir):
         F.round(F.regr_intercept(F.col("value"), hr), 6).alias("intercept"),
         F.round(F.corr(F.col("value"), hr), 6).alias("correlation"),
     )
+
+
+_THRESHOLDS = [-2.0, 0.0, 2.0]
+
+
+@register(
+    "score_threshold_metrics",
+    f"""
+    WITH scored AS (
+      SELECT (label = 1) AS pos,
+             round({linear_score_sql('embedding', _W, _BIAS)}, 6) AS s
+      FROM embeddings
+    )
+    SELECT t.thr,
+           CAST(sum(CASE WHEN s >= t.thr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s >= t.thr AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN s < t.thr AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN s < t.thr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(CAST(sum(CASE WHEN s >= t.thr AND pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(sum(CASE WHEN s >= t.thr THEN 1 ELSE 0 END), 1), 6)
+             AS precision_,
+           round(CAST(sum(CASE WHEN s >= t.thr AND pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(sum(CASE WHEN pos THEN 1 ELSE 0 END), 1), 6)
+             AS recall_
+    FROM scored CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in _THRESHOLDS)}]) AS thr) t
+    GROUP BY t.thr
+    """,
+    tags=["inference", "metrics"],
+)
+def score_threshold_metrics(spark, sf_dir):
+    """Classifier-evaluation primitive for the curation pipeline: the
+    broadcast linear scorer swept over a threshold grid, yielding the
+    confusion counts and precision/recall at each operating point —
+    how a quality-filter threshold is actually picked before a 100 TB
+    filtering run.  One scan computes the score; the 3-threshold sweep
+    is an explode (no rescan, no per-threshold job), and everything
+    reduces map-side to 3 rows.  Precision/recall divide with a
+    greatest(..,1) guard so empty classes yield 0, not NULL, on both
+    engines."""
+    from ffiec_pq_spark.operators.quantize import linear_score
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        (F.col("label") == 1).alias("pos"),
+        F.round(linear_score(F.col("embedding"), _W, _BIAS), 6).alias("s"),
+    )
+    swept = scored.select(
+        "pos", "s",
+        F.explode(F.array(*[F.lit(t) for t in _THRESHOLDS])).alias("thr"),
+    )
+    hit = F.col("s") >= F.col("thr")
+    tp = F.sum((hit & F.col("pos")).cast("long"))
+    fp = F.sum((hit & ~F.col("pos")).cast("long"))
+    flagged = F.sum(hit.cast("long"))
+    npos = F.sum(F.col("pos").cast("long"))
+    return swept.groupBy("thr").agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        F.sum((~hit & ~F.col("pos")).cast("long")).alias("tn"),
+        F.sum((~hit & F.col("pos")).cast("long")).alias("fn"),
+        F.round(
+            tp.cast("double") / F.greatest(flagged, F.lit(1)), 6
+        ).alias("precision_"),
+        F.round(tp.cast("double") / F.greatest(npos, F.lit(1)), 6).alias(
+            "recall_"
+        ),
+    )
