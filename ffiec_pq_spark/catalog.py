@@ -89,6 +89,7 @@ _NEVER_SAMPLED_FIRST = [
     "leakage_safe_split_counts",
     "snapshot_diff_counts",
     "score_threshold_metrics",
+    "cooccurrence_triangles",
 ]
 
 

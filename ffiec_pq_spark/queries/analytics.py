@@ -260,3 +260,118 @@ def events_value_equidepth(spark, sf_dir):
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "cooccurrence_triangles",
+    """
+    WITH occ AS (
+      SELECT DISTINCT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w,
+             event_type, user_id
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM occ a
+      JOIN occ b ON a.w = b.w AND a.event_type = b.event_type
+                AND a.user_id < b.user_id
+    ),
+    nodes AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM nodes)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(t.t AS BIGINT) AS n_triangles,
+           round(3.0 * t.t / greatest(w.w, 1), 6) AS clustering_coeff
+    FROM tri t, wed w
+    """,
+    tags=["graph", "analytics"],
+)
+def cooccurrence_triangles(spark, sf_dir):
+    """Distributed triangle counting over the user co-occurrence graph
+    (users sharing a (minute, event_type) context are connected) — the
+    graph-analytics primitive behind community/cohesion metrics, plus
+    the global clustering coefficient (3·triangles / wedges).
+
+    The Spark plan is the DEGREE-ORDERED enumeration (the shape that
+    survives skew at scale): each edge is oriented from the endpoint
+    with lexicographically smaller (degree, id) toward the larger, so
+    every wedge is generated at its lowest-degree apex — per-node
+    fan-out is bounded by arboricity, not by the max degree, which is
+    what makes the self-join survive a power-law graph.  The oracle
+    replays the naive id-ordered triple join; both enumerate each
+    triangle exactly once, so the counts hash-match while the physical
+    strategies differ — the check certifies the rewrite."""
+    from pyspark.sql import Window  # noqa: F401  (kept local-import style)
+
+    ev = load_table(spark, sf_dir, "events")
+    occ = ev.select(
+        F.date_trunc("minute", F.col("ts")).alias("w"),
+        "event_type",
+        "user_id",
+    ).distinct()
+    a = occ.select("w", "event_type", F.col("user_id").alias("u"))
+    b = occ.select("w", "event_type", F.col("user_id").alias("v"))
+    e = (
+        a.join(b, ["w", "event_type"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): adj rows carry the rank struct of BOTH
+    # endpoints so the wedge join can order its two legs without
+    # another lookup
+    du = deg.select(
+        F.col("node").alias("u"), F.struct("d", "node").alias("ru")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.struct("d", "node").alias("rv")
+    )
+    ranked = e.join(du, "u").join(dv, "v")
+    adj = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rdst"),
+    )
+    l1 = adj.select(F.col("src"), F.col("dst").alias("b"), F.col("rdst").alias("rb"))
+    l2 = adj.select(F.col("src"), F.col("dst").alias("c"), F.col("rdst").alias("rc"))
+    wedges = l1.join(l2, "src").filter(F.col("rb") < F.col("rc"))
+    closing = adj.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("wedges")
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        counts.crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(
+                F.lit(3.0) * F.col("t") / F.greatest("wedges", F.lit(1)), 6
+            ).alias("clustering_coeff"),
+        )
+    )
