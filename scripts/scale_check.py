@@ -86,6 +86,8 @@ QUERIES = [
     "range_sharded_export",
     "leakage_safe_split_counts",
     "snapshot_diff_counts",
+    "score_threshold_metrics",
+    "cooccurrence_triangles",
 ]
 OFFSET = 10**9
 
