@@ -179,3 +179,22 @@ def test_hll_state_is_grouped_aggregate(spark, sf_dir):
 
     plan = physical_plan(df)
     assert "HashAggregate" in plan
+
+
+def test_upsert_merge_bounded_exchanges(spark, sf_dir):
+    """Upsert keep-latest: the merge is one grouped max_by exchange on
+    the key, the reporting rollup one more — never a window sort."""
+    df = queries()["upsert_keep_latest"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 2
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    assert "Window" not in physical_plan(df)
+
+
+def test_histogram_single_exchange(spark, sf_dir):
+    """The equi-width histogram is one grouped aggregation with
+    map-side partials — exactly one exchange."""
+    df = queries()["events_value_histogram"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 1

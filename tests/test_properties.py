@@ -543,3 +543,57 @@ def test_leakage_safe_split_colocates_duplicates(spark, tmp_path):
     assert sum(r["n_docs"] for r in out.values()) == 60
     assert sum(r["n_groups"] for r in out.values()) == 20
     assert all(r["n_straddling_groups"] == 0 for r in out.values())
+
+
+_cell = st.sampled_from(
+    ["1.5", "-2", "abc", "", "NA", "N/A", "0", "20240331", "00000000",
+     "3.14e2", " 7 ", "x y"]
+)
+_row = st.lists(_cell, min_size=3, max_size=6)  # 4 = correct field count
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows_a=st.lists(_row, min_size=1, max_size=6),
+    rows_b=st.lists(_row, min_size=1, max_size=6),
+    crlf=st.booleans(),
+)
+def test_zip_stats_batch_parity_fuzz(spark, tmp_path_factory, rows_a, rows_b, crlf):
+    """The one-job whole-zip audit must equal the per-member path for
+    ARBITRARY cell soup: NA tokens, date sentinels, unparsable typed
+    fields, wrong field counts, CRLF endings."""
+    import zipfile as _zf
+
+    from ffiec_pq_spark.sources.tsv import (
+        make_colspec,
+        member_stats,
+        zip_member_lines,
+        zip_stats_batch,
+    )
+
+    header = ["IDRSSD", "VAL_D", "DT_D", "TXT_C"]
+    type_dict = {"VAL_D": "d", "DT_D": "D", "TXT_C": "c"}
+    term = "\r\n" if crlf else "\n"
+
+    def member_text(rows):
+        out = ["\t".join(header) + "\t", "junk descriptions\t"]
+        for r in rows:
+            out.append("\t".join(r) + "\t")
+        return term.join(out) + term
+
+    d = tmp_path_factory.mktemp("fuzz_zip")
+    zp = str(d / "bulk.zip")
+    with _zf.ZipFile(zp, "w") as z:
+        z.writestr("Schedule A 03312024(1 of 2).txt", member_text(rows_a))
+        z.writestr("Schedule A 03312024(2 of 2).txt", member_text(rows_b))
+
+    colspecs = {
+        m: make_colspec(header, type_dict)
+        for m in ("Schedule A 03312024(1 of 2).txt",
+                  "Schedule A 03312024(2 of 2).txt")
+    }
+    batch = zip_stats_batch(spark, zp, colspecs)
+    for m, spec in colspecs.items():
+        expect = member_stats(zip_member_lines(spark, zp, m, skip=2), spec)
+        assert batch[m] == expect, (m, batch[m], expect)
