@@ -90,6 +90,7 @@ _NEVER_SAMPLED_FIRST = [
     "snapshot_diff_counts",
     "score_threshold_metrics",
     "cooccurrence_triangles",
+    "cooccurrence_pagerank",
 ]
 
 

@@ -375,3 +375,114 @@ def cooccurrence_triangles(spark, sf_dir):
             ).alias("clustering_coeff"),
         )
     )
+
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    ctes = [
+        """occ AS (
+      SELECT DISTINCT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w,
+             event_type, user_id
+      FROM events
+    )""",
+        """e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM occ a
+      JOIN occ b ON a.w = b.w AND a.event_type = b.event_type
+                AND a.user_id < b.user_id
+    )""",
+        "ed AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v AS s, u AS t FROM e)",
+        "deg AS (SELECT s, count(*) AS d FROM ed GROUP BY s)",
+        "n AS (SELECT count(*) AS c FROM deg)",
+        "r0 AS (SELECT deg.s AS node, round(1.0 / n.c, 9) AS r FROM deg, n)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT ed.t AS node,
+             round((1.0 - {_PR_D}) / max(n.c)
+                   + {_PR_D} * sum(r{i - 1}.r / deg.d), 9) AS r
+      FROM ed
+      JOIN r{i - 1} ON r{i - 1}.node = ed.s
+      JOIN deg ON deg.s = ed.s, n
+      GROUP BY ed.t
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS user_id, round(r, 6) AS rank
+    FROM r{iters} ORDER BY r DESC, node LIMIT 10
+    """
+    )
+
+
+@register(
+    "cooccurrence_pagerank",
+    _pagerank_sql(),
+    tags=["graph", "iterative"],
+)
+def cooccurrence_pagerank(spark, sf_dir):
+    """PageRank (3 damped power iterations, d=0.85) over the user
+    co-occurrence graph — the canonical iterative graph algorithm on
+    Spark: per iteration ONE join of the edge list with the current
+    rank vector and one grouped sum; no collect, no lineage blowup
+    (three iterations compose as a fixed plan; longer runs would
+    localCheckpoint every ~5 like dedup_clusters).  The undirected
+    graph gives every node out-edges, so there is no dangling mass.
+
+    Determinism: each iteration's ranks round at 9 dp on BOTH engines
+    before feeding the next (the kmeans-oracle trick) — neighbor sums
+    in different orders agree after the round, so the unrolled-CTE
+    replay hash-matches exactly.  Output: top-10 users by rank
+    (6 dp, tie-broken on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    occ = ev.select(
+        F.date_trunc("minute", F.col("ts")).alias("w"),
+        "event_type",
+        "user_id",
+    ).distinct()
+    a = occ.select("w", "event_type", F.col("user_id").alias("u"))
+    b = occ.select("w", "event_type", F.col("user_id").alias("v"))
+    e = (
+        a.join(b, ["w", "event_type"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    ed = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    deg = ed.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.count()  # scalar: rides into the plan as a literal
+    if n_nodes == 0:
+        # no co-occurrence edges (tiny or empty input): the oracle's
+        # iteration CTEs are empty too — return the empty top-10
+        return spark.createDataFrame([], "user_id long, rank double")
+    ranks = deg.select(
+        F.col("s").alias("node"),
+        F.round(F.lit(1.0) / n_nodes, 9).alias("r"),
+    )
+    contrib_src = ed.join(deg, "s")
+    for _ in range(_PR_ITERS):
+        ranks = (
+            contrib_src.join(ranks, contrib_src.s == ranks.node)
+            .groupBy("t")
+            .agg(
+                F.round(
+                    F.lit((1.0 - _PR_D) / n_nodes)
+                    + F.lit(_PR_D) * F.sum(F.col("r") / F.col("d")),
+                    9,
+                ).alias("r")
+            )
+            .select(F.col("t").alias("node"), "r")
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(10)
+        .select(F.col("node").alias("user_id"), F.round("r", 6).alias("rank"))
+    )

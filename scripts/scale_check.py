@@ -88,6 +88,7 @@ QUERIES = [
     "snapshot_diff_counts",
     "score_threshold_metrics",
     "cooccurrence_triangles",
+    "cooccurrence_pagerank",
 ]
 OFFSET = 10**9
 
