@@ -91,6 +91,7 @@ _NEVER_SAMPLED_FIRST = [
     "score_threshold_metrics",
     "cooccurrence_triangles",
     "cooccurrence_pagerank",
+    "mixture_temperature_weights",
 ]
 
 

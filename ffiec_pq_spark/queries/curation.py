@@ -319,3 +319,81 @@ def leakage_safe_split_counts(spark, sf_dir):
         )
         .crossJoin(F.broadcast(straddle))
     )
+
+
+_TEMP_BUDGET = 20_000  # target token budget across all sources
+
+
+@register(
+    "mixture_temperature_weights",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tokens, n_docs, sqrt(CAST(n_tokens AS DOUBLE)) AS wt
+      FROM tok
+    ),
+    tot AS (SELECT sum(wt) AS z FROM w)
+    SELECT w.source,
+           w.n_tokens,
+           w.n_docs,
+           round(w.wt / t.z, 6) AS share,
+           CAST(floor(round(w.wt / t.z, 6) * {_TEMP_BUDGET}) AS BIGINT)
+             AS target_tokens,
+           CAST(least(1000000,
+                CAST(floor(CAST(floor(round(w.wt / t.z, 6) * {_TEMP_BUDGET})
+                     AS DOUBLE) / w.n_tokens * 1000000) AS BIGINT))
+             AS BIGINT) AS keep_permil
+    FROM w, tot t
+    """,
+    tags=["curation", "mixture"],
+)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-based mixture reweighting (the multilingual-LLM
+    resampling scheme): per-source sampling share ∝ n_tokens^alpha
+    with alpha = 0.5, so low-resource sources are up-weighted relative
+    to their raw share.  Emits the share, the token target under a
+    fixed budget, and the per-source keep rate in integer permille
+    (the deterministic hash-gate threshold ``mixture_sample`` consumes).
+
+    alpha is fixed at 0.5 deliberately: ``pow(n, 0.5)`` IS ``sqrt``,
+    which IEEE 754 requires to be correctly rounded — so both engines
+    compute bit-identical weights (an arbitrary alpha would go through
+    libm ``pow``, whose last-ulp rounding differs across engines and
+    would poison the strict hash).  One grouped aggregation + a
+    broadcast one-row total; everything else is scalar arithmetic."""
+    from ffiec_pq_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = tok.select(
+        "source",
+        "n_tokens",
+        "n_docs",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").alias("z"))
+    share = F.round(F.col("wt") / F.col("z"), 6)
+    target = F.floor(share * _TEMP_BUDGET).cast("long")
+    keep = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.floor(
+            target.cast("double") / F.col("n_tokens") * 1_000_000
+        ).cast("long"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "n_docs",
+        share.alias("share"),
+        target.alias("target_tokens"),
+        keep.alias("keep_permil"),
+    )
