@@ -92,6 +92,7 @@ _NEVER_SAMPLED_FIRST = [
     "cooccurrence_triangles",
     "cooccurrence_pagerank",
     "mixture_temperature_weights",
+    "consistent_hash_routing",
 ]
 
 

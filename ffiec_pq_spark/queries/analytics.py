@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.hashing import hash60, hash60_sql
 from ffiec_pq_spark.session import load_table
 
 
@@ -485,4 +486,137 @@ def cooccurrence_pagerank(spark, sf_dir):
         ranks.orderBy(F.desc("r"), F.asc("node"))
         .limit(10)
         .select(F.col("node").alias("user_id"), F.round("r", 6).alias("rank"))
+    )
+
+
+_CH_SHARDS = 8
+_CH_VNODES = 16
+_CH_RING = 1 << 32
+
+
+def _ring_sql(n_shards: int) -> str:
+    parts = []
+    for s in range(n_shards):
+        for r in range(_CH_VNODES):
+            h = hash60_sql("'s:%d:r:%d'" % (s, r))
+            parts.append("(%d, (%s) %% %d)" % (s, h, _CH_RING))
+    return "(VALUES " + ", ".join(parts) + ") AS vn(shard, pos)"
+
+
+def _assign_sql(n_shards: int, alias: str) -> str:
+    """Per doc: the owning shard = vnode at the smallest ring position
+    >= the key position, wrapping to the global minimum vnode."""
+    return f"""
+    {alias} AS (
+      SELECT d.doc_id,
+             coalesce(
+               (SELECT vn.shard FROM {_ring_sql(n_shards)}
+                WHERE vn.pos >= d.kpos ORDER BY vn.pos, vn.shard LIMIT 1),
+               (SELECT vn.shard FROM {_ring_sql(n_shards)}
+                ORDER BY vn.pos, vn.shard LIMIT 1)
+             ) AS shard
+      FROM (SELECT doc_id, ({hash60_sql('doc_id')}) % {_CH_RING} AS kpos
+            FROM documents) d
+    )"""
+
+
+@register(
+    "consistent_hash_routing",
+    f"""
+    WITH {_assign_sql(_CH_SHARDS, 'a8')},
+    {_assign_sql(_CH_SHARDS + 1, 'a9')},
+    moved AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_moved
+      FROM a8 JOIN a9 USING (doc_id) WHERE a8.shard != a9.shard
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a8)
+    SELECT a8.shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           m.n_moved,
+           (CAST(m.n_moved AS DOUBLE) / t.n) <= (2.0 / {_CH_SHARDS + 1})
+             AS elastic
+    FROM a8, moved m, total t
+    GROUP BY a8.shard, m.n_moved, t.n
+    """,
+    tags=["layout", "routing"],
+)
+def consistent_hash_routing(spark, sf_dir):
+    """Consistent-hash routing with virtual nodes — how a 100 TB system
+    assigns keys to shards so that RESIZING moves only ~1/(n+1) of the
+    data instead of rehashing everything: 16 vnodes per shard on a
+    2^32 ring, each key owned by the next vnode clockwise.  The query
+    assigns every document under 8 shards AND under 9, reports the
+    per-shard counts, the number of keys that moved, and pins the
+    elasticity bound (moved fraction <= 2/(n+1)) as an oracle-hashed
+    boolean — the property that makes the scheme worth its complexity.
+
+    The ring is a 128-row literal dimension (broadcast); assignment is
+    one sort-merge-free lookup per key expressed as min-over-filtered
+    -broadcast, i.e. a map-side operation at any scale."""
+    ring8 = [
+        (s, r) for s in range(_CH_SHARDS) for r in range(_CH_VNODES)
+    ]
+    ring9 = [
+        (s, r) for s in range(_CH_SHARDS + 1) for r in range(_CH_VNODES)
+    ]
+
+    def ring_df(pairs):
+        rows = spark.createDataFrame(pairs, "shard int, r int")
+        pos = hash60(
+            F.concat(
+                F.lit("s:"), F.col("shard"), F.lit(":r:"), F.col("r")
+            )
+        ) % _CH_RING
+        return rows.select("shard", pos.alias("pos"))
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (hash60(F.col("doc_id")) % _CH_RING).alias("kpos")
+    )
+
+    def assign(ring):
+        # broadcast the 128/144-row ring; per key keep the smallest
+        # (pos, shard) among vnodes clockwise of kpos, wrapping to the
+        # ring's global minimum
+        r = ring.select(
+            "shard", "pos", F.struct("pos", "shard").alias("ps")
+        )
+        wrap = r.orderBy("pos", "shard").limit(1).select(
+            F.col("shard").alias("_wrap_shard")
+        )
+        cand = (
+            d.join(F.broadcast(r), F.col("pos") >= F.col("kpos"), "left")
+            .groupBy("doc_id")
+            .agg(F.min("ps").alias("best"))
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "doc_id",
+                F.coalesce(F.col("best.shard"), F.col("_wrap_shard")).alias(
+                    "shard"
+                ),
+            )
+        )
+        return cand
+
+    a8 = assign(ring_df(ring8))
+    a9 = assign(ring_df(ring9))
+    moved = (
+        a8.withColumnRenamed("shard", "s8")
+        .join(a9.withColumnRenamed("shard", "s9"), "doc_id")
+        .agg(F.sum((F.col("s8") != F.col("s9")).cast("long")).alias("n_moved"))
+    )
+    total = a8.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        a8.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(moved))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "n_moved",
+            (
+                (F.col("n_moved").cast("double") / F.col("n"))
+                <= 2.0 / (_CH_SHARDS + 1)
+            ).alias("elastic"),
+        )
     )
