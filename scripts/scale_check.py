@@ -89,6 +89,8 @@ QUERIES = [
     "score_threshold_metrics",
     "cooccurrence_triangles",
     "cooccurrence_pagerank",
+    "mixture_temperature_weights",
+    "consistent_hash_routing",
 ]
 OFFSET = 10**9
 
