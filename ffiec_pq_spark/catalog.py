@@ -93,6 +93,12 @@ _NEVER_SAMPLED_FIRST = [
     "cooccurrence_pagerank",
     "mixture_temperature_weights",
     "consistent_hash_routing",
+    "events_range_join_tiers",
+    "events_gapfill_ffill",
+    "events_ewma_value",
+    "minhash_calibration",
+    "dedup_keep_best",
+    "linkage_blocked_pairs",
 ]
 
 
@@ -135,6 +141,8 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import timeseries  # noqa: F401
+    from ffiec_pq_spark.queries import linkage  # noqa: F401
     from ffiec_pq_spark.queries import sketches  # noqa: F401
     from ffiec_pq_spark.queries import temporal  # noqa: F401
     from ffiec_pq_spark.queries import ffiec_shaped  # noqa: F401

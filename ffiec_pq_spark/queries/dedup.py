@@ -292,3 +292,217 @@ def dedup_simhash(spark, sf_dir):
     bit-for-bit against the SQL oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, n_bits=60)
+
+
+_CAL_BANDS = 16
+_CAL_RPB = 2
+
+
+def _calibration_oracle() -> str:
+    """MinHash signature-estimate vs exact Jaccard, on DISTINCT content
+    (calibration needs each content once; identical copies would just
+    repeat the same (est, exact) point and, at scale, quadratically)."""
+    perms = perm_params(_N_PERM)
+    mh_exprs = ",\n             ".join(
+        f"min(({a} * (h % {_P}) + {b}) % {_P}) AS mh{i}" for i, a, b in perms
+    )
+    band_arms = "\n      UNION ALL\n".join(
+        "      SELECT id, {bi} AS band, md5({concat}) AS bkey FROM sig".format(
+            bi=bi,
+            concat=" || ',' || ".join(
+                f"CAST(mh{bi * _CAL_RPB + ri} AS VARCHAR)"
+                for ri in range(_CAL_RPB)
+            ),
+        )
+        for bi in range(_CAL_BANDS)
+    )
+    est_terms = " + ".join(
+        f"(CASE WHEN l.mh{i} = r.mh{i} THEN 1 ELSE 0 END)" for i in range(_N_PERM)
+    )
+    return f"""
+    WITH reps AS (
+      SELECT min(doc_id) AS id
+      FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+        FROM documents
+      ) GROUP BY ch
+    ),
+    docs2 AS (
+      SELECT d.doc_id AS id, d.text
+      FROM documents d JOIN reps r ON r.id = d.doc_id
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct({shingles_sql('text', _K)})) AS shingle
+      FROM docs2
+    ),
+    hashed AS (SELECT id, {hash60_sql('shingle')} AS h FROM sh),
+    sig AS (
+      SELECT id, {mh_exprs}
+      FROM hashed GROUP BY id
+    ),
+    bands AS (
+{band_arms}
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+    ),
+    sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT id_a, id_b,
+             n_common / (sa.set_size + sb.set_size - n_common) AS jx
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b, ({est_terms}) / 32.0 AS est
+      FROM cand c
+      JOIN sig l ON l.id = c.id_a
+      JOIN sig r ON r.id = c.id_b
+    )
+    SELECT CAST(floor(jx * 5) AS BIGINT) AS bucket,
+           count(*) AS n_pairs,
+           round(avg(abs(est - jx)), 6) AS avg_abs_err,
+           round(avg(est), 6) AS avg_est,
+           round(avg(jx), 6) AS avg_jaccard
+    FROM ex JOIN est USING (id_a, id_b)
+    GROUP BY 1
+    """
+
+
+@register("minhash_calibration", _calibration_oracle(), tags=["dedup", "approx"])
+def minhash_calibration(spark, sf_dir):
+    """MinHash accuracy audit: for every LSH candidate pair (distinct
+    content only), the signature estimate (matching positions / 32) vs
+    the exact Jaccard, bucketed by exact similarity (width 0.2) —
+    the avg-|error| per bucket is the sizing evidence for (n_perm,
+    bands) choices on a real corpus.  Estimates are exact binary
+    rationals (k/32) and the bucket edges are IEEE-exact ops, so both
+    engines bucket identically; only the final per-bucket averages are
+    rounded."""
+    from ffiec_pq_spark.operators.dedup import (
+        doc_shingles,
+        exact_dedup_groups,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dedup_groups(docs).select(F.col("rep_id").alias("doc_id"))
+    rd = docs.join(reps, "doc_id", "left_semi")
+    sh = doc_shingles(rd, k=_K).persist()
+    sigs = minhash_signatures(rd, k=_K, n_perm=_N_PERM, _shingles=sh)
+    cands = lsh_candidates(sigs, _CAL_BANDS, _CAL_RPB)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jx = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    ex = inter.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", jx.alias("jx"))
+    sl = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sl"))
+    sr = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sr"))
+    match_k = F.aggregate(
+        F.zip_with("_sl", "_sr", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = (
+        cands.join(sl, "id_a")
+        .join(sr, "id_b")
+        .select("id_a", "id_b", (match_k / F.lit(32.0)).alias("est"))
+    )
+    return (
+        ex.join(est, ["id_a", "id_b"])
+        .groupBy(F.floor(F.col("jx") * 5).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("jx"))), 6).alias("avg_abs_err"),
+            F.round(F.avg("est"), 6).alias("avg_est"),
+            F.round(F.avg("jx"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+def _keep_best_oracle() -> str:
+    """Clusters (same recursive-CTE replay as dedup_clusters) + the
+    canonical-doc selection: keep the longest member, min-id tie-break."""
+    pair_sql = _minhash_oracle().strip()
+    return f"""
+    WITH pairs AS (
+      {pair_sql}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      WITH RECURSIVE r(id, root) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id
+      )
+      SELECT id, min(root) AS cluster FROM r GROUP BY id
+    ),
+    members AS (
+      SELECT r.cluster, r.id, d.n_chars,
+             max(d.n_chars) OVER (PARTITION BY r.cluster) AS mc
+      FROM reach r JOIN documents d ON d.doc_id = r.id
+    )
+    SELECT cluster AS cluster_rep,
+           count(*) AS n_members,
+           max(n_chars) AS keep_chars,
+           min(CASE WHEN n_chars = mc THEN id END) AS keep_id
+    FROM members GROUP BY cluster
+    """
+
+
+@register("dedup_keep_best", _keep_best_oracle(), tags=["dedup", "graph"])
+def dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection: near-dup clusters (connected
+    components over the MinHash pairs) + keep the highest-quality
+    member per cluster — quality = n_chars here, min-doc_id tie-break,
+    so the kept set is deterministic on any engine.  The deletion list
+    a production dedup actually ships is `members - keep_id`."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
+    )
+    comp = connected_components(pairs)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    ).withColumn(
+        "mc", F.max("n_chars").over(Window.partitionBy("cluster"))
+    )
+    return members.groupBy(F.col("cluster").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("keep_chars"),
+        F.min(F.when(F.col("n_chars") == F.col("mc"), F.col("id"))).alias(
+            "keep_id"
+        ),
+    )
