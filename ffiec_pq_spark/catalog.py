@@ -99,6 +99,8 @@ _NEVER_SAMPLED_FIRST = [
     "minhash_calibration",
     "dedup_keep_best",
     "linkage_blocked_pairs",
+    "doc_bigram_logprob",
+    "weighted_sample_topk",
 ]
 
 
@@ -143,6 +145,7 @@ def _load_all() -> None:
     # register last.
     from ffiec_pq_spark.queries import timeseries  # noqa: F401
     from ffiec_pq_spark.queries import linkage  # noqa: F401
+    from ffiec_pq_spark.queries import lm  # noqa: F401
     from ffiec_pq_spark.queries import sketches  # noqa: F401
     from ffiec_pq_spark.queries import temporal  # noqa: F401
     from ffiec_pq_spark.queries import ffiec_shaped  # noqa: F401

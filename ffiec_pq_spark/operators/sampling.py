@@ -170,3 +170,37 @@ def mixture_gate_sql(
         f"(({hash60_sql(key_expr, seed)} % {_BUCKETS}) < "
         f"(CASE {cases} END))"
     )
+
+
+def weighted_priority_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weight-biased top-k: each row gets an integer
+    priority ``hash60(key) div weight`` and the ``k`` smallest
+    priorities win — a heavier row divides its (uniform) hash by a
+    larger weight, so its expected priority shrinks proportionally,
+    the integer-only analogue of exponential-key (A-ES) weighted
+    reservoir sampling.  Pure integer arithmetic end to end, so the
+    SQL oracle replays the identical subset; ``key_col`` tie-breaks.
+
+    Plan shape: no global sort — Spark plans the ORDER BY+LIMIT as
+    TakeOrderedAndProject (per-partition top-k, merged on the driver),
+    exactly the shape that survives a 1000-executor scan.  Rows with
+    NULL or non-positive weight are excluded up front (a div-by-zero
+    priority is undefined on both engines).
+    """
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_h", hash60(key_col, seed))
+        # integer div, NOT `/`: float division of a 60-bit hash loses
+        # bits past the 53-bit mantissa and the subset would drift
+        # from the oracle's integer arithmetic
+        .withColumn("_priority", F.expr(f"_h div {weight_col}"))
+        .drop("_h")
+        .orderBy("_priority", key_col)
+        .limit(k)
+    )

@@ -397,3 +397,33 @@ def mixture_temperature_weights(spark, sf_dir):
         target.alias("target_tokens"),
         keep.alias("keep_permil"),
     )
+
+
+@register(
+    "weighted_sample_topk",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             {hash60_sql('doc_id')} // n_chars AS _priority
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY _priority, doc_id LIMIT 100
+    """,
+    tags=["sampling", "curation"],
+)
+def weighted_sample_topk(spark, sf_dir):
+    """Deterministic weight-biased sample: the 100 documents with the
+    smallest ``hash60(doc_id) div n_chars`` priority — longer documents
+    proportionally more likely, same subset on any engine / partitioning
+    (integer-only A-ES analogue).  Plans as TakeOrderedAndProject:
+    per-partition top-k merged at the driver, no global sort."""
+    from ffiec_pq_spark.operators.sampling import weighted_priority_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_priority_topk(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=100,
+    ).drop("_priority")

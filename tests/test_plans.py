@@ -198,3 +198,52 @@ def test_histogram_single_exchange(spark, sf_dir):
     df = queries()["events_value_histogram"](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     assert count_exchanges(df) <= 1
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bin-decomposed range join must plan a hash equi-join on the
+    bin — never the broadcast-nested-loop a naive BETWEEN join gets."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["events_range_join_tiers"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """Truncated EWMA is one keyed exchange + a partition-local window
+    (all K lag terms share the same frame)."""
+    df = queries()["events_ewma_value"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_gapfill_bounded_exchanges(spark, sf_dir):
+    """Gap fill: bucket aggregation + span/calendar + forward-fill
+    window — the window must reuse the key partitioning (<= 2
+    exchanges total, none proportional to the calendar length)."""
+    df = queries()["events_gapfill_ffill"](spark, sf_dir)
+    assert count_exchanges(df) <= 2
+
+
+def test_weighted_topk_no_global_sort(spark, sf_dir):
+    """Weighted priority sampling must plan TakeOrderedAndProject
+    (per-partition top-k), zero exchanges — no global sort."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["weighted_sample_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) == 0
+
+
+def test_linkage_no_cartesian(spark, sf_dir):
+    """Blocked linkage joins on the blocking key — the plan must never
+    degenerate to a cartesian/nested-loop over all pairs."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["linkage_blocked_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
