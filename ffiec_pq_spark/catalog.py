@@ -101,6 +101,9 @@ _NEVER_SAMPLED_FIRST = [
     "linkage_blocked_pairs",
     "doc_bigram_logprob",
     "weighted_sample_topk",
+    "events_attribution_last_touch",
+    "chi_square_lang_source",
+    "tfidf_cosine_pairs",
 ]
 
 
@@ -146,6 +149,8 @@ def _load_all() -> None:
     from ffiec_pq_spark.queries import timeseries  # noqa: F401
     from ffiec_pq_spark.queries import linkage  # noqa: F401
     from ffiec_pq_spark.queries import lm  # noqa: F401
+    from ffiec_pq_spark.queries import attribution  # noqa: F401
+    from ffiec_pq_spark.queries import sparse_sim  # noqa: F401
     from ffiec_pq_spark.queries import sketches  # noqa: F401
     from ffiec_pq_spark.queries import temporal  # noqa: F401
     from ffiec_pq_spark.queries import ffiec_shaped  # noqa: F401

@@ -639,3 +639,59 @@ def simhash(
         )
         assembled = term if assembled is None else assembled + term
     return agg.select("id", assembled.alias("simhash"))
+
+
+def dup_components_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, cluster) duplicate-component membership, computed on
+    DISTINCT content: the label-propagation graph is built from
+    representative-level near-dup pairs (one node per distinct text),
+    then membership expands back to every copy.
+
+    Running components on the EXPANDED pair graph is the hidden
+    quadratic of a dedup pipeline: d-way duplicated corpora inflate
+    each clique's edge count by d², and every propagation round pays
+    it.  At rep level the graph is duplication-invariant.  The label
+    algebra survives the collapse exactly: ``rep = min(copy ids)``, so
+    ``min id reachable in the expanded graph = min rep reachable in
+    the rep graph`` — the naive recursive-CTE oracle proves it.
+
+    Reps with >= 2 identical copies and a non-empty shingle set are
+    cliques among their own copies even without any cross-content
+    edge, so they enter as singleton components labeled by their rep
+    (empty-shingle docs produce no signature and never pair — matching
+    the naive pipeline, they stay out).
+    """
+    groups = _content_groups(df, text_col, id_col).persist()
+    rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
+    rep_docs = df.join(
+        rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = minhash_near_dups(
+        rep_docs, text_col, id_col, k, n_perm, n_bands, threshold, seed,
+        collapse_exact=False,
+    )
+    comp_rep = connected_components(rep_pairs)
+    nonempty = doc_set_sizes(rep_docs, text_col, id_col, k).filter(
+        F.col("set_size") > 0
+    ).select("id")
+    solo = (
+        rep_ids.filter(F.col("g") >= 2)
+        .join(nonempty, "id", "left_semi")
+        .join(comp_rep.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster"))
+    )
+    rep_cluster = comp_rep.unionByName(solo)
+    return (
+        groups.select("id", "rep")
+        .join(rep_cluster.select(F.col("id").alias("rep"), "cluster"), "rep")
+        .select("id", "cluster")
+    )

@@ -244,17 +244,23 @@ def dedup_clusters(spark, sf_dir):
     (iterative min-label propagation; the oracle replays it with a
     recursive CTE): one row per cluster with the min-id representative
     and sorted members — the keep-one step of a real dedup pipeline."""
-    from ffiec_pq_spark.operators.dedup import dedup_cluster_summary
+    from ffiec_pq_spark.operators.dedup import dup_components_collapsed
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dups(
+    # components run on the rep-level graph (duplication-invariant edge
+    # count) and expand membership to copies — the recursive-CTE oracle
+    # replays the naive expanded graph, proving the collapse
+    comp = dup_components_collapsed(
         docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
     )
-    out = dedup_cluster_summary(pairs)
+    out = comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list("id")).alias("member_ids"),
+    )
     # comma-join the member list: the driver's canonicalizer can't sort
-    # array-typed columns (the array API stays on dedup_cluster_summary)
+    # array-typed columns
     return out.select(
-        "cluster_rep",
+        F.col("cluster").alias("cluster_rep"),
         "n_members",
         F.array_join(F.col("member_ids").cast("array<string>"), ",").alias(
             "member_ids"
@@ -487,13 +493,12 @@ def dedup_keep_best(spark, sf_dir):
     a production dedup actually ships is `members - keep_id`."""
     from pyspark.sql import Window
 
-    from ffiec_pq_spark.operators.dedup import connected_components
+    from ffiec_pq_spark.operators.dedup import dup_components_collapsed
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dups(
+    comp = dup_components_collapsed(
         docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
     )
-    comp = connected_components(pairs)
     members = comp.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     ).withColumn(

@@ -91,6 +91,16 @@ QUERIES = [
     "cooccurrence_pagerank",
     "mixture_temperature_weights",
     "consistent_hash_routing",
+    # round-4 continuation additions
+    "events_range_join_tiers",
+    "events_gapfill_ffill",
+    "events_ewma_value",
+    "linkage_blocked_pairs",
+    "minhash_calibration",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "doc_bigram_logprob",
+    "weighted_sample_topk",
 ]
 OFFSET = 10**9
 
