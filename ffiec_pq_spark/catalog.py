@@ -104,6 +104,8 @@ _NEVER_SAMPLED_FIRST = [
     "events_attribution_last_touch",
     "chi_square_lang_source",
     "tfidf_cosine_pairs",
+    "embedding_pca_scores",
+    "stream_tier_rollup",
 ]
 
 

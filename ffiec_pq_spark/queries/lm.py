@@ -46,9 +46,30 @@ def doc_bigram_logprob(spark, sf_dir):
     beyond natural Zipf — the df-cap pattern applies if a stopword
     bigram ever dominates), and the probability table joins back to
     the bigram stream.  n2/n1 is one exact-integer IEEE division on
-    both engines; only the per-doc mean is rounded."""
+    both engines; only the per-doc mean is rounded.
+
+    Duplicate collapse: the bigram stream runs on DISTINCT content
+    only, each representative weighted by its copy count g — weighted
+    sums equal the naive corpus counts EXACTLY (every copy contributes
+    the same bigrams), per-rep scores expand back to copies as pure
+    output materialization.  The oracle replays the naive full-corpus
+    estimation, proving the collapse; a d-way duplicated corpus costs
+    ~1x the distinct corpus instead of d x."""
+    from ffiec_pq_spark.operators.dedup import _content_groups
+
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
+    groups = _content_groups(docs).persist()
+    rep_docs = docs.join(
+        groups.filter(F.col("id") == F.col("rep")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    g_of = groups.filter(F.col("id") == F.col("rep")).select(
+        F.col("id").alias("doc_id"), "g"
+    )
+    bg = rep_docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_t")
     ).select(
         "doc_id",
@@ -59,17 +80,25 @@ def doc_bigram_logprob(spark, sf_dir):
                 "         (a, b) -> struct(a AS w1, b AS w2))"
             )
         ).alias("_bg"),
-    ).select("doc_id", "_bg.w1", "_bg.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    ).select("doc_id", "_bg.w1", "_bg.w2").join(g_of, "doc_id")
+    # weighted counts == naive full-corpus counts (each copy repeats
+    # the rep's bigrams verbatim)
+    c2 = bg.groupBy("w1", "w2").agg(F.sum("g").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.sum("g").alias("n1"))
     prob = c2.join(c1, "w1").select(
         "w1", "w2", (F.col("n2") / F.col("n1")).alias("_p")
     )
-    return (
+    rep_scores = (
         bg.join(prob, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(F.log("_p")), 6).alias("avg_logprob"),
         )
+    )
+    # expand rep scores to every copy
+    return (
+        groups.select("id", "rep")
+        .join(rep_scores.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "avg_logprob")
     )

@@ -412,3 +412,91 @@ def ann_lsh_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_lsh(emb, _PROBE, dim=_DIM, k=10, n_planes=8, hamming_radius=1)
+
+
+def _pca_sql(iters: int = 5) -> str:
+    """Unrolled INTEGER power iteration (see operators/pca.py): means
+    at 9 dp, covariance at 7 dp then quantized to int64; the iteration
+    state is an integer vector (exact sums on any engine in any order),
+    the shrink division can never straddle an integer, and the single
+    final normalization divides by the sqrt of an exact integer — so
+    both engines produce bit-identical loadings with NO rounding step
+    inside the recursion (a rounded float recursion lands on decimal
+    boundaries systematically and half-tie modes differ per engine)."""
+    ctes = [
+        """ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    )""",
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        "m AS (SELECT i, round(avg(x), 9) AS m FROM ex GROUP BY i)",
+        """xc AS (
+      SELECT e.vec_id, e.i, e.x - m.m AS x FROM ex e JOIN m USING (i)
+    )""",
+        """cov AS (
+      SELECT a.i AS i, b.i AS j,
+             round(sum(a.x * b.x) / (nn.n - 1), 7) AS c
+      FROM xc a JOIN xc b USING (vec_id) CROSS JOIN nn
+      GROUP BY a.i, b.i, nn.n
+    )""",
+        "covi AS (SELECT i, j, CAST(round(c * 10000000) AS BIGINT) AS c FROM cov)",
+        "x0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM m)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""y{t} AS (
+      SELECT c.i, sum(c.c * x.v) AS y FROM covi c
+      JOIN x{t} x ON x.i = c.j GROUP BY c.i
+    )"""
+        )
+        ctes.append(
+            f"d{t} AS (SELECT (max(abs(y)) // 1000000) + 1 AS dv FROM y{t})"
+        )
+        ctes.append(
+            f"""x{t + 1} AS (
+      SELECT i, CAST(trunc(CAST(y AS DOUBLE) / dv) AS BIGINT) AS v
+      FROM y{t} CROSS JOIN d{t}
+    )"""
+        )
+    last = f"x{iters}"
+    ctes.append(
+        f"""sgn AS (
+      SELECT CASE WHEN (
+        SELECT v FROM {last} WHERE abs(v) > 10000 ORDER BY i LIMIT 1
+      ) < 0 THEN -1.0 ELSE 1.0 END AS s
+    )"""
+    )
+    ctes.append(
+        f"""nf AS (
+      SELECT sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+      FROM {last}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT xc.vec_id AS id,
+           round(sum(xc.x * (CAST({last}.v AS DOUBLE) * sgn.s / nf.nrm)), 6)
+             AS pc1_score
+    FROM xc JOIN {last} ON {last}.i = xc.i CROSS JOIN sgn CROSS JOIN nf
+    GROUP BY xc.vec_id
+    """
+    )
+
+
+@register("embedding_pca_scores", _pca_sql(iters=5), tags=["similarity", "iterative"])
+def embedding_pca_scores(spark, sf_dir):
+    """PCA projection of every embedding onto the corpus's top principal
+    component (power iteration on the d x d covariance): the standard
+    spread-axis feature for embedding diagnostics, outlier gating and
+    curriculum ordering.  Covariance by one grouped aggregation
+    (map-side partials -> d rows), eigenvector fit driver-side on d x d
+    state (the k-means small-state pattern), scores as a narrow
+    cluster-side projection — the oracle replays the identical rounded
+    recursion as unrolled CTEs."""
+    from ffiec_pq_spark.operators.pca import pca_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_scores(emb, "embedding", "vec_id", _DIM, iters=5)

@@ -383,3 +383,60 @@ def stream_upsert_latest(spark, sf_dir):
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "stream_tier_rollup",
+    None,  # placeholder; replaced below with the batch-equivalent SQL
+    tags=["streaming", "range-join"],
+)
+def stream_tier_rollup(spark, sf_dir):
+    """Stream-static enrichment: the event STREAM joins the static tier
+    dimension through the bin-decomposed range join (the same
+    range_join_binned operator the batch query uses — stream-static
+    equi-joins are stateless in Structured Streaming, so the tier
+    lookup adds no state store), then a complete-mode rollup per tier,
+    drained with availableNow.  Must equal the batch BETWEEN join
+    exactly — the incremental execution of the range-join plan
+    converges to the batch answer."""
+    from ffiec_pq_spark.operators.timeseries import range_join_binned
+    from ffiec_pq_spark.queries.timeseries import _BIN_W, _TIERS
+    from ffiec_pq_spark.streaming.events import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    tiers = spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    joined = range_join_binned(stream, "value", tiers, _BIN_W)
+    agg = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    name = f"stream_tier_rollup_{next(_SINK_IDS)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _patch_stream_tier_oracle() -> None:
+    """Attach the batch-equivalent SQL (shared tier literals with the
+    batch query) — done post-definition to avoid a circular import of
+    queries.timeseries at module-load time."""
+    from ffiec_pq_spark.catalog import _REGISTRY
+    from ffiec_pq_spark.queries.timeseries import _TIERS_VALUES
+
+    _REGISTRY["stream_tier_rollup"].oracle = f"""
+    WITH tiers(tier, lo, hi) AS (VALUES {_TIERS_VALUES})
+    SELECT tier,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY tier
+    """
+
+
+_patch_stream_tier_oracle()

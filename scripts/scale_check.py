@@ -101,6 +101,10 @@ QUERIES = [
     "dedup_keep_best",
     "doc_bigram_logprob",
     "weighted_sample_topk",
+    "events_attribution_last_touch",
+    "chi_square_lang_source",
+    "tfidf_cosine_pairs",
+    "embedding_pca_scores",
 ]
 OFFSET = 10**9
 
