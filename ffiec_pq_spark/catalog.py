@@ -106,6 +106,10 @@ _NEVER_SAMPLED_FIRST = [
     "tfidf_cosine_pairs",
     "embedding_pca_scores",
     "stream_tier_rollup",
+    "basket_part_pairs",
+    "linkage_sorted_neighborhood",
+    "events_top_paths",
+    "events_cooldown_filter",
 ]
 
 

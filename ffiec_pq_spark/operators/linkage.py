@@ -88,3 +88,91 @@ def blocked_levenshtein_pairs(
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .drop("_ca", "_cb")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key: Column | str,
+    compare_col: Column | str,
+    window: int,
+    max_dist: int,
+    prefix: Column | str | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage: order all rows by
+    ``sort_key`` and compare each row only to its ``window`` successors
+    — the classic complement to hard blocking
+    (:func:`blocked_levenshtein_pairs`): near-matches that straddle a
+    block boundary still meet, and the comparison count is exactly
+    ``n * window`` instead of Σ block².
+
+    Distributed global ordering WITHOUT a single-partition window (an
+    unpartitioned ``row_number`` funnels the whole table through one
+    task — the textbook Spark scale-killer): rows partition by a
+    MONOTONE coarse ``prefix`` of the sort key (default: its first
+    character), ``row_number`` runs per prefix in parallel, and the
+    tiny per-prefix counts come to the driver once to compute additive
+    offsets — global position = prefix offset + local rank, exactly.
+    Candidate pairs are then ONE equi-join of each row against its
+    ``window`` successor positions (an explode of j=1..window), gated
+    by the bounded levenshtein.  Total cost: one keyed exchange for the
+    rank, one position equi-join of n·window rows.
+
+    ``prefix`` must order-agree with ``sort_key`` (a string prefix
+    does); pick its granularity so per-prefix row counts fit a task.
+
+    Returns (id_a, id_b, dist) with (id_a, id_b) in sort order.
+    """
+    from pyspark.sql import Window as W
+
+    cmp = F.col(compare_col) if isinstance(compare_col, str) else compare_col
+    key = F.col(sort_key) if isinstance(sort_key, str) else sort_key
+    if prefix is None:
+        pfx = F.substring(key, 1, 1)
+    else:
+        pfx = F.col(prefix) if isinstance(prefix, str) else prefix
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        key.alias("_k"),
+        cmp.alias("_c"),
+        pfx.alias("_p"),
+    )
+    counts = sorted(
+        (r["_p"], r["n"])
+        for r in base.groupBy("_p").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if not counts:
+        # empty input: no prefixes, no pairs (an argless create_map
+        # would type as map<void,void> and fail analysis)
+        return base.select(
+            F.col("_id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(0).alias("dist"),
+        ).limit(0)
+    offsets, acc = {}, 0
+    for p, n in counts:
+        offsets[p] = acc
+        acc += n
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    rn = F.row_number().over(W.partitionBy("_p").orderBy("_k", "_id"))
+    pos = (off_map[F.col("_p")] + rn).alias("_pos")
+    ranked = base.select("_id", "_c", pos)
+    probe = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_c").alias("_ca"),
+        F.explode(
+            F.array(*[F.col("_pos") + j for j in range(1, window + 1)])
+        ).alias("_pos"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"), F.col("_c").alias("_cb"), "_pos"
+    )
+    dist = F.levenshtein("_ca", "_cb", max_dist + 1)
+    return (
+        probe.join(right, "_pos")
+        .withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )

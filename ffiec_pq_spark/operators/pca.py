@@ -133,6 +133,10 @@ def power_iteration_int(
                 x = [-v2 for v2 in x]
             break
     nrm = math.sqrt(sum(v * v for v in x))  # exact int under 2^53
+    if nrm == 0.0:
+        # zero covariance (constant data): the PC is undefined; pick
+        # the first axis deterministically rather than divide by zero
+        return [1.0] + [0.0] * (d - 1)
     return [v / nrm for v in x]
 
 
@@ -148,6 +152,13 @@ def pca_scores(
     component — fit driver-side on d x d state, scored cluster-side as
     one narrow expression over the scan."""
     n = df.count()
+    if n < 2:
+        # no sample covariance from < 2 vectors: empty/undefined scores
+        # (the empty-partition edge a 100 TB pipeline hits routinely)
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.lit(None).cast("double").alias("pc1_score"),
+        )
     means = embedding_means(df, vec_col, dim)
     cov = covariance_matrix(df, vec_col, dim, means, n)
     v = power_iteration_int(cov, iters)

@@ -620,3 +620,65 @@ def consistent_hash_routing(spark, sf_dir):
             ).alias("elastic"),
         )
     )
+
+
+@register(
+    "basket_part_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    nn AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+    cnt AS (SELECT p, count(*) AS c FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, support,
+           round(CAST(support * nn.n_orders AS DOUBLE) / (ca.c * cb.c), 6)
+             AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.p = part_a
+    JOIN cnt cb ON cb.p = part_b
+    CROSS JOIN nn
+    """,
+    tags=["analytics", "basket"],
+)
+def basket_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (A-priori level 2): part pairs
+    bought together in >= 3 orders, with lift = P(a,b)/(P(a)P(b)).
+    The pair generation is a self-equi-join on the ORDER key, so the
+    fan-out per order is C(basket, 2) — bounded by the basket size,
+    never by the catalog — and the join shuffles on the order id like
+    any grouped aggregate.  Lift is one exact integer-ratio division,
+    rounded only in the output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nn = items.agg(F.countDistinct("o").alias("n_orders"))
+    cnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("o"), F.col("p").alias("part_a"))
+    b = items.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ca = cnt.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
+    lift = F.round(
+        (F.col("support") * F.col("n_orders")).cast("double")
+        / (F.col("ca") * F.col("cb")),
+        6,
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(nn))
+        .select("part_a", "part_b", "support", lift.alias("lift"))
+    )

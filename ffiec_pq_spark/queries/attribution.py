@@ -139,3 +139,89 @@ def chi_square_lang_source(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      )
+    )
+    SELECT e1, e2, e3, count(*) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 15
+    """,
+    tags=["attribution", "sequence"],
+)
+def events_top_paths(spark, sf_dir):
+    """Sequential-pattern mining, level 3: the 15 most frequent
+    3-step event-type paths across user timelines (lead-window triple
+    extraction — no self-joins on the event stream), deterministic
+    tie-break, TakeOrderedAndProject top-k."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(15)
+    )
+
+
+_COOLDOWN_S = 1800
+
+
+@register(
+    "events_cooldown_filter",
+    f"""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch(CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           count(*) FILTER (WHERE gap_s IS NULL OR gap_s > {_COOLDOWN_S})
+             AS n_kept,
+           count(*) FILTER (WHERE gap_s <= {_COOLDOWN_S}) AS n_dropped
+    FROM gaps GROUP BY event_type
+    """,
+    tags=["dedup", "temporal"],
+)
+def events_cooldown_filter(spark, sf_dir):
+    """Temporal dedup (cooldown): a repeat of the same (user, type)
+    within 30 minutes is a duplicate signal (double-fired trackers,
+    retry storms) — the batch face of the streaming
+    ``dropDuplicatesWithinWatermark`` state bound.  One lag over the
+    (user, type) partition; kept/dropped tallies per type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type",
+        ((us - F.lag(us).over(w)) / F.lit(1_000_000.0)).alias("gap_s"),
+    )
+    keep = F.col("gap_s").isNull() | (F.col("gap_s") > _COOLDOWN_S)
+    return gaps.groupBy("event_type").agg(
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count(F.when(F.col("gap_s") <= _COOLDOWN_S, 1)).alias("n_dropped"),
+    )

@@ -41,6 +41,17 @@ NOTES = {
     "upsert_keep_latest": "the merge itself is ONE grouped max_by exchange on the key (no window sort); the second exchange is the reporting rollup",
     "snapshot_diff_counts": "two snapshot scans -> one full-outer sort-merge join on the key -> grouped class counts; no broadcast possible (both sides fact-sized), exactly one join exchange pair",
     "cooccurrence_triangles": "degree-ordered orientation: wedges generated at the lowest-(degree,id) apex, closed against the oriented adjacency — fan-out bounded by arboricity, no unordered self-join blowup",
+    "events_range_join_tiers": "bin-decomposed range join: hash equi-join on floor(value/W) + residual filter — never the broadcast-nested-loop a BETWEEN join plans",
+    "events_gapfill_ffill": "bucket agg + per-key calendar explode + forward-fill window reusing the key partitioning: <= 2 exchanges, output bounded by the calendar",
+    "events_ewma_value": "K lag terms in ONE keyed exchange + partition-local window frame",
+    "weighted_sample_topk": "TakeOrderedAndProject on the integer priority: per-partition top-k, zero exchanges",
+    "linkage_blocked_pairs": "self-equi-join on the blocking key only (no cartesian); bounded 3-arg levenshtein DP; distinct-content collapse first",
+    "linkage_sorted_neighborhood": "distributed global rank (per-prefix row_number + driver offsets — no single-partition window) then ONE position equi-join of n x window rows",
+    "doc_bigram_logprob": "array-side bigram build (zip_with over slices, no posexplode self-join); weighted duplicate collapse; probability join keyed on the bigram",
+    "tfidf_cosine_pairs": "df-capped inverted-index self-join (term-keyed, skew-bounded); integer pair gate; distinct-content collapse",
+    "embedding_pca_scores": "covariance as ONE grouped aggregation with map-side partials (d rows out); eigenvector fit on driver-side d x d state; scores are a narrow projection",
+    "basket_part_pairs": "pair self-join keyed on the ORDER id: fan-out C(basket,2), bounded by basket size, never by the catalog",
+    "events_attribution_last_touch": "one ignore-nulls window carry on (user, time) — no purchase x touch range join",
 }
 
 

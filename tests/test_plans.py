@@ -247,3 +247,32 @@ def test_linkage_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_no_single_partition_window(spark, sf_dir):
+    """The global rank must come from per-prefix windows + offsets —
+    never an unpartitioned window (single-partition funnel) or a
+    cartesian pair join."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["linkage_sorted_neighborhood"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_pairs_join_on_order_key(spark, sf_dir):
+    """Market-basket pair generation must join on the order id (bounded
+    basket fan-out) — no cartesian over the catalog.  The only nested
+    loop allowed is the one-row scalar N broadcast (IdentityBroadcast),
+    the registry's standard way to avoid a driver-side collect."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["basket_part_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "IdentityBroadcastMode" in plan
+    # the pair self-join itself must key on the order id
+    assert "BroadcastHashJoin [o#" in plan or "SortMergeJoin [o#" in plan
