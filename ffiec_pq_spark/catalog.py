@@ -110,6 +110,9 @@ _NEVER_SAMPLED_FIRST = [
     "linkage_sorted_neighborhood",
     "events_top_paths",
     "events_cooldown_filter",
+    "orders_pareto_abc",
+    "doc_top_terms",
+    "events_anomaly_ewma",
 ]
 
 

@@ -682,3 +682,79 @@ def basket_part_pairs(spark, sf_dir):
         .crossJoin(F.broadcast(nn))
         .select("part_a", "part_b", "support", lift.alias("lift"))
     )
+
+
+@register(
+    "orders_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS cust, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cust, revenue,
+             sum(revenue) OVER (
+               PARTITION BY cust % 10
+               ORDER BY revenue DESC, cust
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_rev
+      FROM rev
+    ),
+    tot AS (
+      SELECT *, max(cum_rev) OVER (PARTITION BY cust % 10) AS tot_rev
+      FROM ranked
+    )
+    SELECT cust % 10 AS shard,
+           CASE WHEN cum_rev / tot_rev <= 0.5 THEN 'A'
+                WHEN cum_rev / tot_rev <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_customers,
+           round(sum(revenue), 2) AS class_revenue
+    FROM tot
+    GROUP BY 1, 2
+    """,
+    tags=["analytics", "window"],
+)
+def orders_pareto_abc(spark, sf_dir):
+    """Pareto/ABC segmentation per shard: customers ranked by revenue,
+    classified by cumulative share (A: top 50%% of revenue, B: to 80%%,
+    C: tail).  The cumulative window partitions by a shard key — an
+    unsharded Pareto needs ONE total order (the single-partition
+    window anti-pattern); sharding keeps each ordering parallel, the
+    way a 100 TB segmentation actually runs.  Revenue is rounded
+    BEFORE the cumulative sum so the running totals are identical
+    decimal sequences on both engines, and the denominator is the MAX
+    of that ordered running sum (not an unordered partition sum whose
+    re-association could differ per engine at the last ulp)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    shard = F.col("cust") % 10
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(F.desc("revenue"), F.asc("cust"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        shard.alias("shard"),
+        "revenue",
+        F.sum("revenue").over(w).alias("cum_rev"),
+    )
+    # total = MAX of the ORDERED running sum (revenues are positive):
+    # both engines accumulate the same decimal sequence in the same
+    # order, so the total is bit-identical — an unordered partition
+    # SUM would re-associate differently per engine
+    ranked = ranked.withColumn(
+        "tot_rev", F.max("cum_rev").over(Window.partitionBy("shard"))
+    )
+    share = F.col("cum_rev") / F.col("tot_rev")
+    cls = (
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C")
+    )
+    return ranked.groupBy("shard", cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+    )

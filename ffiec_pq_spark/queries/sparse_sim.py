@@ -135,3 +135,70 @@ def tfidf_cosine_pairs(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "doc_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({shingles_sql('text', 3)}) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT id, term, tf * ((n - df + 0.5) / (df + 0.5)) AS w
+      FROM tf JOIN stats USING (term), nn
+    ),
+    ranked AS (
+      SELECT id, term, w,
+             row_number() OVER (
+               PARTITION BY id ORDER BY w DESC, term ASC
+             ) AS rank
+      FROM w
+    )
+    SELECT id, term, rank, round(w, 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=["text", "tfidf", "keywords"],
+)
+def doc_top_terms(spark, sf_dir):
+    """Keyword extraction: each document's top-3 word-3-grams by
+    TF-IDF (rational log-free idf — the weight is ONE IEEE multiply,
+    so the rank order is bit-identical cross-engine; no summation
+    anywhere).  Per-doc window rank over the (doc, term) table — the
+    partition key is the document, so the rank is embarrassingly
+    parallel at any corpus size."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.text import shingles
+    from ffiec_pq_spark.session import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs.select("doc_id", "text")).select(
+        F.col("doc_id").alias("id"), F.explode(shingles("text", 3)).alias("term")
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(stats, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf")
+                * ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            ).alias("w"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.desc("w"), F.asc("term"))
+    )
+    return (
+        w.withColumn("rank", rank)
+        .filter(F.col("rank") <= 3)
+        .select("id", "term", "rank", F.round("w", 6).alias("tfidf"))
+    )

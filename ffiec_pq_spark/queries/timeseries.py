@@ -123,3 +123,65 @@ def events_ewma_value(spark, sf_dir):
         "event_id",
         ewma_bounded(ev, "user_id", ["ts", "event_id"], "value").alias("ewma"),
     )
+
+
+_ANOM_THRESHOLD = 150.0
+
+
+@register(
+    "events_anomaly_ewma",
+    f"""
+    WITH sm0 AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS tss,
+             {ewma_sql("value", "user_id", "CAST(ts AS TIMESTAMP), event_id")} AS ewma
+      FROM events
+    ),
+    sm AS (
+      SELECT event_type, value,
+             lag(ewma) OVER (
+               PARTITION BY user_id ORDER BY tss, event_id
+             ) AS forecast
+      FROM sm0
+    )
+    SELECT event_type,
+           count(*) FILTER (WHERE abs(value - forecast) > {_ANOM_THRESHOLD})
+             AS n_anomalies,
+           count(*) FILTER (WHERE forecast IS NOT NULL) AS n_scored,
+           round(max(abs(value - forecast)), 4) AS max_deviation
+    FROM sm
+    GROUP BY event_type
+    """,
+    tags=["timeseries", "anomaly"],
+)
+def events_anomaly_ewma(spark, sf_dir):
+    """Forecast-residual anomaly detection: each event's value is
+    compared against the previous EWMA (the one-step-ahead forecast of
+    exponential smoothing); a residual beyond the threshold flags an
+    anomaly.  Per type: anomaly count, scored count, worst residual.
+    One keyed exchange — the EWMA, its lag, and the tallies all ride
+    the same (user, time) window partitioning; the forecast chain is
+    the deterministic fixed-order EWMA both engines replay exactly."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sm0 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        ewma_bounded(ev, "user_id", ["ts", "event_id"], "value").alias("ewma"),
+    )
+    sm = sm0.select(
+        "event_type",
+        "value",
+        F.lag("ewma").over(w).alias("forecast"),
+    )
+    dev = F.abs(F.col("value") - F.col("forecast"))
+    return sm.groupBy("event_type").agg(
+        F.count(F.when(dev > _ANOM_THRESHOLD, 1)).alias("n_anomalies"),
+        F.count(F.when(F.col("forecast").isNotNull(), 1)).alias("n_scored"),
+        F.round(F.max(dev), 4).alias("max_deviation"),
+    )

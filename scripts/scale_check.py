@@ -105,6 +105,14 @@ QUERIES = [
     "chi_square_lang_source",
     "tfidf_cosine_pairs",
     "embedding_pca_scores",
+    "stream_tier_rollup",
+    "basket_part_pairs",
+    "linkage_sorted_neighborhood",
+    "events_top_paths",
+    "events_cooldown_filter",
+    "orders_pareto_abc",
+    "doc_top_terms",
+    "events_anomaly_ewma",
 ]
 OFFSET = 10**9
 
@@ -127,6 +135,13 @@ NOTES = {
     "decontaminate_eval_overlap": (
         "output rows grow with eval-train overlap, which the 8-way "
         "duplicate replica inflates by design"
+    ),
+    "basket_part_pairs": (
+        "output-driven: the 8x replica repeats every order 8 ways, so "
+        "each pair's support multiplies by 8 and vastly more pairs "
+        "cross the fixed >= 3 support threshold (2 -> 1.2M result "
+        "rows); the pair-generation plan itself stays keyed on the "
+        "order id with bounded basket fan-out"
     ),
     "events_value_equidepth": (
         "exact ntile requires a per-event-type TOTAL ordering (5 "
