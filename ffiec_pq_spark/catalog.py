@@ -50,10 +50,14 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # Round-4 certification rotation (same policy as rounds 1-3, now at
 # query granularity): external certification tooling samples the
 # registry in insertion order, so the queries with the FEWEST recorded
-# certification rows go first.  These 19 have never received a
-# driver-issued CORRECTNESS row (all are strict-green in the committed
-# full-oracle artifact driver_check_last.json); everything else keeps
-# its module-rotation order from _load_all.
+# certification rows go first.  The first 19 have never received a
+# driver-issued CORRECTNESS row across r1-r3; after them come this
+# round's additions in creation order (also never sampled, by
+# definition).  All are strict-green in the committed full-oracle
+# artifact driver_check_last.json; everything else keeps its
+# module-rotation order from _load_all.  The list now exceeds a
+# 50-query sample window — the tail simply rolls into the next
+# round's rotation.
 _NEVER_SAMPLED_FIRST = [
     "bigram_pmi_top",
     "chunk_documents_stats",
@@ -113,6 +117,8 @@ _NEVER_SAMPLED_FIRST = [
     "orders_pareto_abc",
     "doc_top_terms",
     "events_anomaly_ewma",
+    "bpe_train_merges",
+    "bpe_apply_stats",
 ]
 
 

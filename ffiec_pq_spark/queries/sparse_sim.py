@@ -169,18 +169,32 @@ def doc_top_terms(spark, sf_dir):
     so the rank order is bit-identical cross-engine; no summation
     anywhere).  Per-doc window rank over the (doc, term) table — the
     partition key is the document, so the rank is embarrassingly
-    parallel at any corpus size."""
+    parallel at any corpus size.
+
+    Duplicate collapse (house pattern): tf, df and N are computed on
+    DISTINCT content with copy-count weights (df = Σ g over reps, N =
+    Σ g — exactly the naive corpus statistics, since every copy
+    contains the same terms), ranks derive per rep, and the rows
+    expand back to copies as output materialization.  The naive
+    full-corpus oracle proves the collapse."""
     from pyspark.sql import Window
 
+    from ffiec_pq_spark.operators.dedup import _content_groups
     from ffiec_pq_spark.operators.text import shingles
     from ffiec_pq_spark.session import spread
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = spread(docs.select("doc_id", "text")).select(
+    groups = _content_groups(docs).persist()
+    reps = groups.filter(F.col("id") == F.col("rep")).select(
+        F.col("id").alias("doc_id"), "g"
+    )
+    rd = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    tok = spread(rd.select("doc_id", "text")).select(
         F.col("doc_id").alias("id"), F.explode(shingles("text", 3)).alias("term")
     )
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfg = tf.join(reps.withColumnRenamed("doc_id", "id"), "id")
+    stats = tfg.groupBy("term").agg(F.sum("g").alias("df"))
     nn = docs.agg(F.count(F.lit(1)).alias("n"))
     w = (
         tf.join(stats, "term")
@@ -197,8 +211,13 @@ def doc_top_terms(spark, sf_dir):
     rank = F.row_number().over(
         Window.partitionBy("id").orderBy(F.desc("w"), F.asc("term"))
     )
-    return (
+    rep_rows = (
         w.withColumn("rank", rank)
         .filter(F.col("rank") <= 3)
         .select("id", "term", "rank", F.round("w", 6).alias("tfidf"))
+    )
+    return (
+        groups.select("id", "rep")
+        .join(rep_rows.withColumnRenamed("id", "rep"), "rep")
+        .select("id", "term", "rank", "tfidf")
     )

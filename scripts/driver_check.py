@@ -163,7 +163,15 @@ def main() -> int:
 
     n = len(results)
     print(f"\n{n - len(failed)}/{n} pass; failures: {failed}")
-    with open(os.path.join(REPO, "driver_check_last.json"), "w") as f:
+    out_path = os.path.join(REPO, "driver_check_last.json")
+    if only and os.path.exists(out_path):
+        # a targeted re-check must MERGE into the committed full-run
+        # artifact, not clobber it down to the subset
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1, default=str)
     return 1 if failed else 0
 
