@@ -119,6 +119,14 @@ _NEVER_SAMPLED_FIRST = [
     "events_anomaly_ewma",
     "bpe_train_merges",
     "bpe_apply_stats",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q16_supplier_part_cut",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
 ]
 
 
@@ -166,6 +174,7 @@ def _load_all() -> None:
     from ffiec_pq_spark.queries import lm  # noqa: F401
     from ffiec_pq_spark.queries import attribution  # noqa: F401
     from ffiec_pq_spark.queries import sparse_sim  # noqa: F401
+    from ffiec_pq_spark.queries import tpch_extra  # noqa: F401
     from ffiec_pq_spark.queries import sketches  # noqa: F401
     from ffiec_pq_spark.queries import temporal  # noqa: F401
     from ffiec_pq_spark.queries import ffiec_shaped  # noqa: F401
