@@ -113,6 +113,16 @@ QUERIES = [
     "orders_pareto_abc",
     "doc_top_terms",
     "events_anomaly_ewma",
+    "bpe_train_merges",
+    "bpe_apply_stats",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q16_supplier_part_cut",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
 ]
 OFFSET = 10**9
 
@@ -142,6 +152,14 @@ NOTES = {
         "cross the fixed >= 3 support threshold (2 -> 1.2M result "
         "rows); the pair-generation plan itself stays keyed on the "
         "order id with bounded basket fan-out"
+    ),
+    "q18_large_volume_customers": (
+        "output-driven: qualifying orders and result rows grow exactly "
+        "8x on the replica; the gate and aggregations stay order-keyed"
+    ),
+    "q21_waiting_supplier": (
+        "two corpus-wide distinct aggregations over 8x lineitem — "
+        "strictly linear work, partially absorbed by idle cores at 1x"
     ),
     "events_value_equidepth": (
         "exact ntile requires a per-event-type TOTAL ordering (5 "

@@ -27,6 +27,10 @@ EXPECT_RAISE = {
     "kmeans_cell_sizes": ValueError,
     # seeds the same k-means trainer before its cell-bounded pairing
     "semantic_dedup_cells": ValueError,
+    # BPE training cannot proceed without a vocabulary (same trainer
+    # fail-fast contract as k-means)
+    "bpe_train_merges": ValueError,
+    "bpe_apply_stats": ValueError,
 }
 
 
