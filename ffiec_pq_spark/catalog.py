@@ -127,6 +127,7 @@ _NEVER_SAMPLED_FIRST = [
     "q18_large_volume_customers",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "dedup_jaccard_prefix",
 ]
 
 

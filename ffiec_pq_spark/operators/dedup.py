@@ -695,3 +695,91 @@ def dup_components_collapsed(
         .join(rep_cluster.select(F.col("id").alias("rep"), "cluster"), "rep")
         .select("id", "cluster")
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via PPJoin-style prefix filtering —
+    the scale alternative to the df-cap that changes NO semantics.
+
+    Order every document's shingles by the canonical global order
+    (document frequency ASC, shingle ASC — rarest first); with
+    ``|d|`` distinct shingles, index only the PREFIX of size
+    ``|d| - ceil(t·|d|) + 1``.  Two documents with Jaccard >= t must
+    share at least one prefix shingle (the standard prefix-filter
+    lemma), so candidates come from a prefix-to-prefix equi-join whose
+    keys are, by construction, the RAREST shingles — the inverted
+    index never fans out on stopword-like keys, which is exactly what
+    the df-cap bounds by dropping data.  Candidates verify with the
+    full exact intersection; output == the naive all-pairs join.
+
+    Exact-duplicate collapse is built in (same algebra as
+    :func:`jaccard_pairs`): rep-level prefix join + expansion, with
+    within-group pairs scoring exactly 1.0 (>= any t <= 1) when the
+    shingle set is non-empty.  ``threshold`` must be exactly
+    representable in binary (0.5, 0.25, ...) so the ceil() prefix-size
+    boundary is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    groups = _content_groups(df, text_col, id_col).persist()
+    rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
+    rep_docs = df.join(
+        rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    sh = doc_shingles(rep_docs, text_col, id_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("_df", "shingle")
+        ),
+    )
+    prefix_n = F.col("set_size") - F.ceil(
+        F.lit(float(threshold)) * F.col("set_size")
+    ) + 1
+    prefix = (
+        ranked.join(sizes, "id")
+        .filter(F.col("_rn") <= prefix_n)
+        .select("id", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # per-candidate exact intersection WITHOUT re-running the full
+    # shingle self-join (that would resurrect the stopword fan-out the
+    # prefix filter exists to avoid): expand each candidate by doc A's
+    # shingles, then equi-join on (id_b, shingle) — fan-out is the
+    # intersection itself, every stage keyed
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    rep_pairs = _project_jaccard(
+        inter.join(sa, "id_a").join(sb, "id_b"), threshold
+    )
+    copies = groups.select("rep", "id")
+    cross = _expand_rep_pairs(rep_pairs, copies, "jaccard")
+    qual = (
+        rep_ids.filter(F.col("g") >= 2)
+        .join(sizes.filter(F.col("set_size") > 0), "id", "left_semi")
+        .select("id", F.lit(1.0).alias("jaccard"))
+    )
+    within = _within_group_pairs(qual, copies, "jaccard")
+    return cross.unionByName(within)

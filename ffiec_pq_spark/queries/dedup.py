@@ -511,3 +511,42 @@ def dedup_keep_best(spark, sf_dir):
             "keep_id"
         ),
     )
+
+
+_PREFIX_T = 0.5
+
+
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH {_SHINGLE_CTE},
+    {_SIZES_CTE},
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.set_size + sb.set_size - n_common) >= {_PREFIX_T}
+    """,
+    tags=["dedup", "prefix-filter"],
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard join (threshold 0.5) via PPJoin-style prefix
+    filtering: candidates come from a prefix-to-prefix join on each
+    document's RAREST ``|d| - ceil(t·|d|) + 1`` shingles (global
+    df-asc order), verified with the full intersection per candidate —
+    identical output to the naive all-pairs join (the oracle runs the
+    naive, UNCAPPED formulation), but the inverted index never fans
+    out on common shingles, so no df-cap semantic trade is needed.
+    Exact-duplicate collapse built in; the prefix join's keys are
+    rare by construction, the candidate verify is keyed on
+    (doc, shingle)."""
+    from ffiec_pq_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(docs, k=_K, threshold=_PREFIX_T)

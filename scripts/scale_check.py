@@ -123,6 +123,7 @@ QUERIES = [
     "q18_large_volume_customers",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "dedup_jaccard_prefix",
 ]
 OFFSET = 10**9
 
