@@ -128,6 +128,7 @@ _NEVER_SAMPLED_FIRST = [
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "dedup_jaccard_prefix",
+    "stream_incremental_agg",
 ]
 
 

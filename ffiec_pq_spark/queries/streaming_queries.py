@@ -440,3 +440,80 @@ def _patch_stream_tier_oracle() -> None:
 
 
 _patch_stream_tier_oracle()
+
+
+@register(
+    "stream_incremental_agg",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["streaming", "merge"],
+)
+def stream_incremental_agg(spark, sf_dir):
+    """Incremental ADDITIVE aggregate maintenance via ``foreachBatch``
+    — the materialized-view counterpart of ``stream_upsert_latest``
+    (whose merge is keep-latest, not additive): per-(user, type)
+    count/sum partials fold into an accumulating state table by
+    addition each micro-batch (the events stage as four files, one per
+    batch — genuinely multi-batch), and the drained state aggregates
+    to exactly the batch GROUP BY the oracle runs.  Addition is
+    associative+commutative, so the state is batch-order-independent;
+    at 100 TB the state write is MERGE INTO on the grouping key, and
+    each batch touches only the keys it saw."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.session import ensure_session_confs, load_table
+    from ffiec_pq_spark.streaming.events import read_event_stream
+
+    ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="stream_incagg_")
+    try:
+        src = os.path.join(workdir, "src")
+        (
+            ev.repartition(4, F.col("event_id") % 4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        state = {"path": None, "version": 0}
+
+        def merge_batch(batch_df, epoch_id):
+            part = batch_df.groupBy("user_id", "event_type").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+            )
+            if state["path"] is not None:
+                prev = spark.read.parquet(state["path"])
+                part = (
+                    prev.unionByName(part)
+                    .groupBy("user_id", "event_type")
+                    .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+                )
+            state["version"] += 1
+            out = os.path.join(workdir, f"state_v{state['version']}")
+            part.write.parquet(out)
+            state["path"] = out
+
+        q = (
+            read_event_stream(spark, src)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state["path"])
+        agg = final.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 4).alias("total_value"),
+        )
+        rows = agg.collect()  # <= |event types| rows, sanctioned
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

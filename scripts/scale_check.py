@@ -124,6 +124,7 @@ QUERIES = [
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "dedup_jaccard_prefix",
+    "stream_incremental_agg",
 ]
 OFFSET = 10**9
 
