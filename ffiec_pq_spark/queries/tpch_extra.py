@@ -341,12 +341,6 @@ def q21_waiting_supplier(spark, sf_dir):
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
         .select("l_orderkey", "l_suppkey")
     )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") > 1)
-        .select("l_orderkey")
-    )
     sole_late = (
         late.groupBy("l_orderkey")
         .agg(
@@ -355,6 +349,20 @@ def q21_waiting_supplier(spark, sf_dir):
         )
         .filter(F.col("nl") == 1)
         .select("l_orderkey", "l_suppkey")
+    )
+    # the multi-supplier gate only matters for orders that already have
+    # exactly one late supplier: semi-join lineitem down to that small
+    # candidate set BEFORE the corpus-wide distinct aggregation — same
+    # answer, and the distinct-agg input shrinks from every order to
+    # the late ones
+    multi = (
+        li.join(
+            sole_late.select("l_orderkey"), "l_orderkey", "left_semi"
+        )
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
     )
     return (
         sole_late.join(multi, "l_orderkey")
