@@ -276,3 +276,22 @@ def test_basket_pairs_join_on_order_key(spark, sf_dir):
         assert "IdentityBroadcastMode" in plan
     # the pair self-join itself must key on the order id
     assert "BroadcastHashJoin [o#" in plan or "SortMergeJoin [o#" in plan
+
+
+def test_pca_scores_projection_is_map_only(spark, sf_dir):
+    """After the driver-side fit, the data-sized PCA scoring pass must
+    be a pure projection: zero exchanges, no window, no join."""
+    df = queries()["embedding_pca_scores"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_prefix_jaccard_no_cartesian(spark, sf_dir):
+    """Prefix-filtered Jaccard must stay keyed end to end: prefix join
+    on the shingle, verification joins on (doc, shingle) — never a
+    cartesian or nested loop."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["dedup_jaccard_prefix"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
