@@ -129,6 +129,8 @@ _NEVER_SAMPLED_FIRST = [
     "q22_global_sales_opportunity",
     "dedup_jaccard_prefix",
     "stream_incremental_agg",
+    "dedup_simhash_hamming",
+    "dedup_ensemble_consensus",
 ]
 
 

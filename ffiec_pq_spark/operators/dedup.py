@@ -783,3 +783,79 @@ def jaccard_pairs_prefix(
     )
     within = _within_group_pairs(qual, copies, "jaccard")
     return cross.unionByName(within)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+    n_bands: int = 6,
+    max_hamming: int = 5,
+    hash_fn=hash60,
+) -> DataFrame:
+    """SimHash Hamming near-dup join: pairs (id_a < id_b, hamming) with
+    ``hamming <= max_hamming`` over the ``n_bits`` fingerprints.
+
+    Candidates by bit-banding: the fingerprint splits into ``n_bands``
+    contiguous slices; two fingerprints within ``max_hamming <=
+    n_bands - 1`` differing bits must share at least one identical
+    band (pigeonhole), so the candidate join is an equi-join on
+    (band index, band value) and the exact popcount verifies only
+    candidates — never an all-pairs XOR.
+
+    Exact-duplicate collapse (house pattern): identical content means
+    identical fingerprints, so banding/verification run on distinct
+    content and pairs expand back to copies; within-group pairs have
+    Hamming 0 whenever the doc tokenizes to >= 1 token (an empty token
+    set yields no fingerprint row and no pairs, matching the naive
+    join the SQL oracle runs).
+    """
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs h <= bands-1"
+    band_w = n_bits // n_bands
+    groups = _content_groups(df, text_col, id_col).persist()
+    rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
+    rep_docs = df.join(
+        rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    sims = simhash(rep_docs, text_col, id_col, n_bits, hash_fn).persist()
+    bands = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bval")
+    l = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("_sa"), "band", "bval"
+    )
+    r = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("_sb"), "band", "bval"
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    rep_pairs = (
+        l.join(r, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    copies = groups.select("rep", "id")
+    cross = _expand_rep_pairs(rep_pairs, copies, "hamming")
+    qual = (
+        rep_ids.filter(F.col("g") >= 2)
+        .join(sims.select("id"), "id", "left_semi")
+        .select("id", F.lit(0).cast("long").alias("hamming"))
+    )
+    within = _within_group_pairs(qual, copies, "hamming")
+    return cross.unionByName(within)

@@ -550,3 +550,98 @@ def dedup_jaccard_prefix(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_prefix(docs, k=_K, threshold=_PREFIX_T)
+
+
+_HAMMING_MAX = 5
+
+
+def _simhash_pairs_oracle() -> str:
+    """Naive all-pairs Hamming join over the SimHash fingerprints — the
+    banded Spark pipeline must reproduce it exactly."""
+    base = _simhash_oracle().strip()
+    return f"""
+    WITH sims AS (
+      {base}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """
+
+
+@register(
+    "dedup_simhash_hamming",
+    _simhash_pairs_oracle(),
+    tags=["dedup", "approx"],
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup JOIN (the fingerprint op's missing half):
+    pairs within Hamming distance 5 over 60-bit fingerprints,
+    candidates from 6-way bit-banding (pigeonhole: <= 5 differing bits
+    guarantees one identical band), popcount verification on
+    candidates only, exact-duplicate collapse built in.  The oracle
+    runs the naive all-pairs XOR."""
+    from ffiec_pq_spark.operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(
+        docs, n_bits=60, n_bands=6, max_hamming=_HAMMING_MAX
+    )
+
+
+def _ensemble_oracle() -> str:
+    mh = _minhash_oracle().strip()
+    sh = _simhash_pairs_oracle().strip()
+    return f"""
+    WITH mh AS (
+      {mh}
+    ),
+    sh AS (
+      {sh}
+    )
+    SELECT CASE WHEN mh.id_a IS NOT NULL AND sh.id_a IS NOT NULL THEN 'both'
+                WHEN mh.id_a IS NOT NULL THEN 'minhash_only'
+                ELSE 'simhash_only' END AS methods,
+           count(*) AS n_pairs,
+           round(avg(mh.jaccard), 6) AS avg_jaccard,
+           round(avg(sh.hamming), 4) AS avg_hamming
+    FROM mh FULL OUTER JOIN sh USING (id_a, id_b)
+    GROUP BY 1
+    """
+
+
+@register(
+    "dedup_ensemble_consensus",
+    _ensemble_oracle(),
+    tags=["dedup", "ensemble"],
+)
+def dedup_ensemble_consensus(spark, sf_dir):
+    """Ensemble dedup audit: the MinHash+LSH (Jaccard >= 0.2) and
+    SimHash (Hamming <= 5) detectors full-outer-joined on the pair key
+    — per agreement class (both / minhash-only / simhash-only), pair
+    counts and the mean scores.  The production question this answers:
+    how much of each detector's yield is corroborated, i.e. where to
+    set the keep/drop automation boundary vs human review."""
+    from ffiec_pq_spark.operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_near_dups(
+        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
+    ).select("id_a", "id_b", "jaccard")
+    sh = simhash_near_dups(
+        docs, n_bits=60, n_bands=6, max_hamming=_HAMMING_MAX
+    ).select("id_a", "id_b", "hamming")
+    joined = mh.join(sh, ["id_a", "id_b"], "full_outer")
+    methods = (
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("hamming").isNotNull(), "both"
+        )
+        .when(F.col("jaccard").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    return joined.groupBy(methods.alias("methods")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        F.round(F.avg("hamming"), 4).alias("avg_hamming"),
+    )

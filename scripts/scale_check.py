@@ -125,6 +125,8 @@ QUERIES = [
     "q22_global_sales_opportunity",
     "dedup_jaccard_prefix",
     "stream_incremental_agg",
+    "dedup_simhash_hamming",
+    "dedup_ensemble_consensus",
 ]
 OFFSET = 10**9
 
