@@ -118,3 +118,38 @@ def test_zip_stats_batch_matches_member_stats(spark, tmp_path):
             lines = zip_member_lines(spark, zp, m, skip=2)
             expect = member_stats(lines, colspecs[m])
             assert batch[m] == expect, (builder.__name__, m, batch[m], expect)
+
+
+def test_zip_lines_python_datasource(spark, tmp_path):
+    """Spark 4 Python Data Source over the bulk zip: one input
+    partition PER MEMBER (executor-parallel, no driver extraction),
+    line-exact parity with a direct zipfile read, and fnmatch member
+    filtering."""
+    import io
+    import zipfile
+
+    from ffiec_pq_spark.sources.zip_datasource import ZipLinesDataSource
+    from ffiec_pq_spark.testing.fixtures import make_call_zip
+
+    spark.dataSource.register(ZipLinesDataSource)
+    zp = make_call_zip(str(tmp_path))
+    df = spark.read.format("ffiec_zip_lines").option("path", zp).load()
+    assert df.rdd.getNumPartitions() == 4  # one task per member
+    got = sorted(
+        (r["member"], r["line_no"], r["line"]) for r in df.collect()
+    )
+    direct = []
+    with zipfile.ZipFile(zp) as zf:
+        for n in sorted(x for x in zf.namelist() if not x.endswith("/")):
+            with zf.open(n) as raw:
+                text = io.TextIOWrapper(raw, encoding="utf-8", errors="replace")
+                for i, line in enumerate(text):
+                    direct.append((n, i, line.rstrip("\r\n")))
+    assert got == sorted(direct) and len(got) > 0
+    ri = (
+        spark.read.format("ffiec_zip_lines")
+        .option("path", zp)
+        .option("pattern", "*Schedule RI*")
+        .load()
+    )
+    assert ri.select("member").distinct().count() == 2
