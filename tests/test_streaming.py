@@ -204,3 +204,39 @@ def test_stateful_session_stream(spark, stream_dir):
     out = spark.sql("SELECT * FROM sess_out")
     assert out.count() > 0
     assert {"w", "user_id", "n_events"} <= set(out.columns)
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas parity: the drained running
+    totals equal the batch GROUP BY.  Skipped where the protobuf
+    state-client dependency is absent (this container); the gate and
+    error contract are still asserted."""
+    import pytest
+
+    from ffiec_pq_spark.session import load_table
+    from ffiec_pq_spark.streaming.transform_with_state import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_totals_tws(spark, sf_dir)
+        pytest.skip("protobuf absent: transformWithState runtime unavailable")
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in running_totals_tws(spark, sf_dir).collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    )
+    assert got == want
