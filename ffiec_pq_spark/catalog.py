@@ -131,6 +131,9 @@ _NEVER_SAMPLED_FIRST = [
     "stream_incremental_agg",
     "dedup_simhash_hamming",
     "dedup_ensemble_consensus",
+    "langid_confusion",
+    "doc_novelty_score",
+    "corpus_zipf_slope",
 ]
 
 

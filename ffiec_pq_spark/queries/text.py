@@ -16,6 +16,7 @@ from ffiec_pq_spark.operators.text import (
     normalize_text,
     punct_count,
     quality_score,
+    shingles_sql,
     stopword_ratio,
     token_count,
     tokens,
@@ -395,4 +396,157 @@ def fuzzy_token_pairs_ed1(spark, sf_dir):
         pairs.filter(F.levenshtein("tok_a", "tok_b") == 1)
         .groupBy(F.length("tok_a").alias("len_a"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "langid_confusion",
+    f"""
+    SELECT lang AS labeled_lang,
+           {_lang_case_sql()} AS guessed_lang,
+           count(*) AS n_docs,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+                                 AS DOUBLE), 6) AS row_share
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=["text", "eval"],
+)
+def langid_confusion(spark, sf_dir):
+    """Classifier-evaluation pattern: the lang-id heuristic's CONFUSION
+    MATRIX against the labeled language — per (labeled, guessed) cell,
+    doc count and the row-normalized share (recall on the diagonal).
+    One grouped count + a window share over the tiny cell table; the
+    heuristic itself is the same marker-overlap argmax the oracle
+    mirrors."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    greatest = F.greatest(*scores.values())
+    expr = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] == greatest
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    cells = d.groupBy(
+        F.col("lang").alias("labeled_lang"), expr.alias("guessed_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    share = F.col("n_docs") / F.sum("n_docs").over(
+        Window.partitionBy("labeled_lang")
+    ).cast("double")
+    return cells.select(
+        "labeled_lang",
+        "guessed_lang",
+        "n_docs",
+        F.round(share, 6).alias("row_share"),
+    )
+
+
+@register(
+    "doc_novelty_score",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct({shingles_sql('text', 3)})) AS shingle
+      FROM documents
+    ),
+    dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT id AS doc_id,
+           count(*) AS set_size,
+           count(*) FILTER (WHERE df = 1) AS n_unique,
+           round(count(*) FILTER (WHERE df = 1)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN dfs USING (shingle)
+    GROUP BY id
+    """,
+    tags=["text", "dedup", "memorization"],
+)
+def doc_novelty_score(spark, sf_dir):
+    """N-gram novelty: the share of a document's distinct 3-grams that
+    appear NOWHERE else in the corpus — high novelty marks unique
+    content worth keeping, zero novelty marks boilerplate/copies (the
+    memorization-risk signal for training-data audits).
+
+    Duplicate collapse (house pattern): document frequency is the
+    copy-weighted sum over distinct content (Σ g == the naive corpus
+    df exactly — a duplicated doc's shingles all have df >= 2, hence
+    novelty 0, exactly as the naive full-corpus oracle computes),
+    scored per rep and expanded to copies."""
+    from ffiec_pq_spark.operators.dedup import _content_groups, doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = _content_groups(docs).persist()
+    reps = groups.filter(F.col("id") == F.col("rep")).select(
+        F.col("id").alias("doc_id"), "g"
+    )
+    rd = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    sh = doc_shingles(rd, k=3).persist()
+    dfs = (
+        sh.join(reps.withColumnRenamed("doc_id", "id"), "id")
+        .groupBy("shingle")
+        .agg(F.sum("g").alias("df"))
+    )
+    rep_scores = (
+        sh.join(dfs, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("set_size"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.col("n_unique") / F.col("set_size").cast("double"), 6
+            ),
+        )
+    )
+    return (
+        groups.select("id", "rep")
+        .join(rep_scores.withColumnRenamed("id", "rep"), "rep")
+        .select(
+            F.col("id").alias("doc_id"), "set_size", "n_unique", "novelty"
+        )
+    )
+
+
+@register(
+    "corpus_zipf_slope",
+    f"""
+    WITH occ AS (
+      SELECT unnest({shingles_sql('text', 3)}) AS gram FROM documents
+    ),
+    freq AS (SELECT gram, count(*) AS f FROM occ GROUP BY gram),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, gram ASC) AS r
+      FROM freq
+    )
+    SELECT count(*) AS n_types,
+           CAST(sum(f) AS BIGINT) AS n_occurrences,
+           round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope
+    FROM ranked
+    """,
+    tags=["text", "stats"],
+)
+def corpus_zipf_slope(spark, sf_dir):
+    """Zipf-law fit over the 3-gram frequency spectrum: regression
+    slope of ln(frequency) on ln(rank) — the corpus-health probe that
+    flags template-generated or deduplication-damaged text (natural
+    language sits near -1).  Rank needs a total order over the type
+    table (frequency DESC, gram ASC tie-break): the type table is
+    orders of magnitude smaller than the corpus, so the single-ordering
+    cost is bounded — and regr_slope folds map-side like any algebraic
+    aggregate."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(shingles("text", 3)).alias("gram"))
+    freq = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("gram")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").cast("long").alias("n_occurrences"),
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
     )

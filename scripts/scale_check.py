@@ -127,6 +127,9 @@ QUERIES = [
     "stream_incremental_agg",
     "dedup_simhash_hamming",
     "dedup_ensemble_consensus",
+    "langid_confusion",
+    "doc_novelty_score",
+    "corpus_zipf_slope",
 ]
 OFFSET = 10**9
 
