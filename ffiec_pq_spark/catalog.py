@@ -134,6 +134,9 @@ _NEVER_SAMPLED_FIRST = [
     "langid_confusion",
     "doc_novelty_score",
     "corpus_zipf_slope",
+    "embedding_matryoshka_fidelity",
+    "events_hourly_seasonality",
+    "orders_open_backlog",
 ]
 
 

@@ -758,3 +758,79 @@ def orders_pareto_abc(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("revenue"), 2).alias("class_revenue"),
     )
+
+
+@register(
+    "orders_open_backlog",
+    """
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(o.o_orderdate AS DATE) AS open_d,
+             CAST(max(l.l_shipdate) AS DATE) AS close_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    deltas AS (
+      SELECT o_orderpriority, open_d AS d, 1 AS delta FROM spans
+      UNION ALL
+      SELECT o_orderpriority, close_d + INTERVAL 1 DAY, -1 FROM spans
+    ),
+    daily AS (
+      SELECT o_orderpriority, CAST(d AS DATE) AS d,
+             CAST(sum(delta) AS BIGINT) AS net
+      FROM deltas GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, d,
+           CAST(sum(net) OVER (
+             PARTITION BY o_orderpriority ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+    tags=["analytics", "interval"],
+)
+def orders_open_backlog(spark, sf_dir):
+    """Concurrent-interval counting: how many orders are OPEN (placed
+    but not fully shipped) each day, per priority — the classic
+    sweep-line rewrite: each interval becomes a +1 at open and a -1
+    after close, daily deltas aggregate, and a running sum per
+    priority yields the backlog.  No interval self-join (the naive
+    day-x-order containment join is quadratic); the only ordered pass
+    runs over the DAILY DELTA table, orders of magnitude smaller than
+    the fact."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("open_d"),
+        )
+        .agg(F.max("l_shipdate").cast("date").alias("close_d"))
+    )
+    opens = spans.select(
+        "o_orderpriority", F.col("open_d").alias("d"), F.lit(1).alias("delta")
+    )
+    closes = spans.select(
+        "o_orderpriority",
+        F.date_add("close_d", 1).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("o_orderpriority", "d")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "d",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )

@@ -500,3 +500,81 @@ def embedding_pca_scores(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_scores(emb, "embedding", "vec_id", _DIM, iters=5)
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def _matryoshka_sql() -> str:
+    arms = "\n      UNION ALL\n      ".join(
+        f"""SELECT vec_id, {d} AS trunc_dim,
+             list_dot_product(embedding[1:{d}], embedding[1:{d}]) AS tnorm2
+      FROM embeddings"""
+        for d in _MATRYOSHKA_DIMS
+    )
+    # cos(full, truncated-zero-padded) = ||t||^2 / (||t|| * ||f||)
+    #                                  = ||t|| / ||f||
+    return f"""
+    WITH ex AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(embedding, embedding)) AS fnorm
+      FROM embeddings
+    ),
+    t AS (
+      {arms}
+    )
+    SELECT trunc_dim,
+           count(*) AS n_vecs,
+           round(avg(sqrt(tnorm2) / fnorm), 6) AS avg_fidelity
+    FROM t JOIN ex USING (vec_id)
+    WHERE fnorm > 0
+    GROUP BY trunc_dim
+    """
+
+
+@register(
+    "embedding_matryoshka_fidelity",
+    _matryoshka_sql(),
+    tags=["similarity", "embedding"],
+)
+def embedding_matryoshka_fidelity(spark, sf_dir):
+    """Matryoshka truncation audit: for prefix dims 8/16/32, the mean
+    cosine between each full vector and its zero-padded truncation —
+    which is ||prefix|| / ||full|| exactly, so the whole audit is two
+    norms per vector (pure array folds, map-only) and answers the
+    production question 'how many dims can retrieval drop'.  Float ops
+    are per-vector folds in ARRAY ORDER on both engines (Spark
+    aggregate() and DuckDB list_dot_product both fold left-to-right),
+    rounded only at the final mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = lambda a: F.aggregate(
+        F.zip_with(a, a, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    fnorm = F.sqrt(dot(v))
+    arms = []
+    for d in _MATRYOSHKA_DIMS:
+        t = F.slice(v, 1, d)
+        arms.append(
+            emb.select(
+                "vec_id",
+                F.lit(d).alias("trunc_dim"),
+                F.sqrt(dot(t)).alias("tnorm"),
+                fnorm.alias("fnorm"),
+            )
+        )
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    return (
+        u.filter(F.col("fnorm") > 0)
+        .groupBy("trunc_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("tnorm") / F.col("fnorm")), 6).alias(
+                "avg_fidelity"
+            ),
+        )
+    )

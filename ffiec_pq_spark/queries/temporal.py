@@ -412,3 +412,31 @@ def customer_quartiles(spark, sf_dir):
     return c.select(
         "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    """
+    SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=["temporal", "seasonality"],
+)
+def events_hourly_seasonality(spark, sf_dir):
+    """Hour-of-week seasonality profile (day-of-week x hour-of-day
+    activity/value heatmap) — the capacity-planning/anomaly-baseline
+    rollup.  One grouped aggregate; Spark's dayofweek is 1-based
+    Sunday=1 where DuckDB's is 0-based Sunday=0, so the Spark side
+    shifts by one (the cross-engine calendar pitfall made explicit)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

@@ -130,6 +130,9 @@ QUERIES = [
     "langid_confusion",
     "doc_novelty_score",
     "corpus_zipf_slope",
+    "embedding_matryoshka_fidelity",
+    "events_hourly_seasonality",
+    "orders_open_backlog",
 ]
 OFFSET = 10**9
 
