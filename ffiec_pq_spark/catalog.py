@@ -137,6 +137,8 @@ _NEVER_SAMPLED_FIRST = [
     "embedding_matryoshka_fidelity",
     "events_hourly_seasonality",
     "orders_open_backlog",
+    "multimodal_phash_pairs",
+    "benford_first_digit",
 ]
 
 

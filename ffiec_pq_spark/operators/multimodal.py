@@ -149,3 +149,42 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": blobs})
 
     return df.mapInPandas(frames, schema="id long, frame_idx int, frame binary")
+
+
+PHASH_BITS = 60  # positive in signed-64 on both engines (like SimHash)
+
+
+def avg_hash60(payload_text_col, length_col=None):
+    """60-bit average-hash fingerprint of an (ASCII-oracle-checkable)
+    payload column: sample 60 byte positions strided across the whole
+    payload (``pos_i = 1 + (i·(len-1)) div 59``), threshold each byte
+    at the sample mean, assemble the sign bits — the pHash family's
+    simplest member, here as pure column expressions (the real image
+    pHash swaps the byte sampler for a decoded-pixel DCT inside the
+    mapInPandas decode stage; the fingerprint/banding plumbing is
+    identical).
+
+    Returns a Column (long).  Deterministic: integer positions, integer
+    bytes, one exact mean division; the bit threshold compares an
+    integer against that exact double on both engines.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(payload_text_col) if isinstance(payload_text_col, str) else payload_text_col
+    ln = F.length(c) if length_col is None else F.col(length_col)
+    pos = [
+        (F.lit(1) + ((F.lit(i) * (ln - 1)) / F.lit(PHASH_BITS - 1)).cast("long"))
+        for i in range(PHASH_BITS)
+    ]
+    bytes_ = [F.ascii(c.substr(p, F.lit(1))) for p in pos]
+    total = bytes_[0]
+    for b in bytes_[1:]:
+        total = total + b
+    mean = total / F.lit(float(PHASH_BITS))
+    fp = None
+    for i, b in enumerate(bytes_):
+        term = F.when(b > mean, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return fp

@@ -834,3 +834,69 @@ def orders_open_backlog(spark, sf_dir):
         "d",
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+_BENFORD_ROWS = [(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)]
+_BENFORD_VALUES = "(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)"
+
+
+@register(
+    "benford_first_digit",
+    f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM cents
+    ),
+    nn AS (SELECT count(*) AS n FROM digits),
+    exp_ AS (
+      SELECT digit, CAST(p AS DOUBLE) AS p
+      FROM (VALUES {_BENFORD_VALUES}) AS t(digit, p)
+    )
+    SELECT d.digit,
+           count(*) AS n_obs,
+           round(e.p * nn.n, 4) AS n_expected,
+           round((count(*) - e.p * nn.n) * (count(*) - e.p * nn.n)
+                 / (e.p * nn.n), 6) AS chi2_contrib
+    FROM digits d
+    JOIN exp_ e USING (digit)
+    CROSS JOIN nn
+    GROUP BY d.digit, e.p, nn.n
+    """,
+    tags=["stats", "quality"],
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law audit of order totals: observed vs expected
+    leading-digit frequencies with per-digit chi-square contributions —
+    the fraud/synthetic-data smell test.  The leading digit comes from
+    the INTEGER cents rendered as a string (both engines format
+    integers identically), never from log10 of a double (libm floor
+    boundaries); the Benford expectations are shared Python-computed
+    literals, so no runtime log appears on either engine."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    nn = digits.agg(F.count(F.lit(1)).alias("n"))
+    exp_ = spark.createDataFrame(_BENFORD_ROWS, ["digit", "p"])
+    e = F.col("p") * F.col("n")
+    return (
+        digits.join(F.broadcast(exp_), "digit")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("digit", "p", "n")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(e, 4).alias("n_expected"),
+            F.round((F.col("n_obs") - e) * (F.col("n_obs") - e) / e, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )

@@ -148,3 +148,104 @@ def multimodal_feature_extract(spark, sf_dir):
             ",",
         ).alias("feature_micros"),
     )
+
+
+_PHASH_HAMMING = 9
+
+
+def _phash_sql() -> str:
+    n = 60
+    bdefs = ",\n             ".join(
+        f"ascii(substr(text, 1 + (({i} * (length(text) - 1)) // {n - 1}), 1)) AS b{i}"
+        for i in range(n)
+    )
+    total = " + ".join(f"b{i}" for i in range(n))
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > ({total}) / 60.0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(n)
+    )
+    return f"""
+    WITH bcols AS (
+      SELECT doc_id AS id, {bdefs}
+      FROM documents
+    ),
+    fps AS (SELECT id, {fp} AS fp FROM bcols)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM fps a JOIN fps b ON a.id < b.id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {_PHASH_HAMMING}
+    """
+
+
+@register("multimodal_phash_pairs", _phash_sql(), tags=["multimodal", "dedup"])
+def multimodal_phash_pairs(spark, sf_dir):
+    """Perceptual-hash near-dup join over the binary payloads: a 60-bit
+    average-hash (strided byte sampling, mean threshold — the pHash
+    family's simplest member; a real image pipeline swaps the sampler
+    for decoded-pixel DCT inside the mapInPandas decode stage and
+    keeps this exact fingerprint/banding plumbing), candidates by
+    10-way bit-banding (pigeonhole covers Hamming <= 9), popcount
+    verification, exact-duplicate collapse.  The oracle runs the naive
+    all-pairs XOR over the same fingerprints."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.dedup import (
+        _expand_rep_pairs,
+        _within_group_pairs,
+    )
+    from ffiec_pq_spark.operators.multimodal import PHASH_BITS, avg_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    # collapse by RAW bytes (md5 of the payload as-is), NOT the
+    # normalized-text groups the shingle family uses: the fingerprint
+    # reads raw bytes, so only byte-identical payloads share it
+    wg = Window.partitionBy("_chash")
+    groups = (
+        docs.select(F.col("doc_id").alias("id"), F.md5("text").alias("_chash"))
+        .withColumn("rep", F.min("id").over(wg))
+        .withColumn("g", F.count(F.lit(1)).over(wg))
+        .drop("_chash")
+        .persist()
+    )
+    rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
+    rep_docs = docs.join(
+        rep_ids.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    fps = rep_docs.select(
+        F.col("doc_id").alias("id"), avg_hash60("text").alias("fp")
+    ).persist()
+    n_bands, band_w = 10, PHASH_BITS // 10
+    bands = fps.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", b * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "fp", "bk.band", "bk.bval")
+    l = bands.select(F.col("id").alias("id_a"), F.col("fp").alias("_fa"), "band", "bval")
+    r = bands.select(F.col("id").alias("id_b"), F.col("fp").alias("_fb"), "band", "bval")
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("long")
+    rep_pairs = (
+        l.join(r, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING)
+        .distinct()
+    )
+    copies = groups.select("rep", "id")
+    cross = _expand_rep_pairs(rep_pairs, copies, "hamming")
+    qual = rep_ids.filter(F.col("g") >= 2).select(
+        "id", F.lit(0).cast("long").alias("hamming")
+    )
+    within = _within_group_pairs(qual, copies, "hamming")
+    return cross.unionByName(within)

@@ -133,6 +133,8 @@ QUERIES = [
     "embedding_matryoshka_fidelity",
     "events_hourly_seasonality",
     "orders_open_backlog",
+    "multimodal_phash_pairs",
+    "benford_first_digit",
 ]
 OFFSET = 10**9
 
