@@ -139,6 +139,9 @@ _NEVER_SAMPLED_FIRST = [
     "orders_open_backlog",
     "multimodal_phash_pairs",
     "benford_first_digit",
+    "events_rolling_dau",
+    "orders_rfm_segments",
+    "supplier_hhi_concentration",
 ]
 
 

@@ -900,3 +900,97 @@ def benford_first_digit(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "orders_rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT cust,
+             ntile(4) OVER (ORDER BY last_order DESC, cust) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, cust)  AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, cust)   AS m
+      FROM per_cust
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=["analytics", "segmentation"],
+)
+def orders_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-customer Recency/Frequency/Monetary
+    quartiles (deterministic total orders via the custkey tie-break)
+    cross-tabulated into segment counts.  The ntile orderings run over
+    the per-CUSTOMER aggregate — orders of magnitude smaller than the
+    fact table — which is what makes the unpartitioned ranking
+    acceptable here (and where it wouldn't be, the Pareto query shows
+    the sharded form)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = per_cust.select(
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("cust"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("cust"))).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("cust"))).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "supplier_hhi_concentration",
+    """
+    WITH vol AS (
+      SELECT p_type, l_suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS v
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT p_type, sum(v) AS tv FROM vol GROUP BY 1)
+    SELECT p_type,
+           count(*) AS n_suppliers,
+           round(sum((v / tv) * (v / tv)), 6) AS hhi
+    FROM vol JOIN tot USING (p_type)
+    GROUP BY p_type
+    """,
+    tags=["analytics", "concentration"],
+)
+def supplier_hhi_concentration(spark, sf_dir):
+    """Supplier concentration per part type: the Herfindahl-Hirschman
+    index (sum of squared revenue shares — 1/n for perfect competition,
+    1.0 for monopoly), the supply-chain-risk audit.  Two grouped
+    aggregates reusing the (p_type) partitioning; shares divide two
+    unrounded sums computed identically enough that the 6-dp-rounded
+    HHI absorbs summation-order ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(rev).alias("v"))
+    )
+    tot = vol.groupBy("p_type").agg(F.sum("v").alias("tv"))
+    share = F.col("v") / F.col("tv")
+    return (
+        vol.join(tot, "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )

@@ -440,3 +440,46 @@ def events_hourly_seasonality(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@register(
+    "events_rolling_dau",
+    """
+    WITH ev AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ev)
+    SELECT days.d,
+           count(DISTINCT ev.user_id) AS dau_7d
+    FROM days JOIN ev
+      ON ev.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+    tags=["temporal", "window"],
+)
+def events_rolling_dau(spark, sf_dir):
+    """Rolling 7-day distinct active users per day — the canonical
+    product metric whose naive form is a day-by-activity range join.
+    The scale rewrite: each (day, user) activity row EXPANDS to the <=7
+    window days it contributes to (a bounded explode — the same
+    bin-decomposition idea as the range join), then one distinct count
+    per window day; no BETWEEN join, no per-day rescan.  The oracle
+    runs the naive range join."""
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    expanded = day_user.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add("d", 6))
+        ).alias("wd"),
+        "user_id",
+    )
+    days = day_user.select("d").distinct()
+    return (
+        expanded.join(days, expanded.wd == days.d, "left_semi")
+        .groupBy(F.col("wd").alias("d"))
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )

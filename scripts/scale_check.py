@@ -135,6 +135,9 @@ QUERIES = [
     "orders_open_backlog",
     "multimodal_phash_pairs",
     "benford_first_digit",
+    "events_rolling_dau",
+    "orders_rfm_segments",
+    "supplier_hhi_concentration",
 ]
 OFFSET = 10**9
 
