@@ -52,6 +52,11 @@ NOTES = {
     "embedding_pca_scores": "covariance as ONE grouped aggregation with map-side partials (d rows out); eigenvector fit on driver-side d x d state; scores are a narrow projection",
     "basket_part_pairs": "pair self-join keyed on the ORDER id: fan-out C(basket,2), bounded by basket size, never by the catalog",
     "events_attribution_last_touch": "one ignore-nulls window carry on (user, time) — no purchase x touch range join",
+    "dedup_jaccard_prefix": "prefix filter: candidates join on the rarest shingles only; per-candidate verify keyed on (doc, shingle) — exact, uncapped, no stopword fan-out",
+    "dedup_simhash_hamming": "bit-band candidates (pigeonhole) + popcount verify — no all-pairs XOR",
+    "multimodal_phash_pairs": "same banding plumbing over the byte-sampled average-hash; raw-byte duplicate collapse",
+    "events_rolling_dau": "bounded window-day explode (<=7 rows per activity day) + one distinct count — no day x activity BETWEEN join",
+    "orders_open_backlog": "sweep-line: +1/-1 deltas, running sum over the DAILY table (orders of magnitude below the fact)",
 }
 
 
