@@ -140,7 +140,6 @@ def gap_fill(
 
 
 def ewma_bounded(
-    df: DataFrame,
     key_col: str,
     order_cols: Sequence[str],
     value_col: str,

@@ -121,7 +121,7 @@ def events_ewma_value(spark, sf_dir):
     return ev.select(
         "user_id",
         "event_id",
-        ewma_bounded(ev, "user_id", ["ts", "event_id"], "value").alias("ewma"),
+        ewma_bounded("user_id", ["ts", "event_id"], "value").alias("ewma"),
     )
 
 
@@ -172,7 +172,7 @@ def events_anomaly_ewma(spark, sf_dir):
         "event_id",
         "event_type",
         "value",
-        ewma_bounded(ev, "user_id", ["ts", "event_id"], "value").alias("ewma"),
+        ewma_bounded("user_id", ["ts", "event_id"], "value").alias("ewma"),
     )
     sm = sm0.select(
         "event_type",
