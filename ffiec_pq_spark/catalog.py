@@ -142,6 +142,7 @@ _NEVER_SAMPLED_FIRST = [
     "events_rolling_dau",
     "orders_rfm_segments",
     "supplier_hhi_concentration",
+    "events_cusum_drift",
 ]
 
 

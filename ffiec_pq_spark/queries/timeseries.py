@@ -185,3 +185,59 @@ def events_anomaly_ewma(spark, sf_dir):
         F.count(F.when(F.col("forecast").isNotNull(), 1)).alias("n_scored"),
         F.round(F.max(dev), 4).alias("max_deviation"),
     )
+
+
+@register(
+    "events_cusum_drift",
+    """
+    WITH m AS (SELECT round(avg(value), 6) AS mu FROM events),
+    cs1 AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS tss, event_id,
+             sum(value - mu) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS s
+      FROM events CROSS JOIN m
+    ),
+    cs AS (
+      SELECT user_id, s,
+             min(s) OVER (
+               PARTITION BY user_id ORDER BY tss, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS smin
+      FROM cs1
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(max(s - smin), 4) AS max_drift
+    FROM cs GROUP BY user_id
+    """,
+    tags=["timeseries", "anomaly"],
+)
+def events_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM change detection per user: the classic recursive
+    statistic ``c_t = max(0, c_{t-1} + (x_t - mu))`` is NOT a window
+    aggregate — but its closed form ``S_t - min_{i<=t} S_i`` (running
+    cumsum minus its running minimum) is, so the whole detector runs as
+    two stacked frames over ONE keyed exchange.  ``mu`` is the pinned
+    (rounded) global mean riding in as a broadcast scalar; both engines
+    then accumulate the identical ordered sequence, so even the
+    unrounded intermediate drifts agree bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(F.round(F.avg("value"), 6).alias("mu"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cs = (
+        ev.crossJoin(F.broadcast(m))
+        .withColumn("s", F.sum(F.col("value") - F.col("mu")).over(w))
+        .withColumn("smin", F.min("s").over(w))
+    )
+    return cs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(F.col("s") - F.col("smin")), 4).alias("max_drift"),
+    )

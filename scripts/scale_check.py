@@ -138,6 +138,7 @@ QUERIES = [
     "events_rolling_dau",
     "orders_rfm_segments",
     "supplier_hhi_concentration",
+    "events_cusum_drift",
 ]
 OFFSET = 10**9
 
