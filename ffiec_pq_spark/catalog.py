@@ -47,78 +47,40 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
     return deco
 
 
-# Round-4 certification rotation (same policy as rounds 1-3, now at
-# query granularity): external certification tooling samples the
-# registry in insertion order, so the queries with the FEWEST recorded
-# certification rows go first.  The first 19 have never received a
-# driver-issued CORRECTNESS row across r1-r3; after them come this
-# round's additions in creation order (also never sampled, by
-# definition).  All are strict-green in the committed full-oracle
-# artifact driver_check_last.json; everything else keeps its
-# module-rotation order from _load_all.  The list now exceeds a
-# 50-query sample window — the tail simply rolls into the next
-# round's rotation.
+# Round-5 certification rotation (same policy as rounds 1-4): external
+# certification tooling samples the registry in insertion order, so the
+# queries with the FEWEST recorded certification rows go first.  The
+# head of this list is exactly the 33 round-4 additions that rolled
+# past round 4's 50-query sample window and therefore have never
+# received a driver-issued CORRECTNESS row (all are strict-green in the
+# committed full-oracle artifact driver_check_last.json); round-5
+# additions follow (never sampled by definition — the head plus the
+# round-5 block is sized to fit a 50-query window).  Everything else
+# keeps its module-rotation order from _load_all.
 _NEVER_SAMPLED_FIRST = [
-    "bigram_pmi_top",
-    "chunk_documents_stats",
-    "corpus_bias_contingency",
-    "countmin_heavy_hitters",
-    "embedding_linear_score",
-    "events_context_pairs",
-    "events_cumulative_users",
-    "events_transition_matrix",
-    "events_zorder_stats",
-    "fixed_k_per_source",
-    "inverted_index_terms",
-    "knn_label_propagation",
-    "mixture_sample_counts",
-    "orders_rollup_year_priority",
-    "salted_join_enrich",
-    "segment_regression_trend",
-    "sentence_stats",
-    "substring_containment",
-    "value_outliers_mad",
-    # round-4 additions (new this round, so by definition never sampled)
-    "hll_portable_sketch",
-    "hll_merge_check",
-    "bloom_membership_filter",
-    "char_entropy_quality",
-    "semantic_dedup_cells",
-    "upsert_keep_latest",
-    "stream_upsert_latest",
-    "fuzzy_token_pairs_ed1",
-    "events_value_histogram",
-    "range_sharded_export",
-    "events_value_equidepth",
-    "leakage_safe_split_counts",
-    "snapshot_diff_counts",
-    "score_threshold_metrics",
-    "cooccurrence_triangles",
-    "cooccurrence_pagerank",
-    "mixture_temperature_weights",
-    "consistent_hash_routing",
-    "events_range_join_tiers",
-    "events_gapfill_ffill",
-    "events_ewma_value",
-    "minhash_calibration",
-    "dedup_keep_best",
-    "linkage_blocked_pairs",
-    "doc_bigram_logprob",
-    "weighted_sample_topk",
-    "events_attribution_last_touch",
-    "chi_square_lang_source",
-    "tfidf_cosine_pairs",
-    "embedding_pca_scores",
-    "stream_tier_rollup",
     "basket_part_pairs",
-    "linkage_sorted_neighborhood",
-    "events_top_paths",
-    "events_cooldown_filter",
-    "orders_pareto_abc",
-    "doc_top_terms",
-    "events_anomaly_ewma",
-    "bpe_train_merges",
+    "benford_first_digit",
     "bpe_apply_stats",
+    "bpe_train_merges",
+    "corpus_zipf_slope",
+    "dedup_ensemble_consensus",
+    "dedup_jaccard_prefix",
+    "dedup_simhash_hamming",
+    "doc_novelty_score",
+    "doc_top_terms",
+    "embedding_matryoshka_fidelity",
+    "events_anomaly_ewma",
+    "events_cooldown_filter",
+    "events_cusum_drift",
+    "events_hourly_seasonality",
+    "events_rolling_dau",
+    "events_top_paths",
+    "langid_confusion",
+    "linkage_sorted_neighborhood",
+    "multimodal_phash_pairs",
+    "orders_open_backlog",
+    "orders_pareto_abc",
+    "orders_rfm_segments",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
@@ -127,22 +89,26 @@ _NEVER_SAMPLED_FIRST = [
     "q18_large_volume_customers",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
-    "dedup_jaccard_prefix",
     "stream_incremental_agg",
-    "dedup_simhash_hamming",
-    "dedup_ensemble_consensus",
-    "langid_confusion",
-    "doc_novelty_score",
-    "corpus_zipf_slope",
-    "embedding_matryoshka_fidelity",
-    "events_hourly_seasonality",
-    "orders_open_backlog",
-    "multimodal_phash_pairs",
-    "benford_first_digit",
-    "events_rolling_dau",
-    "orders_rfm_segments",
     "supplier_hhi_concentration",
-    "events_cusum_drift",
+    # --- round-5 additions (never sampled by definition) ---
+    "events_asof_join_rates",
+    "docs_minhash_containment",
+    "dedup_lsh_cosine_buckets",
+    "quality_composite_filter",
+    "docs_robust_scaled_quality",
+    "events_session_funnel_time",
+    "doc_trigram_interpolated_lm",
+    "reservoir_sample_per_type",
+    "orders_median_gap_days",
+    "docs_token_bucket_stats",
+    "embedding_residual_quantize",
+    "events_hazard_rate",
+    "part_brand_affinity_lift",
+    "docs_stopword_entropy_lang",
+    "lineitem_theta_sketch_overlap",
+    "events_watermark_lateness_audit",
+    "docs_paragraph_dedup_rate",
 ]
 
 
