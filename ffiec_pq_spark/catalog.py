@@ -47,17 +47,36 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
     return deco
 
 
-# Round-5 certification rotation (same policy as rounds 1-4): external
+# Round-6 certification rotation (same policy as rounds 1-5): external
 # certification tooling samples the registry in insertion order, so the
 # queries with the FEWEST recorded certification rows go first.  The
-# head of this list is exactly the 33 round-4 additions that rolled
-# past round 4's 50-query sample window and therefore have never
-# received a driver-issued CORRECTNESS row (all are strict-green in the
-# committed full-oracle artifact driver_check_last.json); round-5
-# additions follow (never sampled by definition — the head plus the
-# round-5 block is sized to fit a 50-query window).  Everything else
-# keeps its module-rotation order from _load_all.
+# head is the 17 round-6 additions (implemented in queries/round6.py,
+# never sampled by definition); the 33 round-4 names that each carry
+# exactly one driver row (their round-5 certification) follow; the
+# head plus that block fits a 50-query window.  Everything else keeps
+# its module-rotation order from _load_all.  _ordered() raises if any
+# name here is missing from the registry, so this list can never again
+# claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-6 additions (never sampled by definition) ---
+    "events_asof_join_rates",
+    "docs_minhash_containment",
+    "dedup_lsh_cosine_buckets",
+    "quality_composite_filter",
+    "docs_robust_scaled_quality",
+    "events_session_funnel_time",
+    "doc_trigram_interpolated_lm",
+    "reservoir_sample_per_type",
+    "orders_median_gap_days",
+    "docs_token_bucket_stats",
+    "embedding_residual_quantize",
+    "events_hazard_rate",
+    "part_brand_affinity_lift",
+    "docs_stopword_entropy_lang",
+    "lineitem_theta_sketch_overlap",
+    "events_watermark_lateness_audit",
+    "docs_paragraph_dedup_rate",
+    # --- round-4 additions, one certification row each (round 5) ---
     "basket_part_pairs",
     "benford_first_digit",
     "bpe_apply_stats",
@@ -91,33 +110,20 @@ _NEVER_SAMPLED_FIRST = [
     "q22_global_sales_opportunity",
     "stream_incremental_agg",
     "supplier_hhi_concentration",
-    # --- round-5 additions (never sampled by definition) ---
-    "events_asof_join_rates",
-    "docs_minhash_containment",
-    "dedup_lsh_cosine_buckets",
-    "quality_composite_filter",
-    "docs_robust_scaled_quality",
-    "events_session_funnel_time",
-    "doc_trigram_interpolated_lm",
-    "reservoir_sample_per_type",
-    "orders_median_gap_days",
-    "docs_token_bucket_stats",
-    "embedding_residual_quantize",
-    "events_hazard_rate",
-    "part_brand_affinity_lift",
-    "docs_stopword_entropy_lang",
-    "lineitem_theta_sketch_overlap",
-    "events_watermark_lateness_audit",
-    "docs_paragraph_dedup_rate",
 ]
 
 
 def _ordered() -> dict[str, Query]:
     """Registry reordered least-certified-first (see _NEVER_SAMPLED_FIRST)."""
+    missing = [n for n in _NEVER_SAMPLED_FIRST if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(
+            "catalog rotation names queries with no implementation: "
+            + ", ".join(missing)
+        )
     out: dict[str, Query] = {}
     for name in _NEVER_SAMPLED_FIRST:
-        if name in _REGISTRY:
-            out[name] = _REGISTRY[name]
+        out[name] = _REGISTRY[name]
     for name, q in _REGISTRY.items():
         if name not in out:
             out[name] = q
@@ -151,6 +157,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round6  # noqa: F401
     from ffiec_pq_spark.queries import timeseries  # noqa: F401
     from ffiec_pq_spark.queries import linkage  # noqa: F401
     from ffiec_pq_spark.queries import lm  # noqa: F401
