@@ -511,7 +511,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 5,  # kept for API compat; every round checkpoints now
 ) -> DataFrame:
     """(id, cluster) for every node in the pair graph; cluster = min id
     reachable in the component.
@@ -522,11 +522,15 @@ def connected_components(
     are shallow — dozens of rounds covers pathological chains, typical
     data converges in 2-4).  Per round: one join + one groupBy on the
     node id — the standard scalable formulation when a graph library
-    isn't available; each round's lineage starts from a cached label
-    set, and ``localCheckpoint`` every ``checkpoint_every`` rounds
-    truncates the logical plan so deep chains don't accumulate an
-    unbounded lineage (analysis/optimization time grows per round
-    otherwise, even with caching).
+    isn't available.
+
+    Cost per round is ONE materializing action: the changed-label flag
+    is computed inside the propagate projection itself (a neighbor can
+    only lower a label, so ``nb_min < cluster`` IS the change test —
+    no new-vs-old join), the round is pinned with an eager
+    ``localCheckpoint`` (which also truncates lineage so analysis time
+    stays flat), and the convergence count is then a near-free scan of
+    the just-materialized blocks rather than a second full compute.
 
     Raises ``RuntimeError`` if the loop exits without converging
     (diameter > max_iter): under-propagated labels SPLIT a true
@@ -548,35 +552,32 @@ def connected_components(
         .cache()
     )
     converged = False
-    for it in range(max_iter):
+    for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nb_min"))
         )
-        new_labels = labels.join(
+        # change flag computed in the propagate projection: labels are
+        # monotonically non-increasing, so "a neighbor offered less"
+        # IS "this label changed" — no new-vs-old join needed
+        proposed = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
             F.least(
                 F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
             ).alias("cluster"),
+            (
+                F.coalesce(F.col("nb_min"), F.col("cluster"))
+                < F.col("cluster")
+            ).cast("long").alias("_chg"),
         )
-        if (it + 1) % checkpoint_every == 0:
-            # eager lineage truncation: the plan restarts from the
-            # checkpointed blocks instead of the full iteration history
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
+        # the round's single full compute; also truncates lineage
+        proposed = proposed.localCheckpoint(eager=True)
+        changed = proposed.agg(F.sum("_chg")).first()[0]
         labels.unpersist()
-        labels = new_labels
+        labels = proposed.drop("_chg")
         if not changed:
             converged = True
             break

@@ -333,6 +333,8 @@ def knn_exact_topk(
     id_col: str = "vec_id",
     carry_cols: tuple[str, ...] = ("label",),
     tile_size: int = 8192,
+    max_union_tiles: int = 4,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """EXACT k-nearest-neighbor candidates of every probe in ``q_df``
     against the corpus ``t_df`` by cosine: rows ``(q_id, t_id, *carry,
@@ -366,7 +368,16 @@ def knn_exact_topk(
     ``round(.., 6)`` then ``row_number``); a row can only be pruned
     locally when its rounded score is strictly below its batch's k-th
     rounded score, and the true global top-k under (s DESC, t_id ASC)
-    are each in their own batch's kept set."""
+    are each in their own batch's kept set.
+
+    Plan-size bound: up to ``max_union_tiles`` tile branches are unioned
+    into one lazy plan (the common case — a bounded probe slice).
+    BEYOND that, each tile runs as its OWN job whose candidates are
+    appended to ``spill_dir`` (a temp dir by default) and the result is
+    the parquet scan of the spill — so plan size, driver memory, and
+    per-tile cost stay FLAT in the number of tiles instead of growing a
+    union branch + resident broadcast per tile.  ``tile_size`` is the
+    probe-budget knob: probes resident per pass = tile_size vectors."""
     import numpy as np
     import pandas as pd
 
@@ -378,7 +389,8 @@ def knn_exact_topk(
     )
     schema = f"q_id long, t_id long, {carry_fields}, s double"
     src = spread(t_df.select(id_col, *carry_cols, vec_col))
-    tiles = []
+    tiles: list = []  # (DataFrame, broadcast) pairs while lazily unioned
+    spill_path: str | None = None
 
     def _tile_iter():
         buf: list = []
@@ -389,6 +401,12 @@ def knn_exact_topk(
                 buf = []
         if buf:
             yield buf
+
+    def _spill(df, bc_):
+        """Run one tile as its own job: append its candidates to the
+        spill dir, then free its probe broadcast immediately."""
+        df.write.mode("append").parquet(spill_path)
+        bc_.destroy()
 
     for tile in _tile_iter():
         qids = np.array([r[id_col] for r in tile], dtype=np.int64)
@@ -422,11 +440,26 @@ def knn_exact_topk(
                 out["s"] = S[rows, cols]
                 yield pd.DataFrame(out)
 
-        tiles.append(src.mapInPandas(gen, schema))
+        tile_df = src.mapInPandas(gen, schema)
+        if spill_path is None and len(tiles) < max_union_tiles:
+            tiles.append((tile_df, bc))
+            continue
+        if spill_path is None:
+            # (max_union_tiles + 1)-th tile: switch to job-per-tile —
+            # flush the accumulated lazy branches, then stream the rest
+            import tempfile
+
+            spill_path = spill_dir or tempfile.mkdtemp(prefix="knn_tiles_")
+            for buffered_df, buffered_bc in tiles:
+                _spill(buffered_df, buffered_bc)
+            tiles = []
+        _spill(tile_df, bc)
+    if spill_path is not None:
+        return spark.read.parquet(spill_path)
     if not tiles:
         return spark.createDataFrame([], schema)
-    cand = tiles[0]
-    for extra in tiles[1:]:
+    cand = tiles[0][0]
+    for extra, _ in tiles[1:]:
         cand = cand.unionByName(extra)
     return cand
 

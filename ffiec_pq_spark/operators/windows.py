@@ -155,3 +155,65 @@ def topk_per_group(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: Sequence,
+    part_cols: Sequence[str] = (),
+    n_ranges: int = 32,
+    rank_col: str = "r",
+) -> DataFrame:
+    """Exact global ``row_number`` over ``(part_cols..., order_cols...)``
+    WITHOUT a single-partition window: range-partition on the full sort
+    key (unique composite keys -> ranges cannot straddle ties), rank
+    locally per range in parallel, then add the preceding ranges' row
+    counts.  The offset relation has at most ``n_ranges x |groups|``
+    rows — provably tiny — so its cumulative window is free.
+
+    Bit-identical to ``row_number().over(Window.partitionBy(part_cols)
+    .orderBy(order_cols))`` but scales as N parallel sorts of 1/N each
+    instead of one reducer sorting a billion rows.  The caller must
+    ensure the composite (part_cols + order_cols) key is unique
+    (append a unique id as the last order column)."""
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    by_range = df.repartitionByRange(
+        n_ranges, *[F.col(c) for c in part_cols], *order_exprs
+    ).withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy("_pid", *part_cols).orderBy(*order_exprs)
+    local = by_range.withColumn("_lrn", F.row_number().over(wl))
+    sizes = local.groupBy("_pid", *part_cols).agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    wo = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        *part_cols,
+        F.coalesce(F.sum("_sz").over(wo), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *part_cols])
+        .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_from_rank(rank: F.Column, n_rows: F.Column, n_tiles: int) -> F.Column:
+    """SQL ``ntile(n)`` bucket from a precomputed 1-based rank and the
+    group's row count — the first ``n_rows % n`` buckets get one extra
+    row, exactly the ANSI ntile distribution.  Pair with
+    :func:`distributed_rank` to compute exact equi-depth buckets
+    without a per-group total sort.  Integer-only arithmetic (ANSI-safe:
+    the small-bucket divisor is floored at 1; when ``n_rows < n`` the
+    big-bucket branch always fires)."""
+    base = (n_rows / n_tiles).cast("long")  # floor for non-negative
+    rem = n_rows - base * n_tiles
+    thresh = rem * (base + 1)
+    small = F.greatest(base, F.lit(1))
+    return F.when(
+        rank <= thresh, ((rank - 1) / (base + 1)).cast("long") + 1
+    ).otherwise(rem + ((rank - thresh - 1) / small).cast("long") + 1)

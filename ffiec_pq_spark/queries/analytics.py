@@ -245,15 +245,33 @@ def events_value_equidepth(spark, sf_dir):
     """Equi-DEPTH histogram (quartile buckets of equal row count) per
     event type — the complement of `events_value_histogram`'s
     equi-width buckets, and the statistic behind range-boundary
-    planning on skewed values.  ntile orders by ``(value, event_id)``
-    so ties split identically on both engines; per-type window then
-    one grouped aggregation."""
-    from pyspark.sql import Window
+    planning on skewed values.
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Scale shape: ``event_type`` has single-digit cardinality, so a
+    per-type ``ntile`` window would totally sort n/|types| rows per
+    reducer.  Instead the rank comes from ``distributed_rank`` (range-
+    partitioned parallel sort + tiny offset join — see
+    operators/windows.py) and the bucket from ``ntile_from_rank``,
+    which reproduces the ANSI ntile distribution from (rank, group
+    count) arithmetically.  Bit-identical to the oracle's ntile window
+    — ties split by the same (value, event_id) order — with no
+    single-reducer sort anywhere."""
+    from ffiec_pq_spark.operators.windows import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    ranked = distributed_rank(
+        ev, order_cols=["value", "event_id"], part_cols=["event_type"]
+    )
+    counts = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    q = ntile_from_rank(F.col("r"), F.col("nt"), 4).cast("int")
     return (
-        ev.select("event_type", "value", F.ntile(4).over(w).alias("q"))
+        ranked.join(F.broadcast(counts), "event_type")
+        .select("event_type", "value", q.alias("q"))
         .groupBy("event_type", "q")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -907,17 +925,32 @@ def benford_first_digit(spark, sf_dir):
     """
     WITH per_cust AS (
       SELECT o_custkey AS cust,
-             max(CAST(o_orderdate AS DATE)) AS last_order,
+             date_diff('day', DATE '1970-01-01',
+                       max(CAST(o_orderdate AS DATE))) AS r_days,
              count(*) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             CAST(floor(round(sum(o_totalprice), 2)) AS BIGINT) AS monetary
       FROM orders GROUP BY 1
     ),
-    scored AS (
-      SELECT cust,
-             ntile(4) OVER (ORDER BY last_order DESC, cust) AS r,
-             ntile(4) OVER (ORDER BY frequency DESC, cust)  AS f,
-             ntile(4) OVER (ORDER BY monetary DESC, cust)   AS m
+    b AS (
+      SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.25) AS r25,
+             quantile_cont(CAST(r_days AS DOUBLE), 0.50) AS r50,
+             quantile_cont(CAST(r_days AS DOUBLE), 0.75) AS r75,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.50) AS f50,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
+             quantile_cont(CAST(monetary AS DOUBLE), 0.25) AS m25,
+             quantile_cont(CAST(monetary AS DOUBLE), 0.50) AS m50,
+             quantile_cont(CAST(monetary AS DOUBLE), 0.75) AS m75
       FROM per_cust
+    ),
+    scored AS (
+      SELECT 1 + CAST(r_days < r75 AS INT) + CAST(r_days < r50 AS INT)
+               + CAST(r_days < r25 AS INT) AS r,
+             1 + CAST(frequency < f75 AS INT) + CAST(frequency < f50 AS INT)
+               + CAST(frequency < f25 AS INT) AS f,
+             1 + CAST(monetary < m75 AS INT) + CAST(monetary < m50 AS INT)
+               + CAST(monetary < m25 AS INT) AS m
+      FROM per_cust CROSS JOIN b
     )
     SELECT r, f, m,
            count(*) AS n_customers
@@ -926,25 +959,52 @@ def benford_first_digit(spark, sf_dir):
     tags=["analytics", "segmentation"],
 )
 def orders_rfm_segments(spark, sf_dir):
-    """RFM segmentation: per-customer Recency/Frequency/Monetary
-    quartiles (deterministic total orders via the custkey tie-break)
-    cross-tabulated into segment counts.  The ntile orderings run over
-    the per-CUSTOMER aggregate — orders of magnitude smaller than the
-    fact table — which is what makes the unpartitioned ranking
-    acceptable here (and where it wouldn't be, the Pareto query shows
-    the sharded form)."""
-    from pyspark.sql import Window
+    """RFM segmentation without a global sort: per-customer Recency /
+    Frequency / Monetary scores from exact quartile BOUNDARIES + value
+    bucketing (1 = top quartile), cross-tabulated into segment counts.
 
+    Scale shape: the old form ranked every customer through three
+    unpartitioned ``ntile(4)`` windows — three one-reducer total sorts.
+    Here the boundaries come from one ``percentile`` aggregate
+    (partial-aggregated per partition; state is bounded by DISTINCT
+    values, which is why monetary is floored to whole dollars and
+    recency to epoch days — both bounded by the domain, not by
+    customer count), broadcast back over the per-customer relation,
+    and bucketed with plain comparisons.  No single-partition exchange
+    anywhere (pinned in tests/test_plans.py).
+
+    Determinism: ``round(sum, 2)`` canonicalizes the monetary double
+    before ``floor`` (both engines produce the identical 2-dp double,
+    so the floor cannot straddle an integer boundary); boundaries are
+    linear-interpolated quantiles of integer-valued doubles — quarter
+    fractions, exact in float64 on both engines."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.unix_date(F.max(F.col("o_orderdate").cast("date"))).alias("r_days"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.floor(F.round(F.sum("o_totalprice"), 2)).cast("long").alias("monetary"),
     )
-    scored = per_cust.select(
-        F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("cust"))).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("cust"))).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("cust"))).alias("m"),
+    bounds = per_cust.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(p)).alias(f"{c[0]}{int(p * 100)}")
+            for c in ("r_days", "frequency", "monetary")
+            for p in (0.25, 0.50, 0.75)
+        ]
+    )
+
+    def _score(col: str, lo: str, mid: str, hi: str):
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + (v < F.col(hi)).cast("int")
+            + (v < F.col(mid)).cast("int")
+            + (v < F.col(lo)).cast("int")
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        _score("r_days", "r25", "r50", "r75").alias("r"),
+        _score("frequency", "f25", "f50", "f75").alias("f"),
+        _score("monetary", "m25", "m50", "m75").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers")

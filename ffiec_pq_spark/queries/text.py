@@ -530,20 +530,25 @@ def corpus_zipf_slope(spark, sf_dir):
     """Zipf-law fit over the 3-gram frequency spectrum: regression
     slope of ln(frequency) on ln(rank) — the corpus-health probe that
     flags template-generated or deduplication-damaged text (natural
-    language sits near -1).  Rank needs a total order over the type
-    table (frequency DESC, gram ASC tie-break): the type table is
-    orders of magnitude smaller than the corpus, so the single-ordering
-    cost is bounded — and regr_slope folds map-side like any algebraic
-    aggregate."""
-    from pyspark.sql import Window
+    language sits near -1).
 
+    Scale shape: the rank is a DISTRIBUTED total order via
+    ``distributed_rank`` (operators/windows.py): range-partition on
+    (f DESC, gram ASC) — unique composite keys, so ranges cannot
+    straddle ties — rank each range in parallel, add the preceding
+    ranges' row counts from a provably tiny offset relation.  Ranks
+    are bit-identical to the oracle's single ``row_number`` window; at
+    a billion-type table this is N parallel sorts of 1/N each instead
+    of one reducer sorting everything.  ``regr_slope`` then folds
+    map-side like any algebraic aggregate."""
     from ffiec_pq_spark.operators.text import shingles
+    from ffiec_pq_spark.operators.windows import distributed_rank
 
     docs = load_table(spark, sf_dir, "documents")
     occ = docs.select(F.explode(shingles("text", 3)).alias("gram"))
     freq = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("f"))
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("gram")))
+    ranked = distributed_rank(
+        freq, order_cols=[F.desc("f"), F.asc("gram")]
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_types"),

@@ -92,3 +92,28 @@ def test_ivf_trained_quantizer_recall(spark, sf_dir):
         .count()
     )
     assert n_cand < emb.count()
+
+
+def test_knn_job_per_tile_spill_matches_union(spark, sf_dir, tmp_path):
+    """Forcing many tiles (tile_size smaller than the probe count and
+    more tiles than max_union_tiles) must switch knn_exact_topk to
+    job-per-tile spill and return the SAME candidate set as the lazy
+    union path — flat plan size, identical rows."""
+    from ffiec_pq_spark.operators.similarity import knn_exact_topk
+    from ffiec_pq_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id % 10 == 0).limit(40)
+    base = knn_exact_topk(emb, q, k=3, tile_size=4096)
+    spilled = knn_exact_topk(
+        emb,
+        q,
+        k=3,
+        tile_size=5,  # 40 probes -> 8 tiles > max_union_tiles
+        max_union_tiles=2,
+        spill_dir=str(tmp_path / "tiles"),
+    )
+    key = lambda r: (r["q_id"], r["t_id"], r["s"])  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(
+        map(key, spilled.collect())
+    )

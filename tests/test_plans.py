@@ -295,3 +295,43 @@ def test_prefix_jaccard_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_no_global_ntile(spark, sf_dir):
+    """RFM segmentation must bucket against broadcast quartile
+    boundaries — no ntile, no window at all, the only single-partition
+    exchange being the 9-scalar boundary aggregate."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["orders_rfm_segments"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ntile(4)" not in plan
+    assert "row_number" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1  # boundary scalars
+    assert has_broadcast_join(df)
+
+
+def test_zipf_rank_is_range_partitioned(spark, sf_dir):
+    """The Zipf rank must be the distributed two-pass rank: the
+    data-sized row_number window partitions by the range id (_pid);
+    single-partition exchanges only for the tiny offset relation and
+    the final scalar aggregate."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["corpus_zipf_slope"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "row_number() windowspecdefinition(_pid" in plan
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_equidepth_no_per_type_total_sort(spark, sf_dir):
+    """Equi-depth buckets must come from distributed_rank +
+    ntile_from_rank — no ntile window, no single-partition exchange,
+    rank window partitioned by (range id, event_type)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["events_value_equidepth"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ntile(4)" not in plan
+    assert "row_number() windowspecdefinition(_pid" in plan
+    assert plan.count("Exchange SinglePartition") == 0
