@@ -21,13 +21,20 @@ from ffiec_pq_spark.functions.hashing import hash60, hash60_sql
 _BUCKETS = 10_000
 
 
+def _gate_buckets(rate: float) -> int:
+    """Bucket cutoff for ``rate``: round-to-nearest, NOT truncation —
+    int(0.3 * 10_000) is 2999 on binary floats, silently under-sampling
+    every rate whose product lands just below an integer."""
+    return int(round(rate * _BUCKETS))
+
+
 def sample_gate(key_col: str, rate: float, seed: int = 0):
     """Boolean column: True for the deterministic ``rate`` fraction."""
-    return (hash60(key_col, seed) % _BUCKETS) < int(rate * _BUCKETS)
+    return (hash60(key_col, seed) % _BUCKETS) < _gate_buckets(rate)
 
 
 def sample_gate_sql(key_expr: str, rate: float, seed: int = 0) -> str:
-    return f"({hash60_sql(key_expr, seed)} % {_BUCKETS}) < {int(rate * _BUCKETS)}"
+    return f"({hash60_sql(key_expr, seed)} % {_BUCKETS}) < {_gate_buckets(rate)}"
 
 
 def deterministic_sample(
@@ -58,10 +65,10 @@ def stratified_sample(
     """Per-stratum deterministic rates (e.g. downsample the dominant
     class, keep all of the rare one)."""
     h = hash60(key_col, seed) % _BUCKETS
-    expr = F.lit(int(default_rate * _BUCKETS))
+    expr = F.lit(_gate_buckets(default_rate))
     for value, rate in sorted(rates.items()):
         expr = F.when(
-            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+            F.col(strata_col) == value, F.lit(_gate_buckets(rate))
         ).otherwise(expr)
     return df.filter(h < expr)
 

@@ -47,6 +47,7 @@ def range_join_binned(
     lo_col: str = "lo",
     hi_col: str = "hi",
     broadcast_ranges: bool = True,
+    max_bins_per_range: int = 100_000,
 ) -> DataFrame:
     """Join each fact row to the range(s) with ``lo <= value < hi``.
 
@@ -59,16 +60,37 @@ def range_join_binned(
     shuffle both sides).
 
     Returns ``fact`` columns + ``ranges`` columns (minus the bin).
+
+    Guards: inverted ranges (``lo > hi`` — a descending ``sequence``
+    would otherwise explode the *reversed* interval silently) are
+    dropped; a range spanning more than ``max_bins_per_range`` bins
+    (a too-small ``bin_width`` against a wide range would blow past
+    Spark's sequence length cap, or quietly materialize millions of
+    rows per range) fails fast with a raise_error.
     """
     w = F.lit(float(bin_width))
-    expanded = ranges.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / w).cast("long"),
-                F.floor(F.col(hi_col) / w).cast("long"),
+    lo_b = F.floor(F.col(lo_col) / w).cast("long")
+    hi_b = F.floor(F.col(hi_col) / w).cast("long")
+    guarded_seq = F.when(
+        hi_b - lo_b < F.lit(max_bins_per_range),
+        F.sequence(lo_b, hi_b),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join_binned: range spans more than "
+                    f"{max_bins_per_range} bins of width {bin_width} — "
+                    "raise bin_width or max_bins_per_range ("
+                ),
+                F.col(lo_col).cast("string"),
+                F.lit(", "),
+                F.col(hi_col).cast("string"),
+                F.lit(")"),
             )
-        ).alias("_bin"),
+        )
+    )
+    expanded = ranges.filter(F.col(lo_col) <= F.col(hi_col)).select(
+        "*", F.explode(guarded_seq).alias("_bin")
     )
     if broadcast_ranges:
         expanded = F.broadcast(expanded)

@@ -212,14 +212,16 @@ def range_sharded_export(spark, sf_dir):
     flagged = stats.withColumn("next_min", F.lead("kmin").over(w)).withColumn(
         "ok", F.col("next_min").isNull() | (F.col("kmax") < F.col("next_min"))
     )
-    total = ev.count()  # driver scalar: pins row conservation
-    return flagged.agg(
+    # row-conservation check as an in-plan scalar branch (broadcast of
+    # one row) — no separate driver-side count() job
+    total = ev.agg(F.count(F.lit(1)).alias("_total"))
+    return flagged.crossJoin(F.broadcast(total)).agg(
         F.count(F.lit(1)).alias("n_shards"),
         F.sum("n").alias("n_rows"),
         F.min(F.col("ok").cast("int")).cast("boolean").alias(
             "ranges_disjoint"
         ),
-        (F.sum("n") == F.lit(total)).alias("counts_complete"),
+        (F.sum("n") == F.max("_total")).alias("counts_complete"),
     )
 
 

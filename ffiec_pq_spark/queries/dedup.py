@@ -371,7 +371,7 @@ def _calibration_oracle() -> str:
       JOIN sizes sb ON sb.id = id_b
     ),
     est AS (
-      SELECT c.id_a, c.id_b, ({est_terms}) / 32.0 AS est
+      SELECT c.id_a, c.id_b, ({est_terms}) / {float(_N_PERM)} AS est
       FROM cand c
       JOIN sig l ON l.id = c.id_a
       JOIN sig r ON r.id = c.id_b
@@ -435,7 +435,7 @@ def minhash_calibration(spark, sf_dir):
     est = (
         cands.join(sl, "id_a")
         .join(sr, "id_b")
-        .select("id_a", "id_b", (match_k / F.lit(32.0)).alias("est"))
+        .select("id_a", "id_b", (match_k / F.lit(float(_N_PERM))).alias("est"))
     )
     return (
         ex.join(est, ["id_a", "id_b"])

@@ -435,8 +435,10 @@ def _pca_sql(iters: int = 5) -> str:
       SELECT e.vec_id, e.i, e.x - m.m AS x FROM ex e JOIN m USING (i)
     )""",
         """cov AS (
+      -- greatest(.., 1) keeps the n=1 edge defined; the final SELECT
+      -- mirrors the Spark operator's n<2 gate and returns NULL scores
       SELECT a.i AS i, b.i AS j,
-             round(sum(a.x * b.x) / (nn.n - 1), 7) AS c
+             round(sum(a.x * b.x) / greatest(nn.n - 1, 1), 7) AS c
       FROM xc a JOIN xc b USING (vec_id) CROSS JOIN nn
       GROUP BY a.i, b.i, nn.n
     )""",
@@ -478,10 +480,13 @@ def _pca_sql(iters: int = 5) -> str:
         + ",\n    ".join(ctes)
         + f"""
     SELECT xc.vec_id AS id,
-           round(sum(xc.x * (CAST({last}.v AS DOUBLE) * sgn.s / nf.nrm)), 6)
-             AS pc1_score
-    FROM xc JOIN {last} ON {last}.i = xc.i CROSS JOIN sgn CROSS JOIN nf
-    GROUP BY xc.vec_id
+           CASE WHEN nn.n < 2 THEN NULL
+                ELSE round(sum(xc.x * (CAST({last}.v AS DOUBLE) * sgn.s
+                                       / nf.nrm)), 6)
+           END AS pc1_score
+    FROM xc JOIN {last} ON {last}.i = xc.i
+    CROSS JOIN sgn CROSS JOIN nf CROSS JOIN nn
+    GROUP BY xc.vec_id, nn.n
     """
     )
 

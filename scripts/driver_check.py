@@ -170,7 +170,9 @@ def main() -> int:
         with open(out_path) as f:
             merged = json.load(f)
         merged.update(results)
-        results = merged
+        # drop rows for queries that no longer exist in the registry —
+        # a renamed/removed query must not keep a stale green row alive
+        results = {k: v for k, v in merged.items() if k in queries}
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, default=str)
     return 1 if failed else 0

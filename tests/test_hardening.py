@@ -370,3 +370,64 @@ def test_contamination_overlap_known_docs(spark):
         ev_df, tr_df, k=3, max_shingle_df=1
     ).collect()
     assert got_capped == []
+
+
+def test_pca_single_vector_matches_oracle(spark, tmp_path):
+    """n<2 edge: the Spark operator returns NULL scores; the SQL oracle
+    must mirror that gate instead of dividing covariance by zero."""
+    import duckdb
+
+    from ffiec_pq_spark.catalog import oracles, queries
+
+    one = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "embeddings.parquet")
+    one.write.parquet(d)
+    df = queries()["embedding_pca_scores"](spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["pc1_score"] is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/*.parquet')"
+    )
+    orc = con.sql(oracles()["embedding_pca_scores"]).fetchall()
+    assert len(orc) == 1 and orc[0][1] is None
+
+
+def test_range_join_binned_guards(spark):
+    """Inverted ranges are dropped (a descending sequence would explode
+    the reversed interval); a range spanning more bins than
+    max_bins_per_range fails fast instead of materializing millions of
+    rows."""
+    import pytest as _pytest
+
+    from ffiec_pq_spark.operators.timeseries import range_join_binned
+
+    fact = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id long, v double")
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "ok"), (20.0, 15.0, "inverted")],
+        "lo double, hi double, tier string",
+    )
+    got = range_join_binned(fact, "v", ranges, bin_width=1.0).collect()
+    assert [(r["id"], r["tier"]) for r in got] == [(1, "ok")]
+
+    wide = spark.createDataFrame(
+        [(0.0, 1e9, "huge")], "lo double, hi double, tier string"
+    )
+    with _pytest.raises(Exception, match="range_join_binned"):
+        range_join_binned(
+            fact, "v", wide, bin_width=1.0, max_bins_per_range=1000
+        ).collect()
+
+
+def test_sample_gate_rate_rounds_not_truncates():
+    """rate=0.3: 0.3 * 10_000 is 2999.999... in binary floats — the
+    cutoff must round to 3000 buckets, not truncate to 2999 (a silent
+    0.01% under-sample on every such rate)."""
+    from ffiec_pq_spark.operators.sampling import _gate_buckets, sample_gate_sql
+
+    for rate, want in [(0.3, 3000), (0.1, 1000), (0.07, 700), (0.5, 5000)]:
+        assert _gate_buckets(rate) == want
+        assert sample_gate_sql("x", rate).endswith(f"< {want}")
