@@ -139,6 +139,24 @@ QUERIES = [
     "orders_rfm_segments",
     "supplier_hhi_concentration",
     "events_cusum_drift",
+    # round-6 additions
+    "events_asof_join_rates",
+    "docs_minhash_containment",
+    "dedup_lsh_cosine_buckets",
+    "quality_composite_filter",
+    "docs_robust_scaled_quality",
+    "events_session_funnel_time",
+    "doc_trigram_interpolated_lm",
+    "reservoir_sample_per_type",
+    "orders_median_gap_days",
+    "docs_token_bucket_stats",
+    "embedding_residual_quantize",
+    "events_hazard_rate",
+    "part_brand_affinity_lift",
+    "docs_stopword_entropy_lang",
+    "lineitem_theta_sketch_overlap",
+    "events_watermark_lateness_audit",
+    "docs_paragraph_dedup_rate",
 ]
 OFFSET = 10**9
 
@@ -177,11 +195,18 @@ NOTES = {
         "two corpus-wide distinct aggregations over 8x lineitem — "
         "strictly linear work, partially absorbed by idle cores at 1x"
     ),
-    "events_value_equidepth": (
-        "exact ntile requires a per-event-type TOTAL ordering (5 "
-        "partition keys -> 5 reducers, n log n sort growth); the "
-        "at-scale alternative for equi-depth boundaries is the "
-        "mergeable approx-quantile sketch (approx_quantile_check)"
+    "docs_minhash_containment": (
+        "output-driven: the 8-way duplicate replica makes every "
+        "bottom-k probe hit 8 copies of each matching doc, so the "
+        "candidate-pair relation (and result) grows ~8x by design; "
+        "the probe join itself stays keyed on the shingle hash with "
+        "the df cap bounding fan-out"
+    ),
+    "dedup_lsh_cosine_buckets": (
+        "output-driven: 8 identical copies of every vector share all "
+        "band buckets, so candidate pairs grow ~36x (8 copies -> 28 "
+        "intra-clone pairs each) and each is exact-verified; the "
+        "band join stays an equi-join on (band, signature)"
     ),
 }
 

@@ -153,3 +153,45 @@ def test_zip_lines_python_datasource(spark, tmp_path):
         .load()
     )
     assert ri.select("member").distinct().count() == 2
+
+
+def test_zip_datasource_pipeline_equivalence(spark, tmp_path):
+    """The Python Data Source route must feed the typed TSV parser
+    with EXACTLY the rows the default mapInPandas route produces: same
+    member, same skip semantics, same typed values — so either scan
+    can back the ETL without a semantic fork."""
+    import zipfile as _zf
+
+    from ffiec_fixtures import TYPE_DICT, make_call_zip
+
+    from ffiec_pq_spark.sources.tsv import (
+        make_colspec,
+        parse_schedule_lines,
+        read_zip_member_header,
+        zip_member_lines,
+    )
+    from ffiec_pq_spark.sources.zip_datasource import ZipLinesDataSource
+
+    spark.dataSource.register(ZipLinesDataSource)
+    zp = make_call_zip(str(tmp_path))
+    with _zf.ZipFile(zp) as z:
+        member = next(m for m in z.namelist() if "POR" not in m)
+    colspec = make_colspec(read_zip_member_header(zp, member), TYPE_DICT)
+
+    via_mip = parse_schedule_lines(
+        zip_member_lines(spark, zp, member, skip=2), colspec
+    )
+    ds_lines = (
+        spark.read.format("ffiec_zip_lines")
+        .option("path", zp)
+        .load()
+        .filter(F.col("member") == member)
+        .filter(F.col("line_no") >= 2)  # 0-based: drops header+dict rows
+        .select(F.col("line").alias("value"))
+    )
+    via_ds = parse_schedule_lines(ds_lines, colspec)
+    assert via_ds.schema == via_mip.schema
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, via_ds.collect())) == sorted(
+        map(key, via_mip.collect())
+    )
