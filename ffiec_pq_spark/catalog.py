@@ -50,10 +50,12 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # Round-6 certification rotation (same policy as rounds 1-5): external
 # certification tooling samples the registry in insertion order, so the
 # queries with the FEWEST recorded certification rows go first.  The
-# head is the 17 round-6 additions (implemented in queries/round6.py,
-# never sampled by definition); the 33 round-4 names that each carry
-# exactly one driver row (their round-5 certification) follow; the
-# head plus that block fits a 50-query window.  Everything else keeps
+# head is the 20 round-6 additions (17 in queries/round6.py plus the
+# 3-query second wave in queries/round6b.py, never sampled by
+# definition); the 33 round-4 names that each carry exactly one driver
+# row (their round-5 certification) follow, so a 50-query window takes
+# all 20 zero-row names plus 30 of the one-row block.  Everything else
+# keeps
 # its module-rotation order from _load_all.  _ordered() raises if any
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
@@ -76,6 +78,10 @@ _NEVER_SAMPLED_FIRST = [
     "lineitem_theta_sketch_overlap",
     "events_watermark_lateness_audit",
     "docs_paragraph_dedup_rate",
+    # --- round-6 second wave (queries/round6b.py, never sampled) ---
+    "source_overlap_matrix",
+    "docs_softdedup_weights",
+    "corpus_vocab_coverage",
     # --- round-4 additions, one certification row each (round 5) ---
     "basket_part_pairs",
     "benford_first_digit",
@@ -158,6 +164,7 @@ def _load_all() -> None:
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
     from ffiec_pq_spark.queries import round6  # noqa: F401
+    from ffiec_pq_spark.queries import round6b  # noqa: F401
     from ffiec_pq_spark.queries import timeseries  # noqa: F401
     from ffiec_pq_spark.queries import linkage  # noqa: F401
     from ffiec_pq_spark.queries import lm  # noqa: F401

@@ -1,0 +1,263 @@
+"""Round-6 second wave: corpus-composition operators for a training-data
+pipeline — cross-source duplication audit, duplicate-aware soft
+reweighting (the "count each content once" correction to source mixture
+math), and vocabulary coverage curves over the exact distributed rank.
+
+No reference analogue (iangow/ffiec.pq has no corpus surface — cf.
+`R/ffeic_read.R` which stops at typed ingest); these extend SURVEY.md
+§2's scale-extension rows.  Every query has an exact DuckDB oracle;
+doubles are rounded identically on both sides so summation order cannot
+flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.hashing import hash60, hash60_sql
+from ffiec_pq_spark.operators.windows import distributed_rank
+from ffiec_pq_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix — cross-source exact-duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def _overlap_sql() -> str:
+    h = hash60_sql("text", seed=13)
+    return f"""
+    WITH hs AS (
+      SELECT DISTINCT source, {h} AS h FROM documents
+    ),
+    sz AS (SELECT source, count(*) AS n FROM hs GROUP BY source),
+    pr AS (
+      SELECT a.source AS s1, b.source AS s2, count(*) AS shared_contents
+      FROM hs a JOIN hs b USING (h)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT pr.s1, pr.s2, CAST(pr.shared_contents AS BIGINT)
+             AS shared_contents,
+           CAST(za.n AS BIGINT) AS n_s1, CAST(zb.n AS BIGINT) AS n_s2,
+           round(pr.shared_contents
+                 / CAST(za.n + zb.n - pr.shared_contents AS DOUBLE), 6)
+             AS jaccard
+    FROM pr
+    JOIN sz za ON za.source = pr.s1
+    JOIN sz zb ON zb.source = pr.s2
+    """
+
+
+@register("source_overlap_matrix", _overlap_sql(), tags=["dedup", "corpus"])
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct document CONTENTS they share, plus the Jaccard overlap
+    of their content sets.  This is the audit that tells you two crawls
+    ingested the same site, or that a "curated" subset is really a
+    replica of another source — the decision input for dropping a whole
+    source rather than deduping row by row.
+
+    Scale shape: contents are reduced to a distinct ``(hash, source)``
+    relation FIRST (one shuffle, output bounded by the corpus's distinct
+    contents), so the pair self-join is keyed on the content hash over
+    an already-collapsed relation — a duplicate appearing k times in
+    each of two sources still contributes exactly one pair.  Source
+    cardinality is small by construction, so the per-source size lookup
+    is a broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.select(
+        "source", hash60(F.col("text"), seed=13).alias("h")
+    ).distinct()
+    sz = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = hs.alias("a"), hs.alias("b")
+    pr = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_contents"))
+    )
+    za = sz.select(F.col("source").alias("s1"), F.col("n").alias("n_s1"))
+    zb = sz.select(F.col("source").alias("s2"), F.col("n").alias("n_s2"))
+    return (
+        pr.join(F.broadcast(za), "s1")
+        .join(F.broadcast(zb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "shared_contents",
+            "n_s1",
+            "n_s2",
+            F.round(
+                F.col("shared_contents")
+                / (
+                    F.col("n_s1") + F.col("n_s2") - F.col("shared_contents")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_softdedup_weights — duplicate-aware source reweighting
+# ---------------------------------------------------------------------------
+
+
+def _softdedup_sql() -> str:
+    h = hash60_sql("text", seed=29)
+    tok = "len(string_split_regex(trim(text), '\\s+'))"
+    return f"""
+    WITH base AS (
+      SELECT source, {h} AS h, {tok} AS n_tok FROM documents
+    ),
+    grp AS (SELECT h, count(*) AS c FROM base GROUP BY h)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+           round(sum(n_tok / CAST(c AS DOUBLE)), 4) AS eff_tokens,
+           round(sum(1.0 / c), 4) AS eff_docs,
+           round(sum(n_tok / CAST(c AS DOUBLE)) / sum(CAST(n_tok AS DOUBLE)),
+                 6) AS keep_ratio
+    FROM base JOIN grp USING (h)
+    GROUP BY source
+    """
+
+
+@register("docs_softdedup_weights", _softdedup_sql(), tags=["dedup", "corpus"])
+def docs_softdedup_weights(spark, sf_dir):
+    """Duplicate-aware soft reweighting: weight every document by
+    ``1 / (number of exact copies corpus-wide)`` so each distinct
+    content contributes exactly one document's worth of mass, then
+    report per source the raw vs effective token counts.  The
+    ``eff_tokens`` column is the number that should feed mixture-weight
+    math (``mixture_temperature_weights``) — raw token counts
+    overweight sources whose bulk is replicated boilerplate.
+
+    Scale shape: one grouped count on the content hash, one keyed join
+    back (both on the same key — a single shuffle under AQE reuse), one
+    grouped agg on the low-cardinality source key.  No windows, no
+    driver collection; the duplicate-group relation is bounded by the
+    corpus's distinct contents."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        hash60(F.col("text"), seed=29).alias("h"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    grp = base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    w_tok = F.col("n_tok") / F.col("c").cast("double")
+    return (
+        base.join(grp, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("raw_tokens"),
+            F.round(F.sum(w_tok), 4).alias("eff_tokens"),
+            F.round(F.sum(F.lit(1.0) / F.col("c")), 4).alias("eff_docs"),
+            F.round(
+                F.sum(w_tok) / F.sum(F.col("n_tok").cast("double")), 6
+            ).alias("keep_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_vocab_coverage — token-mass coverage of top-k vocabularies
+# ---------------------------------------------------------------------------
+
+_CUTOFFS = [10, 25, 100]
+
+
+def _coverage_sql() -> str:
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN r <= {k} THEN f ELSE 0 END) AS BIGINT) AS c{k}"
+        for k in _CUTOFFS
+    )
+    values = ", ".join(f"({k})" for k in _CUTOFFS)
+    pick = " ".join(f"WHEN {k} THEN a.c{k}" for k in _CUTOFFS)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS f FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+    ),
+    agg AS (
+      SELECT CAST(sum(f) AS BIGINT) AS total,
+             count(*) AS n_types, {cases}
+      FROM ranked
+    )
+    SELECT c.k AS cutoff,
+           CAST(least(c.k, a.n_types) AS BIGINT) AS vocab_size,
+           CAST(CASE c.k {pick} END AS BIGINT) AS covered_tokens,
+           round((CASE c.k {pick} END) / CAST(a.total AS DOUBLE), 6)
+             AS coverage,
+           round(1.0 - (CASE c.k {pick} END) / CAST(a.total AS DOUBLE), 6)
+             AS oov_rate
+    FROM agg a CROSS JOIN (VALUES {values}) c(k)
+    """
+
+
+@register("corpus_vocab_coverage", _coverage_sql(), tags=["text", "corpus"])
+def corpus_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of the corpus's token
+    mass is covered by keeping only the top-k most frequent types, for a
+    ladder of candidate vocabulary sizes — the tokenizer-budget /
+    OOV-rate tradeoff read directly off the corpus before training a
+    vocabulary.
+
+    Scale shape: the frequency table is one grouped count on the token;
+    the exact global frequency rank uses :func:`distributed_rank`
+    (range-partition on ``(f DESC, tok)`` + parallel local
+    ``row_number`` + broadcast offsets) instead of a single-partition
+    window, so the rank survives a billion-type table; the ladder is
+    ONE conditional aggregation over the ranked relation (no per-cutoff
+    rescans), cross-joined against a 3-row literal."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = distributed_rank(
+        freq, order_cols=[F.col("f").desc(), F.col("tok")], rank_col="r"
+    )
+    agg = ranked.agg(
+        F.sum("f").alias("total"),
+        F.count(F.lit(1)).alias("n_types"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("f")).otherwise(0)).alias(
+                f"c{k}"
+            )
+            for k in _CUTOFFS
+        ],
+    )
+    cutoffs = spark.createDataFrame([(k,) for k in _CUTOFFS], "k int")
+    covered = F.coalesce(
+        *[
+            F.when(F.col("k") == k, F.col(f"c{k}"))
+            for k in _CUTOFFS
+        ]
+    )
+    return (
+        cutoffs.crossJoin(F.broadcast(agg))
+        .select(
+            F.col("k").alias("cutoff"),
+            F.least(F.col("k").cast("long"), F.col("n_types")).alias(
+                "vocab_size"
+            ),
+            covered.alias("covered_tokens"),
+            F.round(covered / F.col("total").cast("double"), 6).alias(
+                "coverage"
+            ),
+            F.round(
+                F.lit(1.0) - covered / F.col("total").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -157,6 +157,9 @@ QUERIES = [
     "lineitem_theta_sketch_overlap",
     "events_watermark_lateness_audit",
     "docs_paragraph_dedup_rate",
+    "source_overlap_matrix",
+    "docs_softdedup_weights",
+    "corpus_vocab_coverage",
 ]
 OFFSET = 10**9
 

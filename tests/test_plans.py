@@ -335,3 +335,40 @@ def test_equidepth_no_per_type_total_sort(spark, sf_dir):
     assert "ntile(4)" not in plan
     assert "row_number() windowspecdefinition(_pid" in plan
     assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_source_overlap_distinct_before_pair_join(spark, sf_dir):
+    """The cross-source overlap matrix must collapse to distinct
+    (hash, source) BEFORE the pair self-join (no cartesian, no
+    nested-loop), with the per-source sizes broadcast."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["source_overlap_matrix"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_broadcast_join(df)
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_softdedup_no_window_no_single_partition(spark, sf_dir):
+    """Soft-dedup reweighting is two keyed aggs + one keyed join —
+    no window function, no single-partition exchange anywhere."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["docs_softdedup_weights"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_vocab_coverage_rank_is_range_partitioned(spark, sf_dir):
+    """The vocabulary-coverage rank must be distributed_rank (local
+    row_number per range id), with single-partition exchanges only for
+    the tiny offset relation and the final scalar aggregate."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["corpus_vocab_coverage"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "row_number() windowspecdefinition(_pid" in plan
+    assert plan.count("Exchange SinglePartition") <= 2
