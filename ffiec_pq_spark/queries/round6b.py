@@ -261,3 +261,75 @@ def corpus_vocab_coverage(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_selfjoin_size_audit — pre-join cardinality / skew audit
+# ---------------------------------------------------------------------------
+
+
+def _selfjoin_audit_sql() -> str:
+    cap = "((1::BIGINT << (bucket + 1)) - 1)"
+    return f"""
+    WITH deg AS (
+      SELECT user_id, count(*) AS d FROM events GROUP BY user_id
+    ),
+    b AS (SELECT CAST(floor(log2(d)) AS INT) AS bucket, d FROM deg)
+    SELECT bucket,
+           count(*) AS n_keys,
+           CAST(sum(d) AS BIGINT) AS n_rows,
+           CAST(max(d) AS BIGINT) AS max_d,
+           CAST(sum(d * d) AS BIGINT) AS exact_pairs,
+           CAST(count(*) * {cap} * {cap} AS BIGINT) AS ub_pairs,
+           round(count(*) * {cap} * {cap}
+                 / CAST(sum(d * d) AS DOUBLE), 4) AS overest
+    FROM b GROUP BY bucket
+    """
+
+
+@register(
+    "events_selfjoin_size_audit",
+    _selfjoin_audit_sql(),
+    tags=["skew", "planning"],
+)
+def events_selfjoin_size_audit(spark, sf_dir):
+    """Pre-join cardinality and skew audit: the exact output size of a
+    self-join on ``user_id`` is ``sum(d^2)`` over per-key degrees — the
+    number a planner needs BEFORE committing to a session-stitch or
+    pair-generation join at 100 TB.  Keys are bucketed by
+    ``floor(log2(degree))``; each bucket reports its exact pair count
+    next to the log2-histogram upper bound (``n_keys * (2^(b+1)-1)^2``
+    — what a sketch-only planner would estimate), so the ``overest``
+    column is the price of keeping only the histogram.  A heavy tail
+    bucket (large ``max_d``, pairs concentrated in few keys) is the
+    salting trigger.
+
+    Scale shape: one grouped count on the join key, then one grouped
+    agg on ~60 log buckets — two shuffles, the second on a provably
+    tiny key space.  The audit never materializes a single joined pair.
+    ``2^(b+1)`` via ``pow(2.0, b+1)`` is exact in float64 for every
+    representable degree, matching DuckDB's integer shift."""
+    ev = load_table(spark, sf_dir, "events")
+    deg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+    b = deg.select(
+        F.floor(F.log2("d")).cast("int").alias("bucket"), "d"
+    )
+    stats = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("d").alias("n_rows"),
+        F.max("d").alias("max_d"),
+        F.sum(F.col("d") * F.col("d")).alias("exact_pairs"),
+    )
+    cap = F.pow(F.lit(2.0), F.col("bucket") + 1).cast("long") - 1
+    ub = (F.col("n_keys") * cap * cap).cast("long")
+    return stats.select(
+        "bucket",
+        "n_keys",
+        "n_rows",
+        "max_d",
+        "exact_pairs",
+        ub.alias("ub_pairs"),
+        F.round(ub / F.col("exact_pairs").cast("double"), 4).alias(
+            "overest"
+        ),
+    )

@@ -160,6 +160,7 @@ QUERIES = [
     "source_overlap_matrix",
     "docs_softdedup_weights",
     "corpus_vocab_coverage",
+    "events_selfjoin_size_audit",
 ]
 OFFSET = 10**9
 
