@@ -333,3 +333,233 @@ def events_selfjoin_size_audit(spark, sf_dir):
             "overest"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_dsir_importance — hashed-feature importance reweighting (DSIR)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_SEED = 29
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_sql() -> str:
+    h = hash60_sql("t[i] || ' ' || t[i + 1]", seed=_DSIR_SEED)
+    b = float(_DSIR_B)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source, lang, {h} % {_DSIR_B} AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    dist AS (
+      SELECT b, count(*) AS c_r,
+             sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                      THEN 1 ELSE 0 END) AS c_t
+      FROM bg GROUP BY b
+    ),
+    tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM dist),
+    lr AS (
+      SELECT b,
+             ln((c_t + 1.0) / (n_t + {b}))
+               - ln((c_r + 1.0) / (n_r + {b})) AS logratio
+      FROM dist CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT doc_id, source, round(sum(logratio), 6) AS logw
+      FROM bg JOIN lr USING (b)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(logw), 6) AS avg_logw,
+           CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           round(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS select_rate
+    FROM doc GROUP BY source
+    """
+
+
+def _hashed_bigrams(docs):
+    """(doc_id, source, lang, b): one row per word-bigram occurrence,
+    bucketed by the portable 60-bit hash into ``_DSIR_B`` buckets.
+    Built array-side (zip_with over two slices) — the explode is the
+    only row expansion and it is narrow (no shuffle)."""
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.split(F.trim(F.col("text")), r"\s+").alias("_t"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_t, 1, size(_t) - 1),"
+                    "         slice(_t, 2, size(_t) - 1),"
+                    "         (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("_g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (hash60("_g", seed=_DSIR_SEED) % _DSIR_B).alias("b"),
+        )
+    )
+
+
+@register("docs_dsir_importance", _dsir_sql(), tags=["curation", "sampling"])
+def docs_dsir_importance(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023, public): per-document importance weight under hashed n-gram
+    bag-of-words models of a TARGET domain vs the RAW corpus —
+    ``logw(doc) = sum over its bigram occurrences of
+    ln p_target(bucket) - ln p_raw(bucket)`` with add-1 smoothing over
+    the ``_DSIR_B`` fixed buckets.  Target here = the ``lang = 'en'``
+    slice (stand-in for "looks like the high-quality domain"); docs
+    with ``logw > 0`` are the ones resampling keeps.  Reported as the
+    per-source audit a data lead reviews: mean weight + selection rate.
+
+    Scale shape: one narrow explode to bigram occurrences; the bucket
+    distribution is ONE grouped agg on <= 256 keys (map-side combine
+    collapses every partition to 256 partials); log-ratios attach back
+    via a broadcast join of the 256-row relation; per-doc sums then the
+    source rollup are the only real shuffles (doc_id, then source).
+    No pairwise anything — linear in corpus size, skew-free keys.
+    Per-doc sums are rounded to 6dp on BOTH engines before the > 0
+    gate and the avg, so float summation order cannot flip a decision
+    (repo-wide oracle-portability rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _hashed_bigrams(docs)
+    dist = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(
+            (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+        ).alias("c_t"),
+    )
+    tot = dist.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    B = float(_DSIR_B)
+    lr = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + B))
+            - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + B))
+        ).alias("logratio"),
+    )
+    doc = (
+        bg.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("logratio"), 6).alias("logw"))
+    )
+    kept = (F.col("logw") > 0).cast("long")
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logw"), 6).alias("avg_logw"),
+        F.sum(kept).alias("n_selected"),
+        F.round(F.sum(kept) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "select_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_bigram_kl_drift — per-source distribution drift vs the corpus
+# ---------------------------------------------------------------------------
+
+
+def _kl_sql() -> str:
+    h = hash60_sql("t[i] || ' ' || t[i + 1]", seed=_DSIR_SEED)
+    b = float(_DSIR_B)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT source, {h} % {_DSIR_B} AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    corpus AS (SELECT b, count(*) AS c_r FROM bg GROUP BY b),
+    tot AS (SELECT sum(c_r) AS n_r FROM corpus),
+    per_src AS (SELECT source, b, count(*) AS c_s FROM bg GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c_s) AS n_s FROM per_src GROUP BY 1),
+    grid AS (
+      SELECT s.source, c.b, c.c_r, coalesce(p.c_s, 0) AS c_s
+      FROM stot s CROSS JOIN corpus c
+      LEFT JOIN per_src p ON p.source = s.source AND p.b = c.b
+    )
+    SELECT g.source,
+           CAST(st.n_s AS BIGINT) AS n_bigrams,
+           round(sum(
+             ((g.c_s + 1.0) / (st.n_s + {b}))
+             * (ln((g.c_s + 1.0) / (st.n_s + {b}))
+                - ln((g.c_r + 1.0) / (t.n_r + {b})))
+           ), 6) AS kl_vs_corpus
+    FROM grid g
+    JOIN stot st ON st.source = g.source
+    CROSS JOIN tot t
+    GROUP BY g.source, st.n_s
+    """
+
+
+@register("source_bigram_kl_drift", _kl_sql(), tags=["corpus", "quality"])
+def source_bigram_kl_drift(spark, sf_dir):
+    """Per-source domain-shift audit: KL(p_source || p_corpus) over the
+    same add-1-smoothed hashed-bigram buckets as
+    :func:`docs_dsir_importance`.  A source whose KL spikes is the one
+    whose text stopped looking like the rest of the corpus — the
+    upstream-drift alarm a corpus pipeline checks before a source's
+    next crawl lands in the mixture.
+
+    Scale shape: the corpus-wide and per-source bucket distributions
+    are grouped aggs on <= 256 and <= n_sources x 256 keys (map-side
+    combine does the heavy lifting); the smoothed full-domain grid is a
+    broadcast cross of two provably tiny relations (sources x buckets),
+    never touching row-level data again.  Everything after the explode
+    is sub-linear; the KL itself reduces n_sources x 256 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _hashed_bigrams(docs).select("source", "b")
+    corpus = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tot = corpus.agg(F.sum("c_r").alias("n_r"))
+    per_src = bg.groupBy("source", "b").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    stot = per_src.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    grid = (
+        stot.crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(per_src), ["source", "b"], "left")
+        .select(
+            "source",
+            "n_s",
+            "b",
+            "c_r",
+            F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+        )
+    )
+    B = float(_DSIR_B)
+    p_s = (F.col("c_s") + 1.0) / (F.col("n_s") + B)
+    p_r = (F.col("c_r") + 1.0) / (F.col("n_r") + B)
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_bigrams"),
+            F.round(F.sum(p_s * (F.log(p_s) - F.log(p_r))), 6).alias(
+                "kl_vs_corpus"
+            ),
+        )
+    )

@@ -161,6 +161,8 @@ QUERIES = [
     "docs_softdedup_weights",
     "corpus_vocab_coverage",
     "events_selfjoin_size_audit",
+    "docs_dsir_importance",
+    "source_bigram_kl_drift",
 ]
 OFFSET = 10**9
 
