@@ -50,11 +50,11 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # Round-6 certification rotation (same policy as rounds 1-5): external
 # certification tooling samples the registry in insertion order, so the
 # queries with the FEWEST recorded certification rows go first.  The
-# head is the 23 round-6 additions (17 in queries/round6.py plus the
-# 6-query second wave in queries/round6b.py, never sampled by
+# head is the 24 round-6 additions (17 in queries/round6.py plus the
+# 7-query second wave in queries/round6b.py, never sampled by
 # definition); the 33 round-4 names that each carry exactly one driver
 # row (their round-5 certification) follow, so a 50-query window takes
-# all 23 zero-row names plus 27 of the one-row block.  Everything else
+# all 24 zero-row names plus 26 of the one-row block.  Everything else
 # keeps
 # its module-rotation order from _load_all.  _ordered() raises if any
 # name here is missing from the registry, so this list can never again
@@ -85,6 +85,7 @@ _NEVER_SAMPLED_FIRST = [
     "events_selfjoin_size_audit",
     "docs_dsir_importance",
     "source_bigram_kl_drift",
+    "customer_k_anonymity",
     # --- round-4 additions, one certification row each (round 5) ---
     "basket_part_pairs",
     "benford_first_digit",

@@ -563,3 +563,80 @@ def source_bigram_kl_drift(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_k_anonymity — generalization-ladder re-identification audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # classes smaller than this are "at risk"
+
+
+def _kanon_sql() -> str:
+    return f"""
+    WITH classes AS (
+      SELECT grouping(c_nationkey) + grouping(c_mktsegment)
+               + grouping(band) AS lvl,
+             count(*) AS g
+      FROM (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS INT) AS band
+        FROM customer
+      )
+      GROUP BY ROLLUP (c_nationkey, c_mktsegment, band)
+    )
+    SELECT lvl AS level,
+           count(*) AS n_classes,
+           CAST(min(g) AS BIGINT) AS k_anonymity,
+           CAST(sum(CASE WHEN g < {_KANON_K} THEN g ELSE 0 END) AS BIGINT)
+             AS n_at_risk,
+           round(sum(CASE WHEN g < {_KANON_K} THEN g ELSE 0 END)
+                 / CAST(sum(g) AS DOUBLE), 6) AS risk_rate
+    FROM classes
+    WHERE lvl <= 2
+    GROUP BY lvl
+    """
+
+
+@register("customer_k_anonymity", _kanon_sql(), tags=["privacy", "audit"])
+def customer_k_anonymity(spark, sf_dir):
+    """Re-identification audit before a data release: k-anonymity of
+    the quasi-identifier tuple (nation, market segment, account-balance
+    band) at each rung of the generalization ladder — level 0 keeps all
+    three QIs, level 1 drops the balance band, level 2 keeps nation
+    only.  Per level: equivalence-class count, the k-anonymity value
+    (smallest class), and how many people sit in classes smaller than
+    ``_KANON_K`` (the rows an attacker can pin down).  The audit answers
+    "how much must we generalize before release" in one query.
+
+    Scale shape: ONE rollup aggregation computes every ladder rung in a
+    single shuffle (Spark expands the grouping sets map-side, partial
+    aggregation collapses each partition to the class space before the
+    exchange); the per-level reduction then runs on the tiny class
+    relation.  No self-joins, no windows — this is the cheapest shape
+    that yields all levels, and it beats three separate scans 3:1 on
+    I/O at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("band"),
+    )
+    classes = (
+        cust.rollup("c_nationkey", "c_mktsegment", "band")
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            (
+                F.grouping("c_nationkey")
+                + F.grouping("c_mktsegment")
+                + F.grouping("band")
+            ).alias("lvl"),
+        )
+        .filter(F.col("lvl") <= 2)
+    )
+    at_risk = F.sum(F.when(F.col("g") < _KANON_K, F.col("g")).otherwise(0))
+    return classes.groupBy(F.col("lvl").alias("level")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("g").alias("k_anonymity"),
+        at_risk.alias("n_at_risk"),
+        F.round(at_risk / F.sum("g").cast("double"), 6).alias("risk_rate"),
+    )

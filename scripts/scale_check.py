@@ -163,6 +163,7 @@ QUERIES = [
     "events_selfjoin_size_audit",
     "docs_dsir_importance",
     "source_bigram_kl_drift",
+    "customer_k_anonymity",
 ]
 OFFSET = 10**9
 

@@ -372,3 +372,48 @@ def test_vocab_coverage_rank_is_range_partitioned(spark, sf_dir):
     plan = physical_plan(df)
     assert "row_number() windowspecdefinition(_pid" in plan
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_dsir_bucket_relation_broadcasts(spark, sf_dir):
+    """DSIR importance: the 256-bucket log-ratio relation must attach
+    to the bigram stream via a BROADCAST join (never a shuffled join on
+    the bucket key — 256 keys over billions of rows is pure skew), with
+    no cartesian and the only single-partition exchange the one-row
+    totals aggregate."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["docs_dsir_importance"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_kl_drift_grid_stays_tiny(spark, sf_dir):
+    """Per-source KL drift: after the bucket aggregations the smoothed
+    source x bucket grid is built from broadcast tiny relations — no
+    cartesian product, no window, single-partition exchange only for
+    the one-row corpus total."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["source_bigram_kl_drift"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_k_anonymity_single_rollup_pass(spark, sf_dir):
+    """The k-anonymity ladder must come from ONE rollup aggregation
+    (Expand + partial agg before the exchange), never three separate
+    scans — and nothing in the plan is a window or cartesian."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["customer_k_anonymity"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
