@@ -164,6 +164,13 @@ QUERIES = [
     "docs_dsir_importance",
     "source_bigram_kl_drift",
     "customer_k_anonymity",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
 ]
 OFFSET = 10**9
 

@@ -417,3 +417,67 @@ def test_k_anonymity_single_rollup_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    """Q6 is the pushdown benchmark: date/discount/quantity predicates
+    must appear as PushedFilters on the parquet scan, and the plan is
+    join-free."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["q6_forecast_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_discount)" in plan or "GreaterThan" in plan
+    assert "Join" not in plan
+
+
+def test_q4_exists_decorrelates_to_grouped_max(spark, sf_dir):
+    """Q4's EXISTS must run as the aggregate-decorrelation rewrite: a
+    partial-aggregated grouped max on the order key (map-side combine
+    BEFORE the exchange — never a fact-sized semi-join hash build),
+    then one keyed join; the ship-date envelope reaches the scan."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["q4_order_priority"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "partial_max" in plan or "partial max" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_q17_threshold_join_pruned_and_broadcast(spark, sf_dir):
+    """Q17's correlated threshold must decorrelate into a grouped avg
+    joined back (broadcast — the brand/size prune makes it tiny), with
+    the part prune applied BEFORE the fact join (semi)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["q17_small_quantity"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_no_cartesian_scan_pruned(spark, sf_dir):
+    """Q19's join-spanning disjunction must still be a keyed hash join
+    (part side broadcast) with the envelope predicates pushed to both
+    scans — never a cartesian with a post-filter."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["q19_disjunctive_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_broadcast_join(df)
+    assert "PushedFilters: [" in plan
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    """Q10's top-20 must be TakeOrderedAndProject (heap per partition +
+    driver merge), never a global sort."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["q10_returned_items"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
