@@ -164,13 +164,12 @@ QUERIES = [
     "docs_dsir_importance",
     "source_bigram_kl_drift",
     "customer_k_anonymity",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity",
-    "q19_disjunctive_revenue",
+    "q4_late_shipment_exists",
+    "q10_returned_revenue_topk",
+    "q12_priority_by_shipyear",
+    "q19_disjunctive_pushdown",
 ]
 OFFSET = 10**9
 
@@ -208,6 +207,12 @@ NOTES = {
     "q21_waiting_supplier": (
         "two corpus-wide distinct aggregations over 8x lineitem — "
         "strictly linear work, partially absorbed by idle cores at 1x"
+    ),
+    "q12_priority_by_shipyear": (
+        "unfiltered fact-fact join on the order key (the Q12 shape has "
+        "no selective predicate): shuffle volume is strictly linear in "
+        "both inputs, partially absorbed by cores idle at 1x; columns "
+        "are pruned to the 5 the query reads"
     ),
     "docs_minhash_containment": (
         "output-driven: the 8-way duplicate replica makes every "

@@ -439,7 +439,7 @@ def test_q4_exists_decorrelates_to_grouped_max(spark, sf_dir):
     then one keyed join; the ship-date envelope reaches the scan."""
     from ffiec_pq_spark.plans.audit import physical_plan
 
-    df = queries()["q4_order_priority"](spark, sf_dir)
+    df = queries()["q4_late_shipment_exists"](spark, sf_dir)
     plan = physical_plan(df)
     assert "partial_max" in plan or "partial max" in plan.lower()
     assert "CartesianProduct" not in plan
@@ -461,11 +461,11 @@ def test_q17_threshold_join_pruned_and_broadcast(spark, sf_dir):
 
 def test_q19_disjunction_no_cartesian_scan_pruned(spark, sf_dir):
     """Q19's join-spanning disjunction must still be a keyed hash join
-    (part side broadcast) with the envelope predicates pushed to both
-    scans — never a cartesian with a post-filter."""
+    (part side broadcast) with Catalyst's derived part-side disjunction
+    pushed below the join — never a cartesian with a post-filter."""
     from ffiec_pq_spark.plans.audit import physical_plan
 
-    df = queries()["q19_disjunctive_revenue"](spark, sf_dir)
+    df = queries()["q19_disjunctive_pushdown"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -478,6 +478,6 @@ def test_q10_top20_is_take_ordered(spark, sf_dir):
     driver merge), never a global sort."""
     from ffiec_pq_spark.plans.audit import physical_plan
 
-    df = queries()["q10_returned_items"](spark, sf_dir)
+    df = queries()["q10_returned_revenue_topk"](spark, sf_dir)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
