@@ -57,6 +57,19 @@ NOTES = {
     "multimodal_phash_pairs": "same banding plumbing over the byte-sampled average-hash; raw-byte duplicate collapse",
     "events_rolling_dau": "bounded window-day explode (<=7 rows per activity day) + one distinct count — no day x activity BETWEEN join",
     "orders_open_backlog": "sweep-line: +1/-1 deltas, running sum over the DAILY table (orders of magnitude below the fact)",
+    # round 6
+    "events_asof_join_rates": "union-interleave as-of join against the rates table: one keyed exchange + ignore-nulls carry — no range explosion",
+    "docs_minhash_containment": "bottom-k probe join keyed on the shingle hash (df-capped); containment from signature intersection — no all-pairs",
+    "dedup_lsh_cosine_buckets": "sign-random-projection band equi-join on (band, signature) + exact verify on candidates only",
+    "orders_rfm_segments": "approx-free exact quartiles from a percentile AGGREGATE broadcast back — zero ntile windows, zero single-partition exchanges",
+    "corpus_zipf_slope": "distributed rank: range exchange + partition-local row_number + tiny offset join — no global window",
+    "customer_k_anonymity": "ONE rollup Expand + one exchange yields every generalization rung; per-level reduce runs on the tiny class relation",
+    "docs_dsir_importance": "bucket distribution = one <=256-key agg; log-ratios broadcast back onto the bigram stream; per-doc and per-source rollups are the only data-sized exchanges",
+    "source_bigram_kl_drift": "corpus and per-source bucket aggs (map-side combined) -> broadcast grid of sources x 256 buckets; KL reduces the grid",
+    "events_selfjoin_size_audit": "exact self-join output size sum(d^2) per log2-degree bucket: two grouped aggs, zero joined pairs materialized",
+    "q4_late_shipment_exists": "EXISTS via aggregate decorrelation: grouped max(ship) per order (map-side combined, envelope pushed to scan) + one keyed join — no fact-sized semi-join build",
+    "q15_top_supplier": "grouped revenue on the supplier key; rounded argmax broadcast back as a one-row cross; supplier enrich broadcast",
+    "q17_small_quantity": "correlated threshold decorrelated: brand/size-pruned parts semi-filter the fact BEFORE the per-part avg; threshold joins back broadcast",
 }
 
 
