@@ -640,3 +640,78 @@ def customer_k_anonymity(spark, sf_dir):
         at_risk.alias("n_at_risk"),
         F.round(at_risk / F.sum("g").cast("double"), 6).alias("risk_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_sampling_temperature — exponential-smoothing mixture weights
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHAS = (0.3, 0.7)
+
+
+def _temperature_sql() -> str:
+    tok = r"len(string_split_regex(trim(text), '\s+'))"
+    a1, a2 = _TEMP_ALPHAS
+    return f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum({tok}) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_tok) AS n,
+             sum(pow(n_tok, {a1})) AS z1,
+             sum(pow(n_tok, {a2})) AS z2
+      FROM per_src
+    )
+    SELECT source, n_tok,
+           round(n_tok / CAST(n AS DOUBLE), 6) AS p_raw,
+           round(pow(n_tok, {a1}) / z1, 6) AS q_a03,
+           round(pow(n_tok, {a2}) / z2, 6) AS q_a07,
+           round((pow(n_tok, {a1}) / z1) / (n_tok / CAST(n AS DOUBLE)), 4)
+             AS boost_a03
+    FROM per_src CROSS JOIN tot
+    """
+
+
+@register(
+    "corpus_sampling_temperature",
+    _temperature_sql(),
+    tags=["corpus", "sampling"],
+)
+def corpus_sampling_temperature(spark, sf_dir):
+    """Temperature-smoothed mixture weights: the multilingual-LM
+    sampling rule (XLM-R / mBERT style) ``q_s(alpha) proportional to
+    p_s^alpha`` that lifts low-resource sources without flattening the
+    mixture — reported per source as the raw token share, the smoothed
+    weight at alpha 0.3 and 0.7, and the resulting up/down-sampling
+    boost at the aggressive setting.  This is the number that decides
+    how many epochs each source runs in the next pretraining mix.
+
+    Scale shape: per-source token counts are one grouped sum with
+    map-side partials (token counting is a JVM expression, no explode);
+    the normalizers reduce the ~|sources| relation to one broadcast row;
+    the weight math is a narrow projection.  Nothing here grows faster
+    than the scan."""
+    from ffiec_pq_spark.operators.text import token_count
+
+    a1, a2 = _TEMP_ALPHAS
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tok")
+    )
+    tot = per_src.agg(
+        F.sum("n_tok").alias("n"),
+        F.sum(F.pow("n_tok", F.lit(a1))).alias("z1"),
+        F.sum(F.pow("n_tok", F.lit(a2))).alias("z2"),
+    )
+    p = F.col("n_tok") / F.col("n").cast("double")
+    q1 = F.pow("n_tok", F.lit(a1)) / F.col("z1")
+    q2 = F.pow("n_tok", F.lit(a2)) / F.col("z2")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        F.round(p, 6).alias("p_raw"),
+        F.round(q1, 6).alias("q_a03"),
+        F.round(q2, 6).alias("q_a07"),
+        F.round(q1 / p, 4).alias("boost_a03"),
+    )

@@ -170,6 +170,8 @@ QUERIES = [
     "q10_returned_revenue_topk",
     "q12_priority_by_shipyear",
     "q19_disjunctive_pushdown",
+    "corpus_sampling_temperature",
+    "hard_negative_mining",
 ]
 OFFSET = 10**9
 
