@@ -50,12 +50,12 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # Round-6 certification rotation (same policy as rounds 1-5): external
 # certification tooling samples the registry in insertion order, so the
 # queries with the FEWEST recorded certification rows go first.  The
-# head is the 28 round-6 additions (17 in queries/round6.py, the
+# head is the 30 round-6 additions (17 in queries/round6.py, the
 # 7-query second wave in queries/round6b.py, and the Q15/Q17 TPC-H
 # completions in queries/tpch_fill.py, never sampled by definition);
 # the 33 round-4 names that each carry exactly one driver row (their
-# round-5 certification) follow, so a 50-query window takes all 28
-# zero-row names plus 22 of the one-row block.  Everything else
+# round-5 certification) follow, so a 50-query window takes all 30
+# zero-row names plus 20 of the one-row block.  Everything else
 # keeps
 # its module-rotation order from _load_all.  _ordered() raises if any
 # name here is missing from the registry, so this list can never again
@@ -92,6 +92,8 @@ _NEVER_SAMPLED_FIRST = [
     "q17_small_quantity",
     "corpus_sampling_temperature",
     "hard_negative_mining",
+    "dedup_roi_curve",
+    "quality_threshold_sweep",
     # --- round-4 additions, one certification row each (round 5) ---
     "basket_part_pairs",
     "benford_first_digit",

@@ -696,3 +696,96 @@ def dedup_ensemble_consensus(spark, sf_dir):
             F.sum(F.col("hamming") * hw) / F.sum(hw), 4
         ).alias("avg_hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_roi_curve — how aggressive should dedup be?
+# ---------------------------------------------------------------------------
+
+_ROI_THRESHOLDS = (0.2, 0.4, 0.6, 0.8, 1.0)
+
+
+def _roi_sql() -> str:
+    tok = r"len(string_split_regex(trim(text), '\s+'))"
+    thr_list = ", ".join(str(t) for t in _ROI_THRESHOLDS)
+    return f"""
+    WITH {_SHINGLE_CTE},
+    {_SIZES_CTE},
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {_JACCARD_MAX_DF}
+    ),
+    shc AS (SELECT s.* FROM sh s JOIN keep k USING (shingle)),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(n_common / (sa.set_size + sb.set_size - n_common), 6)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / (sa.set_size + sb.set_size - n_common)
+            >= {_THRESHOLD}
+    ),
+    t AS (SELECT unnest([{thr_list}]) AS thr),
+    ladder AS (
+      SELECT t.thr, p.id_b FROM pairs p CROSS JOIN t
+      WHERE p.jaccard >= t.thr
+    ),
+    pc AS (SELECT thr, count(*) AS n_pairs FROM ladder GROUP BY thr),
+    dropped AS (SELECT DISTINCT thr, id_b FROM ladder),
+    tok AS (SELECT doc_id, {tok} AS n_tok FROM documents)
+    SELECT pc.thr, pc.n_pairs,
+           count(*) AS n_docs_dropped,
+           CAST(sum(tk.n_tok) AS BIGINT) AS tokens_dropped
+    FROM pc
+    JOIN dropped d ON d.thr = pc.thr
+    JOIN tok tk ON tk.doc_id = d.id_b
+    GROUP BY pc.thr, pc.n_pairs
+    """
+
+
+@register("dedup_roi_curve", _roi_sql(), tags=["dedup", "planning"])
+def dedup_roi_curve(spark, sf_dir):
+    """Dedup aggressiveness curve: at each Jaccard threshold rung, how
+    many pairs fire, how many documents the greedy drop-the-larger-id
+    rule removes, and how many tokens that saves — the
+    cost/contamination trade-off a data lead reads before picking the
+    production threshold (too low deletes paraphrases, too high keeps
+    templates).
+
+    Scale shape: the pair relation is the SAME df-capped,
+    exact-duplicate-collapsed n-gram Jaccard join as
+    ``dedup_ngram_jaccard`` (quadratic work bounded to distinct
+    content within cap); the ladder is a 5-way explode of the PAIR
+    relation (orders of magnitude below the corpus), and every rollup
+    groups on <= 5 threshold keys.  Token costs join back on the
+    dropped-doc id only."""
+    from ffiec_pq_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, k=_K, threshold=_THRESHOLD, max_shingle_df=_JACCARD_MAX_DF
+    )
+    lad = (
+        pairs.select("id_b", "jaccard")
+        .withColumn(
+            "thr",
+            F.explode(F.array(*[F.lit(t) for t in _ROI_THRESHOLDS])),
+        )
+        .filter(F.col("jaccard") >= F.col("thr"))
+    )
+    pc = lad.groupBy("thr").agg(F.count(F.lit(1)).alias("n_pairs"))
+    dropped = lad.select("thr", "id_b").distinct()
+    tok = docs.select(
+        F.col("doc_id").alias("id_b"), token_count("text").alias("n_tok")
+    )
+    dc = dropped.join(tok, "id_b").groupBy("thr").agg(
+        F.count(F.lit(1)).alias("n_docs_dropped"),
+        F.sum("n_tok").alias("tokens_dropped"),
+    )
+    return pc.join(dc, "thr")

@@ -715,3 +715,99 @@ def corpus_sampling_temperature(spark, sf_dir):
         F.round(q2, 6).alias("q_a07"),
         F.round(q1 / p, 4).alias("boost_a03"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_threshold_sweep — calibration curve for the quality gate
+# ---------------------------------------------------------------------------
+
+_QT_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+_QT_TARGET_LANG = "en"
+
+
+def _qsweep_sql() -> str:
+    from ffiec_pq_spark.operators.text import STOPWORDS
+
+    tok = r"string_split_regex(trim(text), '\s+')"
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    quality = f"""round(greatest(least(
+             0.5 * least(len({tok}) / 50.0, 1.0)
+             + 0.5 * least(5.0 * len(list_intersect({tok}, [{stops}]))
+                           / greatest(len({tok}), 1), 1.0)
+             - 0.2 * least(len(regexp_extract_all(text, '[.,;:!?]'))
+                           / greatest(CAST(len({tok}) AS DOUBLE), 1.0), 1.0),
+             1.0), 0.0), 6)"""
+    thr_list = ", ".join(str(t) for t in _QT_THRESHOLDS)
+    return f"""
+    WITH scored AS (
+      SELECT lang, len({tok}) AS n_tok, {quality} AS quality
+      FROM documents
+    ),
+    t AS (SELECT unnest([{thr_list}]) AS thr)
+    SELECT thr,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+           CAST(sum(CASE WHEN quality >= thr THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CASE WHEN sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE round(
+                  sum(CASE WHEN quality >= thr
+                            AND lang = '{_QT_TARGET_LANG}'
+                           THEN 1 ELSE 0 END)
+                  / CAST(sum(CASE WHEN quality >= thr
+                                  THEN 1 ELSE 0 END) AS DOUBLE), 6)
+           END AS target_lang_precision
+    FROM scored CROSS JOIN t
+    GROUP BY thr
+    """
+
+
+@register(
+    "quality_threshold_sweep", _qsweep_sql(), tags=["text", "curation"]
+)
+def quality_threshold_sweep(spark, sf_dir):
+    """Calibration curve for the quality gate: at each candidate
+    threshold, the keep rate, the surviving token budget, and the
+    share of kept docs in the target language (the proxy-precision a
+    data lead uses to pick the production cutoff — the elbow where
+    precision stops improving but tokens keep falling).  Same fixed
+    quality formula as ``quality_composite_filter``, so the sweep IS
+    that gate's tuning view.
+
+    Scale shape: one scan computes the score once; the 6-rung ladder
+    is a cross join against a 6-row literal relation (cheaper than 6
+    passes, and every rung aggregates map-side into <= 6 groups).
+    Nothing grows with the corpus but the single scan."""
+    from ffiec_pq_spark.operators.text import quality_score_tok, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.size(tokens("text")).alias("n_tok"),
+        quality_score_tok(tokens("text"), "text").alias("quality"),
+    )
+    lad = scored.withColumn(
+        "thr", F.explode(F.array(*[F.lit(t) for t in _QT_THRESHOLDS]))
+    )
+    kept = (F.col("quality") >= F.col("thr")).cast("long")
+    kept_en = (
+        (F.col("quality") >= F.col("thr"))
+        & (F.col("lang") == _QT_TARGET_LANG)
+    ).cast("long")
+    return lad.groupBy("thr").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).alias("n_kept"),
+        F.round(F.sum(kept) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "keep_rate"
+        ),
+        F.sum(F.col("n_tok") * kept).alias("tokens_kept"),
+        F.when(F.sum(kept) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.sum(kept_en) / F.sum(kept).cast("double"), 6)
+        )
+        .alias("target_lang_precision"),
+    )

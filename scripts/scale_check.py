@@ -172,6 +172,8 @@ QUERIES = [
     "q19_disjunctive_pushdown",
     "corpus_sampling_temperature",
     "hard_negative_mining",
+    "dedup_roi_curve",
+    "quality_threshold_sweep",
 ]
 OFFSET = 10**9
 
