@@ -50,12 +50,13 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # Round-6 certification rotation (same policy as rounds 1-5): external
 # certification tooling samples the registry in insertion order, so the
 # queries with the FEWEST recorded certification rows go first.  The
-# head is the 30 round-6 additions (17 in queries/round6.py, the
-# 7-query second wave in queries/round6b.py, and the Q15/Q17 TPC-H
-# completions in queries/tpch_fill.py, never sampled by definition);
-# the 33 round-4 names that each carry exactly one driver row (their
-# round-5 certification) follow, so a 50-query window takes all 30
-# zero-row names plus 20 of the one-row block.  Everything else
+# head is the 30 round-6 additions (17 in queries/round6.py; 9 in
+# queries/round6b.py; Q15/Q17 in queries/tpch_fill.py; hard-negative
+# mining in queries/similarity.py; the dedup ROI curve in
+# queries/dedup.py — all never sampled by definition); the 33 round-4
+# names that each carry exactly one driver row (their round-5
+# certification) follow, so a 50-query window takes all 30 zero-row
+# names plus 20 of the one-row block.  Everything else
 # keeps
 # its module-rotation order from _load_all.  _ordered() raises if any
 # name here is missing from the registry, so this list can never again
