@@ -373,7 +373,10 @@ def knn_exact_topk(
     Plan-size bound: up to ``max_union_tiles`` tile branches are unioned
     into one lazy plan (the common case — a bounded probe slice).
     BEYOND that, each tile runs as its OWN job whose candidates are
-    appended to ``spill_dir`` (a temp dir by default) and the result is
+    appended to a FRESH unique subdir of ``spill_dir`` (a driver-local
+    temp dir by default — on a multi-node cluster pass a SHARED
+    filesystem URI, e.g. an object-store path, or executor task commits
+    land on disks the driver-side read cannot see) and the result is
     the parquet scan of the spill — so plan size, driver memory, and
     per-tile cost stay FLAT in the number of tiles instead of growing a
     union branch + resident broadcast per tile.  ``tile_size`` is the
@@ -448,8 +451,17 @@ def knn_exact_topk(
             # (max_union_tiles + 1)-th tile: switch to job-per-tile —
             # flush the accumulated lazy branches, then stream the rest
             import tempfile
+            import uuid
 
-            spill_path = spill_dir or tempfile.mkdtemp(prefix="knn_tiles_")
+            # a FRESH unique subdir per invocation: appending into a
+            # caller-supplied dir directly would merge a previous
+            # call's candidate files into this result
+            if spill_dir is not None:
+                spill_path = spill_dir.rstrip("/") + (
+                    "/knn_tiles_" + uuid.uuid4().hex
+                )
+            else:
+                spill_path = tempfile.mkdtemp(prefix="knn_tiles_")
             for buffered_df, buffered_bc in tiles:
                 _spill(buffered_df, buffered_bc)
             tiles = []

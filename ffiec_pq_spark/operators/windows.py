@@ -195,8 +195,20 @@ def distributed_rank(
         *part_cols,
         F.coalesce(F.sum("_sz").over(wo), F.lit(0)).alias("_off"),
     )
+    # null-SAFE equi-join on the partition key: a window's PARTITION BY
+    # treats NULL as its own group, so a plain join (NULL != NULL)
+    # would silently drop every row of a NULL-keyed group
+    off = offsets
+    renames = {c: f"_o_{c}" for c in part_cols}
+    for c, rc in renames.items():
+        off = off.withColumnRenamed(c, rc)
+    cond = local["_pid"] == off["_pid"]
+    for c, rc in renames.items():
+        cond = cond & local[c].eqNullSafe(off[rc])
     return (
-        local.join(F.broadcast(offsets), ["_pid", *part_cols])
+        local.join(F.broadcast(off), cond)
+        .drop(off["_pid"])
+        .drop(*renames.values())
         .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
         .drop("_pid", "_lrn", "_off")
     )

@@ -1340,6 +1340,7 @@ def _stop_entropy_sql() -> str:
         SELECT doc_id, ch, count(*) AS c
         FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
               FROM documents)
+        WHERE ch <> ''
         GROUP BY 1, 2
       ) GROUP BY doc_id
     ),

@@ -99,3 +99,96 @@ def test_selfjoin_audit_conserves_rows_and_bounds_pairs(spark, sf_dir):
         # the histogram bound must actually bound (cap >= max degree in
         # the bucket), and pairs >= keys (each key contributes >= 1)
         assert r["ub_pairs"] >= r["exact_pairs"] >= r["n_keys"]
+
+
+def test_distributed_rank_keeps_null_partition_groups(spark, sf_dir):
+    """PARTITION BY treats NULL as a real group; the offset join must be
+    null-safe or the whole NULL-keyed group silently disappears."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.windows import distributed_rank
+
+    df = spark.createDataFrame(
+        [(None, 3, 1), (None, 1, 2), ("a", 2, 3), ("a", 5, 4), (None, 2, 5)],
+        "grp string, v int, id int",
+    )
+    got = {
+        (r["grp"], r["id"]): r["r"]
+        for r in distributed_rank(
+            df, ["v", "id"], part_cols=["grp"], n_ranges=4
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want = {
+        (r["grp"], r["id"]): r["r"]
+        for r in df.withColumn("r", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_stopword_entropy_drops_empty_docs_on_both_engines(spark):
+    """An empty-text document must be excluded from the per-lang
+    profile identically on both engines (Spark's char filter removes
+    the '' element; the oracle mirrors it with ch <> '')."""
+    import tempfile
+
+    import duckdb as ddb
+    import pandas as pd
+
+    from ffiec_pq_spark.catalog import oracles, queries
+    from tests.oracle_compare import compare
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the quick brown fox the", "", "a b the c of"],
+            "lang": ["en", "en", "de"],
+            "source": ["s1", "s1", "s2"],
+            "n_chars": [23, 0, 12],
+        }
+    )
+    d = tempfile.mkdtemp(prefix="entropy_edge_")
+    con = ddb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM pdf) TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    sdf = queries()["docs_stopword_entropy_lang"](spark, d)
+    rel = con.sql(oracles()["docs_stopword_entropy_lang"])
+    problems = compare(sdf, rel)
+    con.close()
+    assert not problems, problems
+    # and the empty doc is really gone: en counts only the non-empty doc
+    en = {r["lang"]: r["n_docs"] for r in sdf.collect()}
+    assert en == {"en": 1, "de": 1}
+
+
+def test_knn_spill_dir_reuse_is_isolated(spark):
+    """Two knn_exact_topk calls sharing one spill_dir must not see each
+    other's candidate files (each call spills into a fresh subdir)."""
+    import tempfile
+
+    from ffiec_pq_spark.operators.similarity import knn_exact_topk
+
+    base = tempfile.mkdtemp(prefix="knn_spill_base_")
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(20)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    probes_a = corpus.filter(F.col("vec_id") < 4)
+    probes_b = corpus.filter(F.col("vec_id") >= 16)
+    # tiny tile budget forces BOTH calls down the spill path
+    a = knn_exact_topk(
+        corpus, probes_a, k=1, tile_size=1, max_union_tiles=0,
+        spill_dir=base,
+    )
+    a_qids = {r["q_id"] for r in a.collect()}
+    b = knn_exact_topk(
+        corpus, probes_b, k=1, tile_size=1, max_union_tiles=0,
+        spill_dir=base,
+    )
+    b_qids = {r["q_id"] for r in b.collect()}
+    assert a_qids == {0, 1, 2, 3}
+    assert b_qids == {16, 17, 18, 19}  # no bleed-through from call A
