@@ -552,6 +552,7 @@ def connected_components(
         .cache()
     )
     converged = False
+    prev_ckpt = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -576,7 +577,24 @@ def connected_components(
         # the round's single full compute; also truncates lineage
         proposed = proposed.localCheckpoint(eager=True)
         changed = proposed.agg(F.sum("_chg")).first()[0]
-        labels.unpersist()
+        # free the PREVIOUS round's storage now that this round is
+        # materialized: round 1 drops the cached seed labels; later
+        # rounds must release the prior checkpoint's RDD blocks
+        # explicitly (unpersist() on a frame DERIVED from a checkpoint
+        # is a no-op — the blocks belong to the checkpointed RDD, and
+        # leaving them to GC stacks O(rounds) label-set copies on the
+        # executors).  Order matters: lineage is truncated, so blocks
+        # may only be freed once nothing will read them again.
+        if prev_ckpt is None:
+            labels.unpersist()
+        else:
+            # the persisted blocks belong to the LogicalRDD behind the
+            # checkpointed frame (toRdd() would build a fresh pipeline
+            # RDD that holds no storage)
+            prev_ckpt._jdf.queryExecution().analyzed().rdd().unpersist(
+                False
+            )
+        prev_ckpt = proposed
         labels = proposed.drop("_chg")
         if not changed:
             converged = True

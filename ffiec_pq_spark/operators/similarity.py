@@ -373,7 +373,12 @@ def knn_exact_topk(
     Plan-size bound: up to ``max_union_tiles`` tile branches are unioned
     into one lazy plan (the common case — a bounded probe slice).
     BEYOND that, each tile runs as its OWN job whose candidates are
-    appended to a FRESH unique subdir of ``spill_dir`` (a driver-local
+    NOTE the execution contract beyond the union budget: once the
+    probe count exceeds ``max_union_tiles x tile_size`` the builder
+    RUNS each tile as its own job at construction time (the spill IS
+    the action) — callers that only want the plan (explain/dump
+    tooling) should keep probes within the union budget.  Candidates
+    are appended to a FRESH unique subdir of ``spill_dir`` (a driver-local
     temp dir by default — on a multi-node cluster pass a SHARED
     filesystem URI, e.g. an object-store path, or executor task commits
     land on disks the driver-side read cannot see) and the result is

@@ -119,6 +119,22 @@ def quality_score_tok(tok_col: Column, text_col: Column | str) -> Column:
     )
 
 
+def quality_score_sql(text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`quality_score` — THE single source of
+    the oracle-side formula (quality_composite_filter and
+    quality_threshold_sweep both embed this string, so the gate and its
+    tuning sweep can never drift apart)."""
+    tok = f"string_split_regex(trim({text_col}), '\\s+')"
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""round(greatest(least(
+             0.5 * least(len({tok}) / 50.0, 1.0)
+             + 0.5 * least(5.0 * len(list_intersect({tok}, [{stops}]))
+                           / greatest(len({tok}), 1), 1.0)
+             - 0.2 * least(len(regexp_extract_all({text_col}, '[.,;:!?]'))
+                           / greatest(CAST(len({tok}) AS DOUBLE), 1.0), 1.0),
+             1.0), 0.0), 6)"""
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Content fingerprint: md5 of normalized text."""
     return F.md5(normalize_text(col))

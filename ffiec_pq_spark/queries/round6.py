@@ -73,45 +73,34 @@ def events_asof_join_rates(spark, sf_dir):
     a 100 TB fact stream as long as the key has cardinality (salt the
     key with a date bucket if a single key dominates).
 
-    Events sort before (role 0) same-day rates (role 1), so the carried
-    rate is strictly from an earlier day — a point-in-time-correct
-    feature with no label leakage.  First-day events have no prior rate
-    and are dropped by the IS NOT NULL gate on both engines."""
+    Implemented on the shared :func:`operators.windows.asof_join`
+    operator (``strict=True``): same-day rates sort after events, so
+    the carried rate is strictly from an earlier day — a
+    point-in-time-correct feature with no label leakage.  First-day
+    events have no prior rate and are dropped by the IS NOT NULL gate
+    on both engines."""
+    from ffiec_pq_spark.operators.windows import asof_join
+
     ev = load_table(spark, sf_dir, "events")
     d = F.to_date("ts")
     rates = ev.groupBy("event_type", d.alias("d")).agg(
         F.avg("value").alias("rate")
     )
-    ev_rows = ev.select(
-        "event_type",
-        d.alias("d"),
-        F.lit(0).alias("role"),
-        "event_id",
-        "value",
-        F.lit(None).cast("double").alias("rate"),
-    )
-    rate_rows = rates.select(
-        "event_type",
-        "d",
-        F.lit(1).alias("role"),
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
-        "rate",
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("d", "role", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    asof = ev_rows.unionByName(rate_rows).withColumn(
-        "asof_rate", F.last("rate", ignorenulls=True).over(w)
+    joined = asof_join(
+        ev.select("event_type", d.alias("d"), "event_id", "value"),
+        rates,
+        key="event_type",
+        left_ts="d",
+        right_ts="d",
+        right_vals=["rate"],
+        strict=True,  # same-day rates excluded: strictly prior-day carry
     )
     return (
-        asof.filter((F.col("role") == 0) & F.col("asof_rate").isNotNull())
+        joined.filter(F.col("rate").isNotNull())
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg(F.col("value") - F.col("asof_rate")), 6).alias(
+            F.round(F.avg(F.col("value") - F.col("rate")), 6).alias(
                 "avg_resid"
             ),
         )
@@ -925,17 +914,10 @@ _QF_MAX_TOK = 1000
 
 
 def _quality_filter_sql() -> str:
-    from ffiec_pq_spark.operators.text import STOPWORDS
+    from ffiec_pq_spark.operators.text import quality_score_sql
 
     tok = "string_split_regex(trim(text), '\\s+')"
-    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
-    quality = f"""round(greatest(least(
-             0.5 * least(len({tok}) / 50.0, 1.0)
-             + 0.5 * least(5.0 * len(list_intersect({tok}, [{stops}]))
-                           / greatest(len({tok}), 1), 1.0)
-             - 0.2 * least(len(regexp_extract_all(text, '[.,;:!?]'))
-                           / greatest(CAST(len({tok}) AS DOUBLE), 1.0), 1.0),
-             1.0), 0.0), 6)"""
+    quality = quality_score_sql()
     return f"""
     WITH scored AS (
       SELECT source, len({tok}) AS n_tok, {quality} AS quality

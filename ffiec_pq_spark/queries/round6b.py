@@ -344,19 +344,26 @@ _DSIR_SEED = 29
 _DSIR_TARGET_LANG = "en"
 
 
-def _dsir_sql() -> str:
+def _bigram_bucket_cte(cols: str) -> str:
+    """Shared DuckDB CTE: word-bigram occurrences hashed into the
+    ``_DSIR_B`` fixed buckets (the single source for the DSIR and
+    KL-drift oracles — one edit reaches both)."""
     h = hash60_sql("t[i] || ' ' || t[i + 1]", seed=_DSIR_SEED)
-    b = float(_DSIR_B)
-    return rf"""
-    WITH toks AS (
-      SELECT doc_id, source, lang,
+    return rf"""toks AS (
+      SELECT doc_id, {cols},
              string_split_regex(trim(text), '\s+') AS t
       FROM documents
     ),
     bg AS (
-      SELECT doc_id, source, lang, {h} % {_DSIR_B} AS b
+      SELECT doc_id, {cols}, {h} % {_DSIR_B} AS b
       FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
-    ),
+    )"""
+
+
+def _dsir_sql() -> str:
+    b = float(_DSIR_B)
+    return rf"""
+    WITH {_bigram_bucket_cte('source, lang')},
     dist AS (
       SELECT b, count(*) AS c_r,
              sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
@@ -481,18 +488,9 @@ def docs_dsir_importance(spark, sf_dir):
 
 
 def _kl_sql() -> str:
-    h = hash60_sql("t[i] || ' ' || t[i + 1]", seed=_DSIR_SEED)
     b = float(_DSIR_B)
     return rf"""
-    WITH toks AS (
-      SELECT doc_id, source,
-             string_split_regex(trim(text), '\s+') AS t
-      FROM documents
-    ),
-    bg AS (
-      SELECT source, {h} % {_DSIR_B} AS b
-      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
-    ),
+    WITH {_bigram_bucket_cte('source')},
     corpus AS (SELECT b, count(*) AS c_r FROM bg GROUP BY b),
     tot AS (SELECT sum(c_r) AS n_r FROM corpus),
     per_src AS (SELECT source, b, count(*) AS c_s FROM bg GROUP BY 1, 2),
@@ -726,17 +724,10 @@ _QT_TARGET_LANG = "en"
 
 
 def _qsweep_sql() -> str:
-    from ffiec_pq_spark.operators.text import STOPWORDS
+    from ffiec_pq_spark.operators.text import quality_score_sql
 
     tok = r"string_split_regex(trim(text), '\s+')"
-    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
-    quality = f"""round(greatest(least(
-             0.5 * least(len({tok}) / 50.0, 1.0)
-             + 0.5 * least(5.0 * len(list_intersect({tok}, [{stops}]))
-                           / greatest(len({tok}), 1), 1.0)
-             - 0.2 * least(len(regexp_extract_all(text, '[.,;:!?]'))
-                           / greatest(CAST(len({tok}) AS DOUBLE), 1.0), 1.0),
-             1.0), 0.0), 6)"""
+    quality = quality_score_sql()
     thr_list = ", ".join(str(t) for t in _QT_THRESHOLDS)
     return f"""
     WITH scored AS (

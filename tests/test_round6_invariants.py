@@ -192,3 +192,33 @@ def test_knn_spill_dir_reuse_is_isolated(spark):
     b_qids = {r["q_id"] for r in b.collect()}
     assert a_qids == {0, 1, 2, 3}
     assert b_qids == {16, 17, 18, 19}  # no bleed-through from call A
+
+
+def test_connected_components_releases_round_storage(spark):
+    """Each propagation round must free the previous round's
+    checkpoint blocks — a long chain graph may not stack O(rounds)
+    label-set copies in executor storage (only the final round's
+    checkpoint, which backs the returned frame, may remain)."""
+    from ffiec_pq_spark.operators.dedup import connected_components
+
+    n = 10  # chain 0-1-2-...-9: diameter forces many rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+
+    def n_cached():
+        return len(
+            [
+                i
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                if i.numCachedPartitions() > 0
+            ]
+        )
+
+    before = n_cached()
+    labels = connected_components(pairs, max_iter=20)
+    got = {r["id"]: r["cluster"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    after = n_cached()
+    # final checkpoint (+ possible session-cache noise of 1)
+    assert after - before <= 2, (before, after)
