@@ -731,7 +731,7 @@ def _roi_sql() -> str:
       WHERE n_common / (sa.set_size + sb.set_size - n_common)
             >= {_THRESHOLD}
     ),
-    t AS (SELECT unnest([{thr_list}]) AS thr),
+    t AS (SELECT unnest(CAST([{thr_list}] AS DOUBLE[])) AS thr),
     ladder AS (
       SELECT t.thr, p.id_b FROM pairs p CROSS JOIN t
       WHERE p.jaccard >= t.thr

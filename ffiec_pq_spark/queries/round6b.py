@@ -734,7 +734,7 @@ def _qsweep_sql() -> str:
       SELECT lang, len({tok}) AS n_tok, {quality} AS quality
       FROM documents
     ),
-    t AS (SELECT unnest([{thr_list}]) AS thr)
+    t AS (SELECT unnest(CAST([{thr_list}] AS DOUBLE[])) AS thr)
     SELECT thr,
            count(*) AS n_total,
            CAST(sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT)
