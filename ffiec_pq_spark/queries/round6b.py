@@ -802,3 +802,90 @@ def quality_threshold_sweep(spark, sf_dir):
         )
         .alias("target_lang_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_reservoir_per_type — Efraimidis-Spirakis weighted sampling
+# ---------------------------------------------------------------------------
+
+_WRES_K = 5
+_WRES_SEED = 23
+_WRES_GRID = 1 << 20  # uniform grid for the deterministic u
+
+
+def _wres_sql() -> str:
+    h = hash60_sql("event_id", seed=_WRES_SEED)
+    return f"""
+    WITH src AS (
+      SELECT event_type, event_id,
+             abs(value) + 1.0 AS w,
+             (({h} % {_WRES_GRID}) + 0.5) / {_WRES_GRID}.0 AS u
+      FROM events
+    ),
+    keyed AS (
+      SELECT event_type, event_id,
+             round(pow(u, 1.0 / w), 6) AS es_key
+      FROM src
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY es_key DESC, event_id) AS slot
+      FROM keyed
+    )
+    SELECT event_type, event_id, es_key, slot
+    FROM r WHERE slot <= {_WRES_K}
+    """
+
+
+@register(
+    "weighted_reservoir_per_type", _wres_sql(), tags=["sampling"]
+)
+def weighted_reservoir_per_type(spark, sf_dir):
+    """WEIGHTED sampling without replacement, per group: the
+    Efraimidis-Spirakis scheme (key = u^(1/w), take the k largest keys
+    — inclusion probability proportional to weight, here |value|+1),
+    with ``u`` drawn deterministically from the portable hash so the
+    sample is rerun-stable and oracle-checkable.  This is the mixing
+    primitive for "sample documents proportional to token count /
+    quality" steps in corpus construction.
+
+    Scale shape: same two-phase salted top-k as the uniform reservoir
+    (``reservoir_sample_per_type``): stage 1 ranks per (type, salt
+    bucket) so no reducer sees a whole low-cardinality group; stage 2
+    re-ranks the <= 64k survivors.  The ES key rounds to 6 dp BEFORE
+    ranking on both engines (event_id breaks the ties), so a 1-ulp
+    libm difference in pow between JVM and DuckDB cannot reorder the
+    sample."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.abs(F.col("value")) + 1.0).alias("w"),
+        hash60("event_id", seed=_WRES_SEED).alias("h"),
+    )
+    u = ((F.col("h") % _WRES_GRID) + 0.5) / float(_WRES_GRID)
+    keyed = ev.select(
+        "event_type",
+        "event_id",
+        "h",
+        F.round(F.pow(u, 1.0 / F.col("w")), 6).alias("es_key"),
+    )
+    from pyspark.sql import Window
+
+    salted = keyed.withColumn("salt", (F.col("h") % 64).cast("int"))
+    w1 = Window.partitionBy("event_type", "salt").orderBy(
+        F.desc("es_key"), F.asc("event_id")
+    )
+    stage1 = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _WRES_K)
+        .drop("rn1", "salt", "h")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.desc("es_key"), F.asc("event_id")
+    )
+    return (
+        stage1.withColumn("slot", F.row_number().over(w2))
+        .filter(F.col("slot") <= _WRES_K)
+        .select("event_type", "event_id", "es_key", "slot")
+    )

@@ -174,6 +174,7 @@ QUERIES = [
     "hard_negative_mining",
     "dedup_roi_curve",
     "quality_threshold_sweep",
+    "weighted_reservoir_per_type",
 ]
 OFFSET = 10**9
 
