@@ -693,3 +693,73 @@ def hard_negative_mining(spark, sf_dir):
         F.col("_m._lbl").alias("neg_label"),
         F.col("_m.score").alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_drift — per-label centroid vs the corpus centroid
+# ---------------------------------------------------------------------------
+
+
+def _centroid_drift_sql() -> str:
+    return """
+    WITH ex AS (
+      SELECT label, vec_id,
+             unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    lab AS (
+      SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2
+    ),
+    gcen AS (
+      SELECT i, avg(x) AS g FROM ex GROUP BY 1
+    ),
+    n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+    SELECT lab.label, n.n_vecs,
+           round(sqrt(sum(lab.c * lab.c)), 6) AS centroid_norm,
+           round(sum(lab.c * gcen.g)
+                 / (sqrt(sum(lab.c * lab.c))
+                    * sqrt(sum(gcen.g * gcen.g))), 6) AS cos_to_global
+    FROM lab JOIN gcen USING (i) JOIN n ON n.label = lab.label
+    GROUP BY lab.label, n.n_vecs
+    """
+
+
+@register(
+    "embedding_centroid_drift",
+    _centroid_drift_sql(),
+    tags=["similarity", "monitoring"],
+)
+def embedding_centroid_drift(spark, sf_dir):
+    """Embedding-space drift monitor: each label's mean vector compared
+    to the corpus mean (norm + cosine) — the cheap per-slice signal
+    that an encoder re-embedding run or a data shift moved one class's
+    region (drops in ``cos_to_global`` flag the slice to re-validate).
+
+    Scale shape: one posexplode to (label, dim) terms, then the
+    per-label and global centroids are grouped AVGs on <= |labels| x
+    dim and dim keys (map-side combined — the shuffle carries only
+    partial sums); the cosine reduces the |labels| x dim grid.  The
+    per-dim averages are parallel-summed doubles, so the final cosine
+    and norm round at 6 dp on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select("label", "i", F.col("x").cast("double").alias("x"))
+    lab = ex.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    glob = ex.groupBy("i").agg(F.avg("x").alias("g"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    j = lab.join(F.broadcast(glob), "i").join(F.broadcast(n), "label")
+    return j.groupBy("label", "n_vecs").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
+            "centroid_norm"
+        ),
+        F.round(
+            F.sum(F.col("c") * F.col("g"))
+            / (
+                F.sqrt(F.sum(F.col("c") * F.col("c")))
+                * F.sqrt(F.sum(F.col("g") * F.col("g")))
+            ),
+            6,
+        ).alias("cos_to_global"),
+    )

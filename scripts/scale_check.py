@@ -175,6 +175,7 @@ QUERIES = [
     "dedup_roi_curve",
     "quality_threshold_sweep",
     "weighted_reservoir_per_type",
+    "embedding_centroid_drift",
 ]
 OFFSET = 10**9
 
