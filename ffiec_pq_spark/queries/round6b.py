@@ -889,3 +889,86 @@ def weighted_reservoir_per_type(spark, sf_dir):
         .filter(F.col("slot") <= _WRES_K)
         .select("event_type", "event_id", "es_key", "slot")
     )
+
+
+# ---------------------------------------------------------------------------
+# packing_capacity_sweep — context-length decision curve
+# ---------------------------------------------------------------------------
+
+_PACK_LENGTHS = (32, 64, 128, 256)
+
+
+def _pack_sweep_sql() -> str:
+    tok = r"len(string_split_regex(trim(text), '\s+'))"
+    l_list = ", ".join(str(x) for x in _PACK_LENGTHS)
+    return f"""
+    WITH d AS (SELECT {tok} AS n_tok FROM documents),
+    t AS (SELECT unnest([{l_list}]) AS cap)
+    SELECT cap,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > cap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(greatest(n_tok - cap, 0)) AS BIGINT)
+             AS tokens_lost,
+           CAST(sum(least(n_tok, cap)) AS BIGINT) AS tokens_kept,
+           CAST(ceil(sum(least(n_tok, cap)) / CAST(cap AS DOUBLE))
+                AS BIGINT) AS min_bins,
+           round(sum(least(n_tok, cap))
+                 / (ceil(sum(least(n_tok, cap)) / CAST(cap AS DOUBLE))
+                    * cap), 6) AS packing_efficiency_ub
+    FROM d CROSS JOIN t
+    GROUP BY cap
+    """
+
+
+@register(
+    "packing_capacity_sweep", _pack_sweep_sql(), tags=["packing", "curation"]
+)
+def packing_capacity_sweep(spark, sf_dir):
+    """Context-length decision curve: for each candidate sequence
+    capacity, the truncation casualty count, tokens lost to the cut,
+    and the best-case packing efficiency (total kept tokens over the
+    bin lower bound ``ceil(kept/cap)`` — no packer can beat it, so the
+    curve bounds what the real FFD packer in ``operators/packing.py``
+    can achieve at each capacity).  The elbow of ``tokens_lost`` vs
+    ``packing_efficiency_ub`` is how a pretraining run picks its
+    sequence length.
+
+    Scale shape: token counts are a JVM expression on one scan; the
+    4-rung ladder cross-joins a literal relation and every aggregate
+    is integer map-side-combined into <= 4 groups.  Nothing grows
+    with the corpus but the scan."""
+    from ffiec_pq_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(token_count("text").alias("n_tok"))
+    lad = d.withColumn(
+        "cap", F.explode(F.array(*[F.lit(x) for x in _PACK_LENGTHS]))
+    )
+    kept = F.least(F.col("n_tok"), F.col("cap"))
+    agg = lad.groupBy("cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_tok") > F.col("cap")).cast("long")).alias(
+            "n_truncated"
+        ),
+        F.sum(F.greatest(F.col("n_tok") - F.col("cap"), F.lit(0))).alias(
+            "tokens_lost"
+        ),
+        F.sum(kept).alias("tokens_kept"),
+    )
+    min_bins = F.ceil(
+        F.col("tokens_kept") / F.col("cap").cast("double")
+    )
+    return agg.select(
+        "cap",
+        "n_docs",
+        "n_truncated",
+        "tokens_lost",
+        "tokens_kept",
+        min_bins.alias("min_bins"),
+        F.round(
+            F.col("tokens_kept")
+            / (min_bins * F.col("cap")).cast("double"),
+            6,
+        ).alias("packing_efficiency_ub"),
+    )

@@ -176,6 +176,7 @@ QUERIES = [
     "quality_threshold_sweep",
     "weighted_reservoir_per_type",
     "embedding_centroid_drift",
+    "packing_capacity_sweep",
 ]
 OFFSET = 10**9
 
