@@ -50,13 +50,13 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # Round-6 certification rotation (same policy as rounds 1-5): external
 # certification tooling samples the registry in insertion order, so the
 # queries with the FEWEST recorded certification rows go first.  The
-# head is the 33 round-6 additions (17 in queries/round6.py; 9 in
+# head is the 34 round-6 additions (17 in queries/round6.py; 9 in
 # queries/round6b.py; Q15/Q17 in queries/tpch_fill.py; hard-negative
 # mining in queries/similarity.py; the dedup ROI curve in
 # queries/dedup.py — all never sampled by definition); the 33 round-4
 # names that each carry exactly one driver row (their round-5
-# certification) follow, so a 50-query window takes all 33 zero-row
-# names plus 17 of the one-row block.  Everything else
+# certification) follow, so a 50-query window takes all 34 zero-row
+# names plus 16 of the one-row block.  Everything else
 # keeps
 # its module-rotation order from _load_all.  _ordered() raises if any
 # name here is missing from the registry, so this list can never again
@@ -98,6 +98,7 @@ _NEVER_SAMPLED_FIRST = [
     "weighted_reservoir_per_type",
     "embedding_centroid_drift",
     "packing_capacity_sweep",
+    "metric_subsample_ci",
     # --- round-4 additions, one certification row each (round 5) ---
     "basket_part_pairs",
     "benford_first_digit",

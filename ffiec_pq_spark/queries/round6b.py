@@ -972,3 +972,69 @@ def packing_capacity_sweep(spark, sf_dir):
             6,
         ).alias("packing_efficiency_ub"),
     )
+
+
+# ---------------------------------------------------------------------------
+# metric_subsample_ci — deterministic subsampling confidence intervals
+# ---------------------------------------------------------------------------
+
+_CI_REPLICAS = 32
+_CI_SEED = 41
+
+
+def _subsample_ci_sql() -> str:
+    h = hash60_sql("event_id", seed=_CI_SEED)
+    return f"""
+    WITH rep AS (SELECT unnest(generate_series(0, {_CI_REPLICAS - 1})) AS r),
+    halves AS (
+      SELECT e.event_type, rep.r, e.value
+      FROM events e CROSS JOIN rep
+      WHERE (({h} >> (rep.r % 32)) & 1) = 0
+    ),
+    rmeans AS (
+      SELECT event_type, r, avg(value) AS m
+      FROM halves GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_replicas,
+           round(avg(m), 6) AS mean_of_means,
+           round(min(m), 6) AS ci_lo,
+           round(max(m), 6) AS ci_hi,
+           round(stddev_pop(m), 6) AS replica_sd
+    FROM rmeans GROUP BY event_type
+    """
+
+
+@register("metric_subsample_ci", _subsample_ci_sql(), tags=["stats", "audit"])
+def metric_subsample_ci(spark, sf_dir):
+    """Uncertainty for a corpus metric without a second pass over
+    anything random: 32 deterministic HALF-samples (replica r keeps a
+    row iff bit ``r`` of its portable hash is 0 — each an independent
+    ~50% subsample), the metric (mean event value per type) recomputed
+    on each, and the replica spread reported as a subsampling
+    confidence band (Politis-Romano subsampling; the envelope and SD
+    over replicas bound the estimator's sampling noise).  This is how
+    a pipeline tells "the quality metric moved" from "the quality
+    metric wobbled".
+
+    Scale shape: the replica dimension is a 32-way explode of the
+    SCAN (bounded constant fan-out, no shuffle growth: the per-replica
+    partial means combine map-side into |types| x 32 groups); the
+    final envelope reduces 32 rows per type.  All replica membership
+    tests are bit-tests on one hash — zero rand(), rerun-stable,
+    oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", hash60("event_id", seed=_CI_SEED).alias("h")
+    )
+    reps = F.array(*[F.lit(r) for r in range(_CI_REPLICAS)])
+    lad = ev.withColumn("r", F.explode(reps)).filter(
+        F.expr("(shiftright(h, CAST(r % 32 AS INT)) & 1) = 0")
+    )
+    rmeans = lad.groupBy("event_type", "r").agg(F.avg("value").alias("m"))
+    return rmeans.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.round(F.avg("m"), 6).alias("mean_of_means"),
+        F.round(F.min("m"), 6).alias("ci_lo"),
+        F.round(F.max("m"), 6).alias("ci_hi"),
+        F.round(F.stddev_pop("m"), 6).alias("replica_sd"),
+    )

@@ -177,6 +177,7 @@ QUERIES = [
     "weighted_reservoir_per_type",
     "embedding_centroid_drift",
     "packing_capacity_sweep",
+    "metric_subsample_ci",
 ]
 OFFSET = 10**9
 
