@@ -537,11 +537,16 @@ def lineitem_theta_sketch_overlap(spark, sf_dir):
     here verified against the exact distinct-join answer in the same
     row.
 
-    Everything is integer arithmetic (hash compares, row_number,
+    Everything is integer arithmetic (hash compares, array slices,
     counts) until the final IEEE divisions, so both engines produce the
-    identical doubles.  Scale shape: sketches are bottom-k per group —
-    two-phase reducible (per-partition bottom-k then merge), constant
-    memory, mergeable across shards; the exact-join verification column
+    identical doubles.  Scale shape: the sketch is built in the
+    two-phase reducible form — each task reduces its partition of the
+    distinct hashes to its k smallest (`slice(sort_array(collect_list))`
+    per (partition id, flag)), then a merge of <= partitions*k
+    candidates per flag yields the global bottom-k.  No per-flag total
+    sort, no window function anywhere (plan-pinned by
+    `test_plans.py::test_theta_sketch_no_per_flag_total_sort`); constant
+    memory, mergeable across shards.  The exact-join verification column
     is the part you DROP at 100 TB (it exists to certify the sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
     h = hash60("l_partkey", seed=3)
@@ -550,20 +555,30 @@ def lineitem_theta_sketch_overlap(spark, sf_dir):
         .select(F.col("l_returnflag").alias("flag"), h.alias("h"))
         .distinct()
     )
-    wr = Window.partitionBy("flag").orderBy("h")
-    wc = Window.partitionBy("flag")
-    ranked = hashes.select(
-        "flag",
-        "h",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    # Phase 1: per-partition bottom-k.  collect_list partially aggregates
+    # map-side, and (partition id, flag) groups never span tasks, so the
+    # shuffle carries <= partitions*2 rows of <= k hashes each.
+    part_bk = hashes.groupBy(
+        F.spark_partition_id().alias("_pid"), "flag"
+    ).agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, _THETA_K).alias("bk"),
+        F.count(F.lit(1)).alias("pn"),
     )
-    sk = ranked.filter(F.col("rn") <= _THETA_K)
-    theta = sk.groupBy("flag").agg(
-        F.when(F.max("n") >= _THETA_K, F.max("h"))
+    # Phase 2: merge the bounded candidate sets into the global bottom-k
+    # per flag; n (total distinct per flag) rides the same aggregate.
+    merged = part_bk.groupBy("flag").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("bk"))), 1, _THETA_K
+        ).alias("bk"),
+        F.sum("pn").alias("n"),
+    )
+    sk = merged.select("flag", F.explode("bk").alias("h"))
+    theta = merged.select(
+        "flag",
+        F.when(F.col("n") >= _THETA_K, F.element_at("bk", _THETA_K))
         .otherwise(F.lit(_H_MAX))
         .alias("th"),
-        F.max("n").alias("sk_n"),
+        F.col("n").alias("sk_n"),
     )
     ta = theta.filter(F.col("flag") == "R").select(
         F.col("th").alias("th_a"), F.col("sk_n").alias("n_a")

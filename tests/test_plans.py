@@ -481,3 +481,16 @@ def test_q10_top20_is_take_ordered(spark, sf_dir):
     df = queries()["q10_returned_revenue_topk"](spark, sf_dir)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_theta_sketch_no_per_flag_total_sort(spark, sf_dir):
+    """The theta/KMV sketch must be built two-phase (per-partition
+    bottom-k, then a merge of <= partitions*k candidates) — no window
+    function, so no per-flag single-reducer total sort of the distinct
+    hash space."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["lineitem_theta_sketch_overlap"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "row_number" not in plan
