@@ -516,18 +516,27 @@ def connected_components(
     """(id, cluster) for every node in the pair graph; cluster = min id
     reachable in the component.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converged when no
-    label changes.  Rounds needed = graph diameter (near-dup clusters
-    are shallow — dozens of rounds covers pathological chains, typical
-    data converges in 2-4).  Per round: one join + one groupBy on the
-    node id — the standard scalable formulation when a graph library
-    isn't available.
+    Iterative min-label propagation WITH pointer jumping: each round
+    every node takes the min of (its own label, its neighbors' labels,
+    the round-start label OF that min) — the label-of-label "jump"
+    contracts pointer chains, so rounds needed drop from the graph
+    diameter d to O(log d) on chain-shaped components (near-dup
+    clusters are shallow — typical data converges in 2-3 rounds either
+    way; the jump is insurance against pathological chains at scale).
+    Per round: one edge join + one groupBy + one join against the
+    previous (materialized) label set.
+
+    The input pair relation is pinned with one eager ``localCheckpoint``
+    up front: ``edges`` traverses it twice (both orientations) and every
+    round traverses ``edges``, so without the pin the upstream pipeline
+    (e.g. the full MinHash candidate+verify DAG) would re-execute
+    per-orientation inside round 1's job — measured 2-3x the whole
+    operator's cost at sf0.01.
 
     Cost per round is ONE materializing action: the changed-label flag
-    is computed inside the propagate projection itself (a neighbor can
-    only lower a label, so ``nb_min < cluster`` IS the change test —
-    no new-vs-old join), the round is pinned with an eager
+    is computed inside the propagate projection itself (labels are
+    monotone non-increasing, so ``new < old`` IS the change test — no
+    new-vs-old join), the round is pinned with an eager
     ``localCheckpoint`` (which also truncates lineage so analysis time
     stays flat), and the convergence count is then a near-free scan of
     the just-materialized blocks rather than a second full compute.
@@ -537,10 +546,12 @@ def connected_components(
     component into several reported clusters, which at production scale
     is a silent-correctness hazard.
     """
+    pairs_ck = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs_ck.unionByName(
+            pairs_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .cache()
@@ -559,20 +570,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster").alias("nb_min"))
         )
-        # change flag computed in the propagate projection: labels are
-        # monotonically non-increasing, so "a neighbor offered less"
-        # IS "this label changed" — no new-vs-old join needed
-        proposed = labels.join(
+        prop = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
+            F.col("cluster").alias("_old"),
             F.least(
                 F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
-            ).alias("cluster"),
-            (
-                F.coalesce(F.col("nb_min"), F.col("cluster"))
-                < F.col("cluster")
-            ).cast("long").alias("_chg"),
+            ).alias("_c1"),
+        )
+        # pointer jump: label-of-label against the round-start labels.
+        # _c1 always names a node in the same component (it is some
+        # node's current label), labels only decrease, and changed==0
+        # still implies the pure-propagation fixpoint (nb_min >= label
+        # for every node), which alone forces label == component min —
+        # so the jump can only accelerate, never corrupt.  Left join:
+        # every _c1 is a node id, but stay total under hostile input.
+        lref = labels.select(
+            F.col("id").alias("_jid"), F.col("cluster").alias("_jc")
+        )
+        new_cluster = F.least(
+            F.col("_c1"), F.coalesce(F.col("_jc"), F.col("_c1"))
+        )
+        proposed = prop.join(lref, prop._c1 == lref._jid, "left").select(
+            "id",
+            new_cluster.alias("cluster"),
+            (new_cluster < F.col("_old")).cast("long").alias("_chg"),
         )
         # the round's single full compute; also truncates lineage
         proposed = proposed.localCheckpoint(eager=True)
@@ -590,16 +613,27 @@ def connected_components(
         else:
             # the persisted blocks belong to the LogicalRDD behind the
             # checkpointed frame (toRdd() would build a fresh pipeline
-            # RDD that holds no storage)
-            prev_ckpt._jdf.queryExecution().analyzed().rdd().unpersist(
-                False
-            )
+            # RDD that holds no storage).  Spark 4.1's analyzed plan for
+            # a localCheckpoint result is a bare LogicalRDD with a
+            # py4j-visible rdd(); if a future Spark wraps it, freeing
+            # is best-effort — fall back to GC rather than break the
+            # operator mid-loop.
+            try:
+                prev_ckpt._jdf.queryExecution().analyzed().rdd().unpersist(
+                    False
+                )
+            except Exception:
+                pass
         prev_ckpt = proposed
         labels = proposed.drop("_chg")
         if not changed:
             converged = True
             break
     edges.unpersist()
+    try:
+        pairs_ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
