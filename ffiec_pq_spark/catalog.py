@@ -62,6 +62,10 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-8 additions (never sampled by definition) ---
+    "docs_exactsubstr_spans",
+    "docs_exactsubstr_dup_rate",
+    "stream_minhash_neardup",
     # --- round-6 additions (never sampled by definition) ---
     "events_asof_join_rates",
     "docs_minhash_containment",
@@ -180,6 +184,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round8  # noqa: F401
     from ffiec_pq_spark.queries import round6  # noqa: F401
     from ffiec_pq_spark.queries import round6b  # noqa: F401
     from ffiec_pq_spark.queries import tpch_fill  # noqa: F401

@@ -372,16 +372,16 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"mh{i}" for i, _, _ in perms]).alias("sig"))
 
 
-def lsh_candidates(
+def lsh_bands(
     signatures: DataFrame, n_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing >= 1 band.
-
-    Band key = md5 of the band's slice of the signature; join on
-    (band_idx, band_key) then distinct pairs.  At scale the band join is
-    the only shuffle and its key space is wide (band hash), so no skew.
-    """
-    bands = signatures.select(
+    """(id, band, bkey): the LSH band-signature relation — band key =
+    md5 of the band's slice of the signature.  This IS the dedup state
+    at scale: ~n_bands compact rows per doc (vs the raw text), and the
+    relation is a pure set union across shards/micro-batches, so both
+    the batch candidate join and the incremental streaming fold
+    (queries/round8.py) derive from the same rows."""
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -403,6 +403,18 @@ def lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bkey")
+
+
+def lsh_candidates(
+    signatures: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >= 1 band.
+
+    Band key = md5 of the band's slice of the signature; join on
+    (band_idx, band_key) then distinct pairs.  At scale the band join is
+    the only shuffle and its key space is wide (band hash), so no skew.
+    """
+    bands = lsh_bands(signatures, n_bands, rows_per_band)
     l = bands.select(F.col("id").alias("id_a"), "band", "bkey")
     r = bands.select(F.col("id").alias("id_b"), "band", "bkey")
     return (
@@ -511,7 +523,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    checkpoint_every: int = 5,  # kept for API compat; every round checkpoints now
+    checkpoint_every: int | None = None,  # DEPRECATED: every round checkpoints
 ) -> DataFrame:
     """(id, cluster) for every node in the pair graph; cluster = min id
     reachable in the component.
@@ -545,7 +557,34 @@ def connected_components(
     (diameter > max_iter): under-propagated labels SPLIT a true
     component into several reported clusters, which at production scale
     is a silent-correctness hazard.
+
+    The number of propagation rounds the last call took is exposed as
+    ``connected_components.last_rounds`` (tests pin the pointer-jump
+    O(log d) bound against it; not thread-safe, diagnostics only).
     """
+    if checkpoint_every is not None:
+        import warnings
+
+        warnings.warn(
+            "connected_components(checkpoint_every=...) is deprecated and "
+            "ignored: every round localCheckpoints (lineage truncation is "
+            "what keeps per-round analysis time flat)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+
+    def _free_ckpt(frame):
+        # the persisted blocks belong to the LogicalRDD behind the
+        # checkpointed frame (toRdd() would build a fresh pipeline RDD
+        # that holds no storage).  Spark 4.1's analyzed plan for a
+        # localCheckpoint result is a bare LogicalRDD with a
+        # py4j-visible rdd(); if a future Spark wraps it, freeing is
+        # best-effort — fall back to GC rather than break the operator.
+        try:
+            frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     pairs_ck = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
@@ -563,77 +602,76 @@ def connected_components(
         .cache()
     )
     converged = False
+    rounds = 0
     prev_ckpt = None
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("cluster").alias("nb_min"))
-        )
-        prop = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.col("cluster").alias("_old"),
-            F.least(
-                F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
-            ).alias("_c1"),
-        )
-        # pointer jump: label-of-label against the round-start labels.
-        # _c1 always names a node in the same component (it is some
-        # node's current label), labels only decrease, and changed==0
-        # still implies the pure-propagation fixpoint (nb_min >= label
-        # for every node), which alone forces label == component min —
-        # so the jump can only accelerate, never corrupt.  Left join:
-        # every _c1 is a node id, but stay total under hostile input.
-        lref = labels.select(
-            F.col("id").alias("_jid"), F.col("cluster").alias("_jc")
-        )
-        new_cluster = F.least(
-            F.col("_c1"), F.coalesce(F.col("_jc"), F.col("_c1"))
-        )
-        proposed = prop.join(lref, prop._c1 == lref._jid, "left").select(
-            "id",
-            new_cluster.alias("cluster"),
-            (new_cluster < F.col("_old")).cast("long").alias("_chg"),
-        )
-        # the round's single full compute; also truncates lineage
-        proposed = proposed.localCheckpoint(eager=True)
-        changed = proposed.agg(F.sum("_chg")).first()[0]
-        # free the PREVIOUS round's storage now that this round is
-        # materialized: round 1 drops the cached seed labels; later
-        # rounds must release the prior checkpoint's RDD blocks
-        # explicitly (unpersist() on a frame DERIVED from a checkpoint
-        # is a no-op — the blocks belong to the checkpointed RDD, and
-        # leaving them to GC stacks O(rounds) label-set copies on the
-        # executors).  Order matters: lineage is truncated, so blocks
-        # may only be freed once nothing will read them again.
-        if prev_ckpt is None:
-            labels.unpersist()
-        else:
-            # the persisted blocks belong to the LogicalRDD behind the
-            # checkpointed frame (toRdd() would build a fresh pipeline
-            # RDD that holds no storage).  Spark 4.1's analyzed plan for
-            # a localCheckpoint result is a bare LogicalRDD with a
-            # py4j-visible rdd(); if a future Spark wraps it, freeing
-            # is best-effort — fall back to GC rather than break the
-            # operator mid-loop.
-            try:
-                prev_ckpt._jdf.queryExecution().analyzed().rdd().unpersist(
-                    False
-                )
-            except Exception:
-                pass
-        prev_ckpt = proposed
-        labels = proposed.drop("_chg")
-        if not changed:
-            converged = True
-            break
-    edges.unpersist()
+    # try/finally: a failed round's Spark job must not leak the edges
+    # cache, the pairs checkpoint blocks, or the previous round's
+    # checkpoint RDD on the executors for the session lifetime
     try:
-        pairs_ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+        for _ in range(max_iter):
+            rounds += 1
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nb_min"))
+            )
+            prop = labels.join(
+                neighbor_min, labels.id == neighbor_min.src, "left"
+            ).select(
+                "id",
+                F.col("cluster").alias("_old"),
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster")),
+                ).alias("_c1"),
+            )
+            # pointer jump: label-of-label against the round-start labels.
+            # _c1 always names a node in the same component (it is some
+            # node's current label), labels only decrease, and changed==0
+            # still implies the pure-propagation fixpoint (nb_min >= label
+            # for every node), which alone forces label == component min —
+            # so the jump can only accelerate, never corrupt.  Left join:
+            # every _c1 is a node id, but stay total under hostile input.
+            lref = labels.select(
+                F.col("id").alias("_jid"), F.col("cluster").alias("_jc")
+            )
+            new_cluster = F.least(
+                F.col("_c1"), F.coalesce(F.col("_jc"), F.col("_c1"))
+            )
+            proposed = prop.join(lref, prop._c1 == lref._jid, "left").select(
+                "id",
+                new_cluster.alias("cluster"),
+                (new_cluster < F.col("_old")).cast("long").alias("_chg"),
+            )
+            # the round's single full compute; also truncates lineage
+            proposed = proposed.localCheckpoint(eager=True)
+            changed = proposed.agg(F.sum("_chg")).first()[0]
+            # free the PREVIOUS round's storage now that this round is
+            # materialized: round 1 drops the cached seed labels; later
+            # rounds must release the prior checkpoint's RDD blocks
+            # explicitly (unpersist() on a frame DERIVED from a
+            # checkpoint is a no-op — the blocks belong to the
+            # checkpointed RDD, and leaving them to GC stacks O(rounds)
+            # label-set copies on the executors).  Order matters:
+            # lineage is truncated, so blocks may only be freed once
+            # nothing will read them again.
+            if prev_ckpt is None:
+                labels.unpersist()
+            else:
+                _free_ckpt(prev_ckpt)
+            prev_ckpt = proposed
+            labels = proposed.drop("_chg")
+            if not changed:
+                converged = True
+                break
+    finally:
+        edges.unpersist()
+        _free_ckpt(pairs_ck)
+        if not converged and prev_ckpt is not None:
+            # abnormal exit (exception or non-convergence): the result
+            # frame will never be read, so its blocks are releasable too
+            _free_ckpt(prev_ckpt)
+        connected_components.last_rounds = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "

@@ -1,0 +1,200 @@
+"""Substring-level exact deduplication (ExactSubstr): find maximal
+token spans that occur verbatim at two or more places in the corpus —
+the train-set memorization risk document-pair dedup cannot see (two
+documents 2% similar can still share one long boilerplate paragraph).
+
+Reference point: the suffix-array ExactSubstr of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better") finds
+substrings of >= N tokens repeated anywhere in the corpus.  A global
+suffix array does not shard, so the Spark-native formulation uses the
+standard scalable surrogate, hashed k-gram ANCHORS:
+
+1. every token position p of every doc emits the hash of its k-token
+   gram (one narrow array projection + posexplode — no shuffle yet);
+2. a gram hash occurring at >= min_occurrences positions corpus-wide is
+   "duplicated" (ONE shuffle: groupBy on the 60-bit gram hash — wide
+   key space, no skew magnet) — the anchor positions come back via a
+   semi-join keyed on the same hash (second shuffle, same key);
+3. per-doc RUN EXTENSION: anchor positions whose gap is <= k merge into
+   maximal duplicated REGIONS (their gram windows overlap or touch), a
+   gaps-and-islands pass inside ONE per-doc window partition (third
+   shuffle, keyed on doc id).
+
+Every duplicated span of length >= 2k-1 tokens is guaranteed to be
+covered by a region (all k-grams inside it repeat); spans in
+[k, 2k-2] are covered when their k-gram alignment repeats.  Regions are
+a conservative SUPERSET of true ExactSubstr spans (two anchors may be
+duplicated from different sources), which is the safe direction for a
+removal/flagging pipeline; k is the precision knob.
+
+No step is ever all-pairs: cost = |token positions| rows through three
+keyed shuffles.  At 100 TB the df cap (``max_anchor_df``) bounds the
+anchor fan-in of degenerate grams (whitespace runs, boilerplate
+headers) exactly like the high-df term drop in the Jaccard operators.
+
+Reference parity: the reference has no substring operator (its unit is
+the (IDRSSD, date, item) fact — see SURVEY.md §2); this extends the
+dedup family of SURVEY.md §7 Phase 5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.functions.hashing import hash60
+from ffiec_pq_spark.operators.text import tokens
+
+
+def positional_gram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(id, pos, h): the 60-bit hash of the k-token gram starting at
+    1-based token position ``pos``, for every position with a full
+    k-token window (docs shorter than k tokens emit nothing).
+
+    Narrow per-row work: one tokenize + one transform over a sequence +
+    posexplode — no shuffle, stays in whole-stage codegen except the
+    generator itself."""
+    from ffiec_pq_spark.session import spread
+
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    grams = F.when(
+        n < F.lit(k), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+    return (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(F.col("id"), F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "id",
+            (F.col("pos0") + 1).alias("pos"),
+            hash60(F.col("gram")).alias("h"),
+        )
+    )
+
+
+def duplicated_anchors(
+    grams: DataFrame,
+    min_occurrences: int = 2,
+    max_anchor_df: int | None = None,
+) -> DataFrame:
+    """(id, pos) anchor positions whose k-gram hash occurs at
+    >= min_occurrences positions corpus-wide (within- AND cross-doc
+    repeats both count — a doc pasting its own paragraph twice is the
+    same memorization risk).
+
+    ``max_anchor_df`` additionally DROPS grams above a document-
+    frequency-style occurrence cap: degenerate ultra-common grams
+    otherwise dominate both the group fan-in and the region output at
+    scale (same rationale as ``max_shingle_df`` in the Jaccard ops)."""
+    agg = grams.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    cond = F.col("occ") >= min_occurrences
+    if max_anchor_df is not None:
+        cond = cond & (F.col("occ") <= max_anchor_df)
+    dup = agg.filter(cond).select("h")
+    return grams.join(dup, "h", "left_semi").select("id", "pos")
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+    max_anchor_df: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated token regions per document:
+    (id, span_start, span_end, n_anchors, span_tokens) with 1-based
+    inclusive token positions.
+
+    Run extension: duplicated anchors at positions p, q (p < q) belong
+    to one region when q - p <= k — anchor p's gram covers tokens
+    [p, p+k-1], so q <= p+k means the two gram windows overlap or are
+    exactly adjacent and the covered token interval is contiguous.
+    Regions are therefore disjoint, maximal, and independent of anchor
+    discovery order.  Implemented as the standard gaps-and-islands:
+    break flag via lag(), region id via a running sum, both inside the
+    SAME per-doc window partition (one exchange on the doc id, window
+    work is partition-local)."""
+    anchors = duplicated_anchors(
+        positional_gram_hashes(df, text_col, id_col, k),
+        min_occurrences,
+        max_anchor_df,
+    )
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wdoc) <= F.lit(k), F.lit(0)
+    ).otherwise(F.lit(1))  # first row: lag is NULL -> otherwise -> 1
+    rid = F.sum("brk").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    regions = (
+        anchors.withColumn("brk", brk)
+        .withColumn("rid", rid)
+        .groupBy("id", "rid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            "n_anchors",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+    return regions
+
+
+def exact_substring_dup_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+    max_anchor_df: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-token budget:
+    (id, n_tokens, dup_tokens, n_spans, dup_rate) — ``dup_tokens`` sums
+    the disjoint region lengths, ``dup_rate`` = dup_tokens/n_tokens
+    rounded to 6 dp.  Docs with no duplicated span report zeros (left
+    join from the doc relation), so the output is a total function of
+    the corpus — the gating signal a curation pipeline thresholds on."""
+    spans = exact_substring_spans(
+        df, text_col, id_col, k, min_occurrences, max_anchor_df
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

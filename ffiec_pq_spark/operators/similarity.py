@@ -372,20 +372,27 @@ def knn_exact_topk(
 
     Plan-size bound: up to ``max_union_tiles`` tile branches are unioned
     into one lazy plan (the common case — a bounded probe slice).
-    BEYOND that, each tile runs as its OWN job whose candidates are
-    NOTE the execution contract beyond the union budget: once the
-    probe count exceeds ``max_union_tiles x tile_size`` the builder
-    RUNS each tile as its own job at construction time (the spill IS
-    the action) — callers that only want the plan (explain/dump
-    tooling) should keep probes within the union budget.  Candidates
-    are appended to a FRESH unique subdir of ``spill_dir`` (a driver-local
-    temp dir by default — on a multi-node cluster pass a SHARED
-    filesystem URI, e.g. an object-store path, or executor task commits
-    land on disks the driver-side read cannot see) and the result is
-    the parquet scan of the spill — so plan size, driver memory, and
-    per-tile cost stay FLAT in the number of tiles instead of growing a
-    union branch + resident broadcast per tile.  ``tile_size`` is the
-    probe-budget knob: probes resident per pass = tile_size vectors."""
+    BEYOND that budget the builder switches to job-per-tile: each tile
+    RUNS as its own job at construction time (the spill IS the action —
+    callers that only want the plan for explain/dump tooling should keep
+    probes within the union budget), its candidates are appended to a
+    FRESH unique subdir of ``spill_dir``, and the returned DataFrame is
+    the parquet scan of that spill dir — so plan size, driver memory,
+    and per-tile cost stay FLAT in the number of tiles instead of
+    growing a union branch + resident broadcast per tile.  ``tile_size``
+    is the probe-budget knob: probes resident per pass = tile_size
+    vectors.
+
+    Spill-dir contract (cluster safety): with ``spill_dir=None`` the
+    spill falls back to a DRIVER-LOCAL temp dir, which only the driver
+    and same-host executors can see — on a multi-node master, executor
+    task commits would land on disks the final driver-side
+    ``spark.read.parquet`` cannot reach and the result would be silently
+    missing candidates.  The builder therefore RAISES ``ValueError`` if
+    the spill path is reached with ``spill_dir=None`` on a non-local
+    master; pass a SHARED filesystem URI (object store / DFS) there.
+    On local masters the auto tempdir is registered for removal at
+    interpreter exit."""
     import numpy as np
     import pandas as pd
 
@@ -466,7 +473,25 @@ def knn_exact_topk(
                     "/knn_tiles_" + uuid.uuid4().hex
                 )
             else:
+                master = spark.sparkContext.master or ""
+                if not master.startswith("local"):
+                    raise ValueError(
+                        "knn_exact_topk: probe count exceeds the union "
+                        "budget (max_union_tiles*tile_size) so tile "
+                        "candidates must spill, but spill_dir=None and "
+                        f"master={master!r} is not local — a driver-local "
+                        "temp dir would silently lose executor task "
+                        "commits. Pass spill_dir= a SHARED filesystem "
+                        "URI (object store / DFS) visible to driver and "
+                        "all executors."
+                    )
+                import atexit
+                import shutil
+
                 spill_path = tempfile.mkdtemp(prefix="knn_tiles_")
+                atexit.register(
+                    shutil.rmtree, spill_path, ignore_errors=True
+                )
             for buffered_df, buffered_bc in tiles:
                 _spill(buffered_df, buffered_bc)
             tiles = []

@@ -123,13 +123,18 @@ def quality_score_sql(text_col: str = "text") -> str:
     """DuckDB mirror of :func:`quality_score` — THE single source of
     the oracle-side formula (quality_composite_filter and
     quality_threshold_sweep both embed this string, so the gate and its
-    tuning sweep can never drift apart)."""
+    tuning sweep can never drift apart).
+
+    Association is pinned IDENTICAL to :func:`quality_score_tok` on the
+    Spark side: the stopword term is ``(count / n) * 5.0`` in BOTH
+    engines (not ``5.0 * count / n``) — a different association can
+    differ by 1 ulp and flip the 6-dp round the strict compare hashes."""
     tok = f"string_split_regex(trim({text_col}), '\\s+')"
     stops = ", ".join(f"'{s}'" for s in STOPWORDS)
     return f"""round(greatest(least(
              0.5 * least(len({tok}) / 50.0, 1.0)
-             + 0.5 * least(5.0 * len(list_intersect({tok}, [{stops}]))
-                           / greatest(len({tok}), 1), 1.0)
+             + 0.5 * least((len(list_intersect({tok}, [{stops}]))
+                            / greatest(len({tok}), 1)) * 5.0, 1.0)
              - 0.2 * least(len(regexp_extract_all({text_col}, '[.,;:!?]'))
                            / greatest(CAST(len({tok}) AS DOUBLE), 1.0), 1.0),
              1.0), 0.0), 6)"""

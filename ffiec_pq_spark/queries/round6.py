@@ -545,9 +545,13 @@ def lineitem_theta_sketch_overlap(spark, sf_dir):
     per (partition id, flag)), then a merge of <= partitions*k
     candidates per flag yields the global bottom-k.  No per-flag total
     sort, no window function anywhere (plan-pinned by
-    `test_plans.py::test_theta_sketch_no_per_flag_total_sort`); constant
-    memory, mergeable across shards.  The exact-join verification column
-    is the part you DROP at 100 TB (it exists to certify the sketch)."""
+    `test_plans.py::test_theta_sketch_no_per_flag_total_sort`);
+    mergeable across shards.  Memory is bounded by partition size, not
+    constant: the phase-1 collect_list buffers a task's distinct hashes
+    before slice truncates to k (repartition upstream to cap task input
+    on skewed data; the removed window sort could spill but paid a
+    per-flag total sort).  The exact-join verification column is the
+    part you DROP at 100 TB (it exists to certify the sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
     h = hash60("l_partkey", seed=3)
     hashes = (
@@ -555,9 +559,13 @@ def lineitem_theta_sketch_overlap(spark, sf_dir):
         .select(F.col("l_returnflag").alias("flag"), h.alias("h"))
         .distinct()
     )
-    # Phase 1: per-partition bottom-k.  collect_list partially aggregates
-    # map-side, and (partition id, flag) groups never span tasks, so the
-    # shuffle carries <= partitions*2 rows of <= k hashes each.
+    # Phase 1: per-partition bottom-k.  (partition id, flag) groups never
+    # span tasks, so the shuffle carries <= partitions*2 ROWS — but the
+    # partial collect_list buffers a partition's FULL distinct-hash list
+    # pre-slice (the slice projection runs after the final aggregation),
+    # so per-row payload is O(partition distinct hashes), not <= k.
+    # Volume = distinct hashes, unavoidable for an exact bottom-k sketch;
+    # the win vs the old shape is no single-reducer per-flag total sort.
     part_bk = hashes.groupBy(
         F.spark_partition_id().alias("_pid"), "flag"
     ).agg(

@@ -70,6 +70,9 @@ NOTES = {
     "q4_late_shipment_exists": "EXISTS via aggregate decorrelation: grouped max(ship) per order (map-side combined, envelope pushed to scan) + one keyed join — no fact-sized semi-join build",
     "q15_top_supplier": "grouped revenue on the supplier key; rounded argmax broadcast back as a one-row cross; supplier enrich broadcast",
     "q17_small_quantity": "correlated threshold decorrelated: brand/size-pruned parts semi-filter the fact BEFORE the per-part avg; threshold joins back broadcast",
+    # round 7/8
+    "lineitem_theta_sketch_overlap": "two-phase reducible bottom-k: per-partition slice(sort_array(collect_list)) then a merge of <= partitions*k candidates — no per-flag total sort, no window; the Cross joins are 1-row sketch relations",
+    "dedup_clusters": "pair relation pinned once (localCheckpoint) so the MinHash candidate+verify DAG runs ONCE; per-round cost is one edge join + grouped min + label-of-label jump join, rounds bounded ~O(log diameter)",
 }
 
 

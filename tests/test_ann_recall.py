@@ -117,3 +117,58 @@ def test_knn_job_per_tile_spill_matches_union(spark, sf_dir, tmp_path):
     assert sorted(map(key, base.collect())) == sorted(
         map(key, spilled.collect())
     )
+
+
+def test_knn_spill_raises_on_nonlocal_master_without_spill_dir(
+    spark, sf_dir, monkeypatch
+):
+    """Cluster-safety contract: when the spill path is reached with
+    spill_dir=None on a non-local master, the builder must raise — a
+    driver-local tempdir would silently lose executor task commits
+    (missing candidates = silent wrong answer)."""
+    import pytest
+
+    from ffiec_pq_spark.operators.similarity import knn_exact_topk
+    from ffiec_pq_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id % 10 == 0).limit(40)
+    monkeypatch.setattr(spark.sparkContext, "master", "spark://fake:7077")
+    with pytest.raises(ValueError, match="spill_dir"):
+        knn_exact_topk(emb, q, k=3, tile_size=5, max_union_tiles=2)
+
+
+def test_knn_spill_tempdir_registered_for_cleanup(
+    spark, sf_dir, monkeypatch
+):
+    """On a local master the auto-created spill tempdir must be
+    registered for removal at interpreter exit (no leaked dirs)."""
+    import atexit
+    import shutil
+
+    from ffiec_pq_spark.operators import similarity
+    from ffiec_pq_spark.session import load_table
+
+    registered = []
+    real_register = atexit.register
+
+    def capture(fn, *a, **kw):
+        registered.append((fn, a))
+        return real_register(fn, *a, **kw)
+
+    monkeypatch.setattr(atexit, "register", capture)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id % 10 == 0).limit(40)
+    out = similarity.knn_exact_topk(
+        emb, q, k=3, tile_size=5, max_union_tiles=2
+    )
+    assert out.count() > 0
+    spill_regs = [
+        (fn, a) for fn, a in registered if fn is shutil.rmtree
+    ]
+    assert spill_regs, "spill tempdir was not registered for atexit cleanup"
+    import os
+
+    assert os.path.isdir(spill_regs[0][1][0])
+    # clean up now rather than at interpreter exit
+    shutil.rmtree(spill_regs[0][1][0], ignore_errors=True)

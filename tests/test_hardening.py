@@ -50,9 +50,30 @@ def test_connected_components_deep_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
-    labels = connected_components(pairs, max_iter=40, checkpoint_every=5)
+    labels = connected_components(pairs, max_iter=40)
     got = {r["id"]: r["cluster"] for r in labels.collect()}
     assert got == {i: 0 for i in range(31)}
+
+
+def test_connected_components_pointer_jump_round_bound(spark):
+    """Pins the pointer-jump win: a 64-node chain (diameter 63) must
+    converge in O(log d) rounds — the label-of-label jump roughly
+    doubles propagation reach per round, so ~log2(64)=6 reach rounds
+    plus the change-detection round.  The pre-jump linear propagation
+    needed ~63 rounds here; a bound of 9 fails that code decisively
+    while leaving slack over the theoretical 7."""
+    from ffiec_pq_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs, max_iter=70)
+    got = {r["id"]: r["cluster"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert connected_components.last_rounds <= 9, (
+        f"pointer jumping regressed: {connected_components.last_rounds} "
+        "rounds for a 64-node chain (O(log d) expected)"
+    )
 
 
 def test_connected_components_nonconvergence_raises(spark):
@@ -61,10 +82,20 @@ def test_connected_components_nonconvergence_raises(spark):
     from ffiec_pq_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=3, checkpoint_every=2)
+        connected_components(pairs, max_iter=3)
+
+
+def test_connected_components_checkpoint_every_deprecated(spark):
+    """checkpoint_every is dead (every round checkpoints now): passing
+    it must warn, not be silently ignored."""
+    from ffiec_pq_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.warns(DeprecationWarning, match="checkpoint_every"):
+        connected_components(pairs, max_iter=5, checkpoint_every=2)
 
 
 def _embedding(seed: int, dim: int = 8) -> list[float]:

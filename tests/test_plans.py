@@ -494,3 +494,22 @@ def test_theta_sketch_no_per_flag_total_sort(spark, sf_dir):
     plan = physical_plan(df)
     assert "windowspecdefinition" not in plan
     assert "row_number" not in plan
+
+
+def test_exactsubstr_join_stays_keyed(spark, sf_dir):
+    """ExactSubstr must never go all-pairs: the duplicated-gram
+    restriction is a KEYED semi-join on the 60-bit gram hash (no
+    cartesian, no broadcast-nested-loop), run extension is a per-doc
+    window (no single-partition window), and the whole pipeline is the
+    three keyed shuffles the operator contract states (+1 for the AQE
+    final agg split at test parallelism)."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["docs_exactsubstr_spans"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # run extension must be a PER-DOC window, not a global sort: no
+    # single-partition exchange anywhere
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 4, physical_plan(df)
