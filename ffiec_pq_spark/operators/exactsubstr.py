@@ -104,6 +104,40 @@ def duplicated_anchors(
     return grams.join(dup, "h", "left_semi").select("id", "pos")
 
 
+def spans_from_anchors(anchors: DataFrame, k: int) -> DataFrame:
+    """Run extension shared by the corpus-dedup and decontamination
+    paths: merge anchor positions with gap <= k into maximal disjoint
+    regions (gaps-and-islands inside ONE per-doc window partition).
+    Input: (id, pos); output: (id, span_start, span_end, n_anchors,
+    span_tokens)."""
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wdoc) <= F.lit(k), F.lit(0)
+    ).otherwise(F.lit(1))  # first row: lag is NULL -> otherwise -> 1
+    rid = F.sum("brk").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        anchors.withColumn("brk", brk)
+        .withColumn("rid", rid)
+        .groupBy("id", "rid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            "n_anchors",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
 def exact_substring_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -130,33 +164,65 @@ def exact_substring_spans(
         min_occurrences,
         max_anchor_df,
     )
-    wdoc = Window.partitionBy("id").orderBy("pos")
-    brk = F.when(
-        F.col("pos") - F.lag("pos").over(wdoc) <= F.lit(k), F.lit(0)
-    ).otherwise(F.lit(1))  # first row: lag is NULL -> otherwise -> 1
-    rid = F.sum("brk").over(
-        wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    regions = (
-        anchors.withColumn("brk", brk)
-        .withColumn("rid", rid)
-        .groupBy("id", "rid")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-            F.count(F.lit(1)).alias("n_anchors"),
+    return spans_from_anchors(anchors, k)
+
+
+def exact_substring_contamination(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_anchor_df: int | None = None,
+) -> DataFrame:
+    """Substring-level eval-set decontamination: for each eval document
+    with >= 1 verbatim k-token span present ANYWHERE in the train
+    corpus, the merged contaminated regions summed to
+    (id, n_tokens, contaminated_tokens, n_spans, contamination_rate).
+
+    This is the memorization-risk variant of the shingle-overlap
+    decontamination report (``contamination_overlap``): that one counts
+    SET overlap (any shared 3-grams, order-free); this one finds
+    CONTIGUOUS >= k-token verbatim runs — a benchmark answer string
+    pasted into a train doc trips this even when the documents are
+    otherwise unrelated.  Anchor = eval position whose gram hash occurs
+    in train (train side reduced to DISTINCT hashes first — one narrow
+    aggregate — so the semi-join probes |train vocab|, not |train
+    positions|); run extension is the shared gaps-and-islands pass.
+    ``max_anchor_df`` drops train grams above an occurrence cap
+    (boilerplate that would flag everything)."""
+    ev_g = positional_gram_hashes(eval_df, text_col, id_col, k)
+    tr_g = positional_gram_hashes(train_df, text_col, id_col, k)
+    if max_anchor_df is not None:
+        tr_h = (
+            tr_g.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") <= max_anchor_df)
+            .select("h")
         )
-        .select(
-            "id",
-            "span_start",
-            "span_end",
-            "n_anchors",
-            (F.col("span_end") - F.col("span_start") + 1).alias(
-                "span_tokens"
-            ),
-        )
+    else:
+        tr_h = tr_g.select("h").distinct()
+    anchors = ev_g.join(tr_h, "h", "left_semi").select("id", "pos")
+    spans = spans_from_anchors(anchors, k)
+    per_doc = spans.groupBy("id").agg(
+        F.sum("span_tokens").alias("contaminated_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
     )
-    return regions
+    base = eval_df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return base.join(per_doc, "id").select(
+        "id",
+        "n_tokens",
+        "contaminated_tokens",
+        "n_spans",
+        F.round(
+            F.col("contaminated_tokens")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("contamination_rate"),
+    )
 
 
 def exact_substring_dup_rate(

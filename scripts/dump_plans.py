@@ -73,6 +73,7 @@ NOTES = {
     # round 7/8
     "lineitem_theta_sketch_overlap": "two-phase reducible bottom-k: per-partition slice(sort_array(collect_list)) then a merge of <= partitions*k candidates — no per-flag total sort, no window; the Cross joins are 1-row sketch relations",
     "dedup_clusters": "pair relation pinned once (localCheckpoint) so the MinHash candidate+verify DAG runs ONCE; per-round cost is one edge join + grouped min + label-of-label jump join, rounds bounded ~O(log diameter)",
+    "docs_exactsubstr_spans": "ExactSubstr: gram-hash count (map-side combined) -> keyed semi-join back -> per-doc gaps-and-islands window; three keyed shuffles, no all-pairs, no suffix array",
 }
 
 

@@ -178,6 +178,10 @@ QUERIES = [
     "embedding_centroid_drift",
     "packing_capacity_sweep",
     "metric_subsample_ci",
+    # round-8 additions
+    "docs_exactsubstr_spans",
+    "docs_exactsubstr_dup_rate",
+    "stream_minhash_neardup",
 ]
 OFFSET = 10**9
 
@@ -234,6 +238,52 @@ NOTES = {
         "band buckets, so candidate pairs grow ~36x (8 copies -> 28 "
         "intra-clone pairs each) and each is exact-verified; the "
         "band join stays an equi-join on (band, signature)"
+    ),
+    # notes describing the CURRENT shipped plans (post round-7/8
+    # rewrites) — re-measured on this code, not carried forward
+    "events_value_equidepth": (
+        "shipped plan is distributed_rank (range exchange + partition-"
+        "local row_number + tiny offset join; queries/analytics.py) — "
+        "no per-type ntile total sort; plan-pinned by "
+        "test_equidepth_no_per_type_total_sort"
+    ),
+    "lineitem_theta_sketch_overlap": (
+        "two-phase reducible bottom-k (per-partition slice(sort_array("
+        "collect_list)) then merge of <= partitions*k candidates) — no "
+        "window, no per-flag total sort; plan-pinned by "
+        "test_theta_sketch_no_per_flag_total_sort"
+    ),
+    "dedup_clusters": (
+        "pair relation pinned once (eager localCheckpoint: the MinHash "
+        "candidate+verify DAG executes once, not per edge orientation) "
+        "+ label-of-label pointer jumping bounding rounds ~O(log "
+        "diameter); the 8x replica adds 8-way clone cliques but the "
+        "rep-level collapse keeps the component graph fixed"
+    ),
+    "dedup_keep_best": (
+        "rep-level grouped max_by over the same pinned pair relation; "
+        "duplication-invariant by the content-hash collapse"
+    ),
+    "doc_trigram_interpolated_lm": (
+        "per-doc scoring is linear compute (bigram/trigram arrays + "
+        "broadcast model join); 8x rows is 8x work partially absorbed "
+        "by cores idle at 1x — no shuffle grows super-linearly"
+    ),
+    "docs_exactsubstr_dup_rate": (
+        "the 8-way duplicate replica makes EVERY doc fully duplicated "
+        "(all grams repeat corpus-wide), so anchor rows jump from the "
+        "planted-overlap subset to 100% of token positions — "
+        "output/work growth is the corpus's duplication profile, not "
+        "a plan defect; all joins stay keyed on the gram hash"
+    ),
+    "docs_exactsubstr_spans": (
+        "same anchor-growth argument as docs_exactsubstr_dup_rate: on "
+        "the fully-duplicated replica every position is an anchor"
+    ),
+    "stream_minhash_neardup": (
+        "staging + 4 micro-batch drains dominate at this size; state "
+        "fold is n_bands rows/doc appended per batch, decision pass is "
+        "one (band,bkey) aggregation + same-keyed join"
     ),
 }
 
