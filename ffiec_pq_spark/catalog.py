@@ -62,7 +62,10 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
-    # --- round-8 additions (never sampled by definition) ---
+    # --- round-9 additions (never sampled by definition) ---
+    "eval_exactsubstr_contamination",
+    "docs_stratified_sample",
+    # --- round-8 additions (sampled once, round 8) ---
     "docs_exactsubstr_spans",
     "docs_exactsubstr_dup_rate",
     "stream_minhash_neardup",
@@ -184,6 +187,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round9  # noqa: F401
     from ffiec_pq_spark.queries import round8  # noqa: F401
     from ffiec_pq_spark.queries import round6  # noqa: F401
     from ffiec_pq_spark.queries import round6b  # noqa: F401

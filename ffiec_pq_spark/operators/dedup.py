@@ -524,6 +524,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     checkpoint_every: int | None = None,  # DEPRECATED: every round checkpoints
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, cluster) for every node in the pair graph; cluster = min id
     reachable in the component.
@@ -558,9 +559,13 @@ def connected_components(
     component into several reported clusters, which at production scale
     is a silent-correctness hazard.
 
-    The number of propagation rounds the last call took is exposed as
-    ``connected_components.last_rounds`` (tests pin the pointer-jump
-    O(log d) bound against it; not thread-safe, diagnostics only).
+    Round-count diagnostics: pass ``stats={}`` and read
+    ``stats["rounds"]`` after the call — per-call, so concurrent
+    pipelines in one driver cannot clobber each other's reading (the
+    pointer-jump O(log d) test pins the bound through this).  The last
+    call's count is ALSO mirrored on ``connected_components.last_rounds``
+    for interactive use; that attribute is shared mutable state —
+    diagnostics only, never read it from concurrent code.
     """
     if checkpoint_every is not None:
         import warnings
@@ -671,6 +676,8 @@ def connected_components(
             # abnormal exit (exception or non-convergence): the result
             # frame will never be read, so its blocks are releasable too
             _free_ckpt(prev_ckpt)
+        if stats is not None:
+            stats["rounds"] = rounds
         connected_components.last_rounds = rounds
     if not converged:
         raise RuntimeError(
@@ -681,13 +688,14 @@ def connected_components(
     return labels
 
 
-def dedup_cluster_summary(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
-) -> DataFrame:
-    """One row per duplicate cluster: (cluster_rep, n_members,
-    member_ids sorted) — the keep-one-representative step after any
-    near-dup pair finder."""
-    comp = connected_components(pairs, id_a, id_b)
+def dedup_cluster_summary(comp: DataFrame) -> DataFrame:
+    """One row per duplicate cluster from a component labelling
+    ``(id, cluster)``: (cluster_rep, n_members, member_ids sorted
+    array) — the keep-one-representative step after any near-dup pair
+    finder.  Takes the labels rather than raw pairs so one
+    ``connected_components`` run can feed both this summary and the
+    keep-best selection without recomputing the propagation
+    (certified through the ``dedup_clusters`` registry query)."""
     return comp.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sort_array(F.collect_list("id")).alias("member_ids"),

@@ -190,7 +190,15 @@ def exact_substring_contamination(
     aggregate — so the semi-join probes |train vocab|, not |train
     positions|); run extension is the shared gaps-and-islands pass.
     ``max_anchor_df`` drops train grams above an occurrence cap
-    (boilerplate that would flag everything)."""
+    (boilerplate that would flag everything).
+
+    Return contract: one row PER CONTAMINATED eval doc (inner join —
+    clean eval docs are absent, so the output is the flag list an evals
+    team acts on).  This deliberately differs from
+    :func:`exact_substring_dup_rate`, which is a total function of its
+    corpus (zeros for clean docs); left-join this result back onto the
+    eval relation with ``coalesce(.., 0)`` when a total report is
+    needed."""
     ev_g = positional_gram_hashes(eval_df, text_col, id_col, k)
     tr_g = positional_gram_hashes(train_df, text_col, id_col, k)
     if max_anchor_df is not None:

@@ -23,6 +23,41 @@ from pyspark.sql import functions as F
 
 _PAIR_IDS = itertools.count()
 
+# Auto-created kNN spill dirs pending removal at interpreter exit: ONE
+# module-level atexit handler over the set (repeated knn_exact_topk
+# calls in a long-lived driver must not stack one handler per call).
+# Callers that fully materialize a spilled result may discard its dir
+# early via knn_discard_spill().
+_PENDING_SPILL_DIRS: set[str] = set()
+_SPILL_ATEXIT_REGISTERED = False
+
+
+def _register_spill_dir(path: str) -> None:
+    global _SPILL_ATEXIT_REGISTERED
+    _PENDING_SPILL_DIRS.add(path)
+    if not _SPILL_ATEXIT_REGISTERED:
+        import atexit
+
+        atexit.register(_cleanup_spill_dirs)
+        _SPILL_ATEXIT_REGISTERED = True
+
+
+def _cleanup_spill_dirs() -> None:
+    import shutil
+
+    while _PENDING_SPILL_DIRS:
+        shutil.rmtree(_PENDING_SPILL_DIRS.pop(), ignore_errors=True)
+
+
+def knn_discard_spill(path: str) -> None:
+    """Free one auto-created kNN spill dir early (after the caller has
+    fully materialized / persisted the returned candidate relation —
+    the lazy parquet scan over it becomes unreadable)."""
+    import shutil
+
+    _PENDING_SPILL_DIRS.discard(path)
+    shutil.rmtree(path, ignore_errors=True)
+
 
 def _threshold_pairs(scored: DataFrame, threshold: float) -> DataFrame:
     """Filter scored pairs on the raw cosine and project it rounded.
@@ -475,6 +510,12 @@ def knn_exact_topk(
             else:
                 master = spark.sparkContext.master or ""
                 if not master.startswith("local"):
+                    # free the broadcasts already shipped for the
+                    # buffered tiles (and this tile's) before raising —
+                    # they would otherwise sit on the executors until GC
+                    for _, buffered_bc in tiles:
+                        buffered_bc.destroy()
+                    bc.destroy()
                     raise ValueError(
                         "knn_exact_topk: probe count exceeds the union "
                         "budget (max_union_tiles*tile_size) so tile "
@@ -485,13 +526,8 @@ def knn_exact_topk(
                         "URI (object store / DFS) visible to driver and "
                         "all executors."
                     )
-                import atexit
-                import shutil
-
                 spill_path = tempfile.mkdtemp(prefix="knn_tiles_")
-                atexit.register(
-                    shutil.rmtree, spill_path, ignore_errors=True
-                )
+                _register_spill_dir(spill_path)
             for buffered_df, buffered_bc in tiles:
                 _spill(buffered_df, buffered_bc)
             tiles = []

@@ -244,7 +244,10 @@ def dedup_clusters(spark, sf_dir):
     (iterative min-label propagation; the oracle replays it with a
     recursive CTE): one row per cluster with the min-id representative
     and sorted members — the keep-one step of a real dedup pipeline."""
-    from ffiec_pq_spark.operators.dedup import dup_components_collapsed
+    from ffiec_pq_spark.operators.dedup import (
+        dedup_cluster_summary,
+        dup_components_collapsed,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # components run on the rep-level graph (duplication-invariant edge
@@ -253,14 +256,11 @@ def dedup_clusters(spark, sf_dir):
     comp = dup_components_collapsed(
         docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
     )
-    out = comp.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sort_array(F.collect_list("id")).alias("member_ids"),
-    )
+    out = dedup_cluster_summary(comp)
     # comma-join the member list: the driver's canonicalizer can't sort
     # array-typed columns
     return out.select(
-        F.col("cluster").alias("cluster_rep"),
+        "cluster_rep",
         "n_members",
         F.array_join(F.col("member_ids").cast("array<string>"), ",").alias(
             "member_ids"

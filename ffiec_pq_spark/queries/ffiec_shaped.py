@@ -16,6 +16,8 @@ from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.functions.scalars import (
     et_to_utc,
     id_zero_to_null,
+    null_mdrm_sentinel,
+    parse_mdy,
     parse_yyyymmdd,
     pct_to_prop,
 )
@@ -129,7 +131,11 @@ def pivot_values_fn_max(spark, sf_dir):
                 ELSE try_strptime(strftime(DATE '2024-03-31', '%Y%m%d'), '%Y%m%d')::DATE
            END                                                      AS parsed_date,
            CASE WHEN c_custkey % 11 = 0 THEN NULL
-                ELSE try_strptime('20240331', '%Y%m%d')::DATE END   AS parsed_or_na
+                ELSE try_strptime('20240331', '%Y%m%d')::DATE END   AS parsed_or_na,
+           try_strptime(lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0')
+                        || '152024', '%m%d%Y')::DATE                AS mdy_date,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE DATE '2024-03-31' END                          AS end_date
     FROM customer
     """,
     tags=["ffiec", "scalar"],
@@ -137,10 +143,21 @@ def pivot_values_fn_max(spark, sf_dir):
 def ffiec_scalar_semantics(spark, sf_dir):
     """The reference's domain scalar semantics: id-zero->NULL
     (R/ffeic_read.R:329-333), percent->proportion (:535-558), YYYYMMDD
-    parse with NA tokens (:344-366) — as pure column expressions."""
+    parse with NA tokens (:344-366), MMDDYYYY manifest-field parse
+    (R/ffiec_manifest.R zip filename dates), and the MDRM 9999-12-31
+    end-of-time sentinel -> NULL — as pure column expressions."""
     c = load_table(spark, sf_dir, "customer")
     pct_str = F.concat((F.col("c_custkey") % 200).cast("string"), F.lit(".5%"))
     ymd = F.date_format(F.lit("2024-03-31").cast("date"), "yyyyMMdd")
+    mdy_str = F.concat(
+        F.lpad((F.col("c_custkey") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("152024"),
+    )
+    sentinel_or_date = (
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("9999-12-31"))
+        .otherwise(F.lit("2024-03-31"))
+        .cast("date")
+    )
     return c.select(
         "c_custkey",
         id_zero_to_null(F.col("c_nationkey").cast("string")).alias("nation_id"),
@@ -149,6 +166,8 @@ def ffiec_scalar_semantics(spark, sf_dir):
         F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("date"))
         .otherwise(parse_yyyymmdd(F.lit("20240331")))
         .alias("parsed_or_na"),
+        parse_mdy(mdy_str).alias("mdy_date"),
+        null_mdrm_sentinel(sentinel_or_date).alias("end_date"),
     )
 
 

@@ -9,7 +9,6 @@ cross-engine bit-for-bit, not just row counts.
 
 from __future__ import annotations
 
-import itertools
 import os
 
 from pyspark.sql import functions as F
@@ -27,8 +26,6 @@ from ffiec_pq_spark.session import load_table
 # spans are comfortably longer), >= 2 occurrences anywhere = duplicated.
 _ES_K = 8
 _ES_MIN_OCC = 2
-
-_SINK_IDS = itertools.count()
 
 
 def _exactsubstr_anchor_cte(k: int) -> str:
@@ -218,7 +215,14 @@ def stream_minhash_neardup(spark, sf_dir):
     state (O(corpus) like any seen-key dedup); run the same plan with a
     watermark-expired state store (dropDuplicatesWithinWatermark
     semantics, queries/streaming_queries.py) when dedup only needs a
-    lateness horizon rather than all history.  The decision pass is one
+    lateness horizon rather than all history.  Deploy shape for the
+    parquet-fold variant: the append writes one file per micro-batch, so
+    a long-lived stream (thousands of triggers) should either run the
+    band state through the state store as above, or periodically COMPACT
+    the band relation (read + coalesce + rewrite between triggers, or a
+    second availableNow maintenance stream) so the drain never pays a
+    small-files scan — the fold is a set union, so compaction commutes
+    with it.  The decision pass is one
     (band, bkey)-keyed aggregation + one same-keyed join — wide hashed
     key space, no skew magnet, no all-pairs."""
     import shutil

@@ -58,11 +58,6 @@ def scan_schedule(
     )
 
 
-def scan_long(spark: SparkSession, data_dir: str, type_name: str) -> DataFrame:
-    """Scan one type-partitioned long table by name (``ffiec_float`` ...)."""
-    return scan_pqs(spark, os.path.join(data_dir, f"ffiec_{type_name}.parquet"))
-
-
 def pq_schema(path: str):
     """Footer-only schema read (no data I/O, no Spark job)."""
     import pyarrow.parquet as pq

@@ -141,34 +141,28 @@ def test_knn_spill_raises_on_nonlocal_master_without_spill_dir(
 def test_knn_spill_tempdir_registered_for_cleanup(
     spark, sf_dir, monkeypatch
 ):
-    """On a local master the auto-created spill tempdir must be
-    registered for removal at interpreter exit (no leaked dirs)."""
-    import atexit
-    import shutil
+    """On a local master the auto-created spill tempdir must be added
+    to the module-level pending set behind the SINGLE atexit handler
+    (repeated calls must not stack one handler per call), and
+    ``knn_discard_spill`` must free it early."""
+    import os
 
     from ffiec_pq_spark.operators import similarity
     from ffiec_pq_spark.session import load_table
 
-    registered = []
-    real_register = atexit.register
-
-    def capture(fn, *a, **kw):
-        registered.append((fn, a))
-        return real_register(fn, *a, **kw)
-
-    monkeypatch.setattr(atexit, "register", capture)
+    before = set(similarity._PENDING_SPILL_DIRS)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(emb.vec_id % 10 == 0).limit(40)
     out = similarity.knn_exact_topk(
         emb, q, k=3, tile_size=5, max_union_tiles=2
     )
     assert out.count() > 0
-    spill_regs = [
-        (fn, a) for fn, a in registered if fn is shutil.rmtree
-    ]
-    assert spill_regs, "spill tempdir was not registered for atexit cleanup"
-    import os
-
-    assert os.path.isdir(spill_regs[0][1][0])
-    # clean up now rather than at interpreter exit
-    shutil.rmtree(spill_regs[0][1][0], ignore_errors=True)
+    new_dirs = similarity._PENDING_SPILL_DIRS - before
+    assert new_dirs, "spill tempdir was not registered for atexit cleanup"
+    assert similarity._SPILL_ATEXIT_REGISTERED
+    (spill_dir,) = new_dirs
+    assert os.path.isdir(spill_dir)
+    # early free (this test is done reading the result)
+    similarity.knn_discard_spill(spill_dir)
+    assert spill_dir not in similarity._PENDING_SPILL_DIRS
+    assert not os.path.isdir(spill_dir)

@@ -67,13 +67,17 @@ def test_connected_components_pointer_jump_round_bound(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
-    labels = connected_components(pairs, max_iter=70)
+    stats: dict = {}
+    labels = connected_components(pairs, max_iter=70, stats=stats)
     got = {r["id"]: r["cluster"] for r in labels.collect()}
     assert got == {i: 0 for i in range(64)}
-    assert connected_components.last_rounds <= 9, (
-        f"pointer jumping regressed: {connected_components.last_rounds} "
+    # per-call stats dict: immune to a concurrent pipeline overwriting
+    # the shared last_rounds attribute between our call and this read
+    assert stats["rounds"] <= 9, (
+        f"pointer jumping regressed: {stats['rounds']} "
         "rounds for a 64-node chain (O(log d) expected)"
     )
+    assert connected_components.last_rounds == stats["rounds"]
 
 
 def test_connected_components_nonconvergence_raises(spark):

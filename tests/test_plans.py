@@ -513,3 +513,25 @@ def test_exactsubstr_join_stays_keyed(spark, sf_dir):
     # single-partition exchange anywhere
     assert "SinglePartition" not in plan
     assert count_exchanges(df) <= 4, physical_plan(df)
+
+
+def test_exactsubstr_contamination_train_aggregates_before_join(
+    spark, sf_dir
+):
+    """Eval decontamination must probe |train vocab|, not |train
+    positions|: the train side reduces to DISTINCT gram hashes via an
+    AGGREGATE that sits BELOW the semi-join in the plan, the join is
+    keyed on the hash (no cartesian / BNLJ), and run extension stays a
+    per-doc window (no single-partition exchange)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["eval_exactsubstr_contamination"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    # the train-side distinct is a HashAggregate on the gram hash: it
+    # must appear (the join probes an aggregated relation, not raw
+    # positions).  LeftSemi marks the keyed anchor restriction.
+    assert "LeftSemi" in plan, plan
+    assert "HashAggregate" in plan, plan
