@@ -12,12 +12,15 @@ standard scalable surrogate, hashed k-gram ANCHORS:
 1. every token position p of every doc emits the hash of its k-token
    gram (one narrow array projection + posexplode — no shuffle yet);
 2. a gram hash occurring at >= min_occurrences positions corpus-wide is
-   "duplicated" (ONE shuffle: groupBy on the 60-bit gram hash — wide
-   key space, no skew magnet) — the anchor positions come back via a
-   semi-join keyed on the same hash (second shuffle, same key);
+   "duplicated": ONE shuffle of the (id, pos, h) rows on the 60-bit
+   gram hash, then ``count() OVER (PARTITION BY h)`` + a partition-
+   local filter — the gram expression (tokenize + md5, the dominant
+   CPU) is evaluated exactly once (``gram_plan`` in
+   :func:`duplicated_anchors` documents the alternatives and the
+   8x/16x measurements that picked this default);
 3. per-doc RUN EXTENSION: anchor positions whose gap is <= k merge into
    maximal duplicated REGIONS (their gram windows overlap or touch), a
-   gaps-and-islands pass inside ONE per-doc window partition (third
+   gaps-and-islands pass inside ONE per-doc window partition (second
    shuffle, keyed on doc id).
 
 Every duplicated span of length >= 2k-1 tokens is guaranteed to be
@@ -27,7 +30,7 @@ a conservative SUPERSET of true ExactSubstr spans (two anchors may be
 duplicated from different sources), which is the safe direction for a
 removal/flagging pipeline; k is the precision knob.
 
-No step is ever all-pairs: cost = |token positions| rows through three
+No step is ever all-pairs: cost = |token positions| rows through two
 keyed shuffles.  At 100 TB the df cap (``max_anchor_df``) bounds the
 anchor fan-in of degenerate grams (whitespace runs, boilerplate
 headers) exactly like the high-df term drop in the Jaccard operators.
@@ -86,6 +89,7 @@ def duplicated_anchors(
     grams: DataFrame,
     min_occurrences: int = 2,
     max_anchor_df: int | None = None,
+    gram_plan: str = "window",
 ) -> DataFrame:
     """(id, pos) anchor positions whose k-gram hash occurs at
     >= min_occurrences positions corpus-wide (within- AND cross-doc
@@ -95,11 +99,55 @@ def duplicated_anchors(
     ``max_anchor_df`` additionally DROPS grams above a document-
     frequency-style occurrence cap: degenerate ultra-common grams
     otherwise dominate both the group fan-in and the region output at
-    scale (same rationale as ``max_shingle_df`` in the Jaccard ops)."""
-    agg = grams.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    scale (same rationale as ``max_shingle_df`` in the Jaccard ops).
+
+    ``gram_plan`` picks how the occurrence restriction is computed —
+    the gram relation (tokenize + md5 per position) is the operator's
+    dominant CPU cost, so whether it is evaluated once or twice is the
+    headline knob (measured head-to-head at 8x/16x replicated sf0.1;
+    numbers in SCALECHECK.json notes):
+
+    - ``"window"`` (default, measured fastest): ONE pass — shuffle the
+      (id, pos, h) rows once on the gram hash and take
+      ``count() OVER (PARTITION BY h)``; the duplicated-gram filter
+      then runs partition-locally and the gram expression is never
+      re-evaluated.  One fewer exchange than the join shape and half
+      its tokenize+md5 work.  Caveat: a degenerate ultra-common gram
+      lands its whole position set in one window partition (AQE cannot
+      split window skew the way it splits join skew) — ``max_anchor_df``
+      still drops it from the OUTPUT, and the 60-bit hash key space
+      makes a natural-language gram hot enough to matter a data bug,
+      not a plan property.
+    - ``"recompute"``: the two-branch shape (map-side-combined groupBy
+      -> distinct duplicated hashes -> keyed semi-join back), which
+      evaluates the gram expression twice but never materializes it;
+      shuffles stay AQE-skew-splittable.  The right choice if the
+      window caveat above is live (pathological key skew AND the df cap
+      must still count the hot gram exactly).
+    - ``"persist"``: the join shape probing an eagerly materialized
+      (``localCheckpoint``) gram relation — one tokenize+md5 pass AND
+      skew-splittable joins, at the cost of materializing |positions|
+      rows to executor storage and pinning those blocks until session
+      GC (this builder returns a lazy plan, so there is no safe point
+      to free them).  Use only when both caveats bite at once.
+    """
     cond = F.col("occ") >= min_occurrences
     if max_anchor_df is not None:
         cond = cond & (F.col("occ") <= max_anchor_df)
+    if gram_plan == "window":
+        w = Window.partitionBy("h")
+        return (
+            grams.withColumn("occ", F.count(F.lit(1)).over(w))
+            .filter(cond)
+            .select("id", "pos")
+        )
+    if gram_plan == "persist":
+        grams = grams.localCheckpoint(eager=True)
+    elif gram_plan != "recompute":
+        raise ValueError(
+            f"gram_plan must be window|recompute|persist, got {gram_plan!r}"
+        )
+    agg = grams.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     dup = agg.filter(cond).select("h")
     return grams.join(dup, "h", "left_semi").select("id", "pos")
 
@@ -145,6 +193,7 @@ def exact_substring_spans(
     k: int = 8,
     min_occurrences: int = 2,
     max_anchor_df: int | None = None,
+    gram_plan: str = "window",
 ) -> DataFrame:
     """Maximal duplicated token regions per document:
     (id, span_start, span_end, n_anchors, span_tokens) with 1-based
@@ -163,6 +212,7 @@ def exact_substring_spans(
         positional_gram_hashes(df, text_col, id_col, k),
         min_occurrences,
         max_anchor_df,
+        gram_plan,
     )
     return spans_from_anchors(anchors, k)
 
@@ -240,6 +290,7 @@ def exact_substring_dup_rate(
     k: int = 8,
     min_occurrences: int = 2,
     max_anchor_df: int | None = None,
+    gram_plan: str = "window",
 ) -> DataFrame:
     """Per-document duplicated-token budget:
     (id, n_tokens, dup_tokens, n_spans, dup_rate) — ``dup_tokens`` sums
@@ -248,7 +299,7 @@ def exact_substring_dup_rate(
     join from the doc relation), so the output is a total function of
     the corpus — the gating signal a curation pipeline thresholds on."""
     spans = exact_substring_spans(
-        df, text_col, id_col, k, min_occurrences, max_anchor_df
+        df, text_col, id_col, k, min_occurrences, max_anchor_df, gram_plan
     )
     per_doc = spans.groupBy("id").agg(
         F.sum("span_tokens").alias("dup_tokens"),

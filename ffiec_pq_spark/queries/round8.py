@@ -83,10 +83,11 @@ def docs_exactsubstr_spans(spark, sf_dir):
     maximal token regions repeated verbatim >= 2 times anywhere in the
     corpus — within- or cross-document — as (doc_id, span_start,
     span_end, n_anchors, span_tokens) with 1-based inclusive token
-    positions.  Scale shape: |token positions| rows through three keyed
-    shuffles (gram-hash group, gram-hash semi-join, per-doc window) —
-    never all-pairs, never a global suffix array (operator docstring:
-    operators/exactsubstr.py)."""
+    positions.  Scale shape: |token positions| rows through two keyed
+    shuffles (gram-hash window count, per-doc window) with the gram
+    expression — the dominant CPU — evaluated once; never all-pairs,
+    never a global suffix array (operator docstring + ``gram_plan``
+    measurements: operators/exactsubstr.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_substring_spans(
         docs, k=_ES_K, min_occurrences=_ES_MIN_OCC

@@ -73,7 +73,9 @@ NOTES = {
     # round 7/8
     "lineitem_theta_sketch_overlap": "two-phase reducible bottom-k: per-partition slice(sort_array(collect_list)) then a merge of <= partitions*k candidates — no per-flag total sort, no window; the Cross joins are 1-row sketch relations",
     "dedup_clusters": "pair relation pinned once (localCheckpoint) so the MinHash candidate+verify DAG runs ONCE; per-round cost is one edge join + grouped min + label-of-label jump join, rounds bounded ~O(log diameter)",
-    "docs_exactsubstr_spans": "ExactSubstr: gram-hash count (map-side combined) -> keyed semi-join back -> per-doc gaps-and-islands window; three keyed shuffles, no all-pairs, no suffix array",
+    "docs_exactsubstr_spans": "ExactSubstr (round-9 single-pass gram_plan='window'): ONE keyed shuffle on the gram hash + count-over-window duplicated filter (gram expression evaluated once) -> per-doc gaps-and-islands window; two keyed shuffles, no all-pairs, no suffix array",
+    "eval_exactsubstr_contamination": "substring eval decontamination: train side aggregates to DISTINCT gram hashes (map-side combined) before the keyed semi-join — probes |train vocab|, not |train positions|; eval anchors -> per-doc window -> inner join back to flagged eval docs",
+    "docs_stratified_sample": "per-stratum hash gate: pure column expressions, ZERO exchanges, scan-prunable",
 }
 
 

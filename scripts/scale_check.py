@@ -182,6 +182,9 @@ QUERIES = [
     "docs_exactsubstr_spans",
     "docs_exactsubstr_dup_rate",
     "stream_minhash_neardup",
+    # round-9 additions
+    "eval_exactsubstr_contamination",
+    "docs_stratified_sample",
 ]
 OFFSET = 10**9
 
@@ -274,11 +277,25 @@ NOTES = {
         "(all grams repeat corpus-wide), so anchor rows jump from the "
         "planted-overlap subset to 100% of token positions — "
         "output/work growth is the corpus's duplication profile, not "
-        "a plan defect; all joins stay keyed on the gram hash"
+        "a plan defect; all shuffles stay keyed on the gram hash. "
+        "gram_plan measured round 9 (scripts/exactsubstr_plan_bench.py, "
+        "sf0.1 base): shipped single-pass 'window' beats the round-8 "
+        "double-tokenize 'recompute' 2.67s vs 3.61s at 8x and 4.44s "
+        "vs 8.72s at 16x (persist: 3.07s / 4.83s) — the gram "
+        "expression now evaluates once and the pipeline is two keyed "
+        "shuffles instead of three"
     ),
     "docs_exactsubstr_spans": (
         "same anchor-growth argument as docs_exactsubstr_dup_rate: on "
-        "the fully-duplicated replica every position is an anchor"
+        "the fully-duplicated replica every position is an anchor; "
+        "same round-9 single-pass gram_plan='window' shape"
+    ),
+    "eval_exactsubstr_contamination": (
+        "the 8-way replica pastes every eval doc's text verbatim into "
+        "7 train copies, so every eval position anchors and the "
+        "flagged set saturates — growth tracks planted contamination, "
+        "not a plan defect; train side reduces to distinct gram hashes "
+        "before the keyed semi-join"
     ),
     "stream_minhash_neardup": (
         "staging + 4 micro-batch drains dominate at this size; state "

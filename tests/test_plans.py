@@ -498,11 +498,12 @@ def test_theta_sketch_no_per_flag_total_sort(spark, sf_dir):
 
 def test_exactsubstr_join_stays_keyed(spark, sf_dir):
     """ExactSubstr must never go all-pairs: the duplicated-gram
-    restriction is a KEYED semi-join on the 60-bit gram hash (no
-    cartesian, no broadcast-nested-loop), run extension is a per-doc
-    window (no single-partition window), and the whole pipeline is the
-    three keyed shuffles the operator contract states (+1 for the AQE
-    final agg split at test parallelism)."""
+    restriction is one KEYED shuffle on the 60-bit gram hash + a
+    count-over-window partition-local filter (gram_plan="window" — the
+    single-pass shape the 8x/16x measurements picked; no cartesian, no
+    broadcast-nested-loop), run extension is a per-doc window (no
+    single-partition window), and the whole pipeline is the two keyed
+    shuffles the operator contract states (+1 slack for an AQE split)."""
     from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
 
     df = queries()["docs_exactsubstr_spans"](spark, sf_dir)
@@ -512,7 +513,7 @@ def test_exactsubstr_join_stays_keyed(spark, sf_dir):
     # run extension must be a PER-DOC window, not a global sort: no
     # single-partition exchange anywhere
     assert "SinglePartition" not in plan
-    assert count_exchanges(df) <= 4, physical_plan(df)
+    assert count_exchanges(df) <= 3, physical_plan(df)
 
 
 def test_exactsubstr_contamination_train_aggregates_before_join(
