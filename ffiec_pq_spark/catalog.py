@@ -65,6 +65,7 @@ _NEVER_SAMPLED_FIRST = [
     # --- round-9 additions (never sampled by definition) ---
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
+    "docs_exactsubstr_cleaned",
     # --- round-8 additions (sampled once, round 8) ---
     "docs_exactsubstr_spans",
     "docs_exactsubstr_dup_rate",

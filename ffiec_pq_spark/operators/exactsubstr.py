@@ -283,6 +283,67 @@ def exact_substring_contamination(
     )
 
 
+def exact_substring_cleaned(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+    max_anchor_df: int | None = None,
+    gram_plan: str = "window",
+) -> DataFrame:
+    """The REMOVAL transform of the ExactSubstr pipeline: every document
+    with its duplicated regions stripped, as (id, n_tokens, kept_tokens,
+    removed_tokens, cleaned_text).  Clean docs pass through verbatim
+    (left join from the doc relation — total function of the corpus).
+
+    Removal policy: ALL occurrences of a duplicated region are removed
+    ("strip boilerplate entirely") — regions mark every repeat, and
+    their extents are not content-keyed across documents (two copies of
+    a pasted paragraph can merge with different surrounding duplication
+    per doc), so a keep-one-canonical-copy policy has no well-defined
+    region identity to key on.  Pipelines that want to RETAIN one copy
+    of shared content should instead threshold on
+    :func:`exact_substring_dup_rate` (drop only docs that are mostly
+    boilerplate) — the conservative direction for a training corpus.
+
+    Scale shape: the span relation aggregates to one compact
+    (id, spans array) row per flagged doc (grouped collect of disjoint
+    [start, end] pairs — bounded by tokens/k per doc), joins back to
+    the doc relation KEYED on the doc id, and the strip itself is a
+    narrow higher-order ``filter`` over the token array (position
+    not in any span) — no explode of |token positions| rows through
+    the join, no shuffle beyond the span aggregation + one keyed
+    join."""
+    spans = exact_substring_spans(
+        df, text_col, id_col, k, min_occurrences, max_anchor_df, gram_plan
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+        F.expr(
+            "filter(toks, (t, i) -> NOT exists(spans, "
+            "s -> i + 1 >= s.span_start AND i + 1 <= s.span_end))"
+        )
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "id",
+            F.size("toks").alias("n_tokens"),
+            F.size("kept").alias("kept_tokens"),
+            (F.size("toks") - F.size("kept")).alias("removed_tokens"),
+            F.concat_ws(" ", F.col("kept")).alias("cleaned_text"),
+        )
+    )
+
+
 def exact_substring_dup_rate(
     df: DataFrame,
     text_col: str = "text",

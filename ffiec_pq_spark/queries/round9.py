@@ -128,6 +128,77 @@ def eval_exactsubstr_contamination(spark, sf_dir):
     )
 
 
+def _cleaned_oracle() -> str:
+    """Replay of :func:`exact_substring_cleaned`: the shared corpus
+    anchor/span CTEs (queries/round8.py — identical k and
+    min_occurrences), then positional removal via NOT EXISTS against
+    the span intervals and an ordered string_agg rebuild."""
+    from ffiec_pq_spark.queries.round8 import _ES_K as K8
+    from ffiec_pq_spark.queries.round8 import _exactsubstr_anchor_cte
+
+    assert K8 == _ES_K
+    return f"""
+    WITH {_exactsubstr_anchor_cte(_ES_K)},
+    tok AS (
+      SELECT id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+      FROM (SELECT doc_id AS id,
+                   string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    kept AS (
+      SELECT t.id, t.pos, t.tok
+      FROM tok t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.id = t.id AND t.pos BETWEEN s.span_start AND s.span_end
+      )
+    ),
+    kc AS (
+      SELECT id, count(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY id
+    )
+    SELECT d.doc_id,
+           len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens,
+           coalesce(kc.kept_tokens, 0) AS kept_tokens,
+           len(string_split_regex(trim(d.text), '\\s+'))
+             - coalesce(kc.kept_tokens, 0) AS removed_tokens,
+           coalesce(kc.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN kc ON kc.id = d.doc_id
+    """
+
+
+@register(
+    "docs_exactsubstr_cleaned",
+    _cleaned_oracle(),
+    tags=["dedup", "exactsubstr"],
+)
+def docs_exactsubstr_cleaned(spark, sf_dir):
+    """The ExactSubstr REMOVAL transform: every document with its
+    duplicated (>= 2 occurrences corpus-wide) token regions stripped —
+    (doc_id, n_tokens, kept_tokens, removed_tokens, cleaned_text), a
+    total function of the corpus (clean docs pass through).  This is
+    the step that actually PRODUCES the deduplicated training corpus;
+    the spans/dup_rate queries are its audit views.  Strip policy and
+    scale shape: operator docstring (operators/exactsubstr.py) — span
+    relation compacts to one (id, spans) row per flagged doc, joins
+    back KEYED on doc id, removal is a narrow higher-order filter over
+    the token array; no |positions|-sized explode through the join."""
+    from ffiec_pq_spark.operators.exactsubstr import exact_substring_cleaned
+    from ffiec_pq_spark.queries.round8 import _ES_MIN_OCC
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_cleaned(
+        docs, k=_ES_K, min_occurrences=_ES_MIN_OCC
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "kept_tokens",
+        "removed_tokens",
+        "cleaned_text",
+    )
+
+
 # Per-language sampling rates: keep ALL of the rarest class, downsample
 # the dominant one, and exercise the default-rate path for the
 # unnamed strata ('es', 'de').

@@ -76,6 +76,7 @@ NOTES = {
     "docs_exactsubstr_spans": "ExactSubstr (round-9 single-pass gram_plan='window'): ONE keyed shuffle on the gram hash + count-over-window duplicated filter (gram expression evaluated once) -> per-doc gaps-and-islands window; two keyed shuffles, no all-pairs, no suffix array",
     "eval_exactsubstr_contamination": "substring eval decontamination: train side aggregates to DISTINCT gram hashes (map-side combined) before the keyed semi-join — probes |train vocab|, not |train positions|; eval anchors -> per-doc window -> inner join back to flagged eval docs",
     "docs_stratified_sample": "per-stratum hash gate: pure column expressions, ZERO exchanges, scan-prunable",
+    "docs_exactsubstr_cleaned": "ExactSubstr removal transform: span relation compacts to one (id, spans) row per flagged doc (grouped collect), joins back KEYED on doc id, strip is a narrow higher-order filter over the token array — no |positions| explode through the join",
 }
 
 

@@ -185,6 +185,7 @@ QUERIES = [
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
+    "docs_exactsubstr_cleaned",
 ]
 OFFSET = 10**9
 
@@ -296,6 +297,13 @@ NOTES = {
         "flagged set saturates — growth tracks planted contamination, "
         "not a plan defect; train side reduces to distinct gram hashes "
         "before the keyed semi-join"
+    ),
+    "docs_exactsubstr_cleaned": (
+        "same fully-duplicated-replica anchor saturation as "
+        "docs_exactsubstr_dup_rate, plus the strip itself: every doc "
+        "carries a spans array and the higher-order token filter "
+        "touches 100% of positions — linear in corpus tokens, keyed "
+        "join, no positional explode"
     ),
     "stream_minhash_neardup": (
         "staging + 4 micro-batch drains dominate at this size; state "

@@ -536,3 +536,20 @@ def test_exactsubstr_contamination_train_aggregates_before_join(
     # positions).  LeftSemi marks the keyed anchor restriction.
     assert "LeftSemi" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_exactsubstr_cleaned_no_positional_explode(spark, sf_dir):
+    """The removal transform must strip via a narrow higher-order
+    filter over the token array, NOT by exploding |token positions|
+    rows through the join: no cartesian/BNLJ, no single-partition
+    exchange, and no more exchanges than the spans pipeline itself
+    (the span collect + doc join ride the existing per-doc
+    partitioning, +1 slack for an AQE split)."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["docs_exactsubstr_cleaned"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 3, physical_plan(df)
