@@ -66,6 +66,7 @@ _NEVER_SAMPLED_FIRST = [
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
     "docs_exactsubstr_cleaned",
+    "docs_nb_lang_confusion",
     # --- round-8 additions (sampled once, round 8) ---
     "docs_exactsubstr_spans",
     "docs_exactsubstr_dup_rate",

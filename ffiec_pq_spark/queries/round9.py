@@ -1,12 +1,20 @@
-"""Round-9 queries: substring-level eval-set decontamination (the
-eval-vs-train member of the ExactSubstr family — the audit an evals
-team runs FIRST: "is any benchmark answer string pasted verbatim into
-the training corpus?") and the per-stratum deterministic sampler.
+"""Round-9 queries:
 
-Both are strict-oracle certified: the DuckDB SQL replays the identical
+- ``eval_exactsubstr_contamination`` — substring-level eval-set
+  decontamination (the eval-vs-train member of the ExactSubstr family:
+  "is any benchmark answer string pasted verbatim into the training
+  corpus?");
+- ``docs_exactsubstr_cleaned`` — the ExactSubstr REMOVAL transform
+  (the step that produces the deduplicated corpus);
+- ``docs_stratified_sample`` — the per-stratum deterministic sampler;
+- ``docs_nb_lang_confusion`` — a trainable Naive-Bayes classifier
+  filter (CCNet/fastText lineage) with exact integer-scaled
+  log-likelihoods.
+
+All strict-oracle certified: each DuckDB SQL replays the identical
 pipeline (portable md5-prefix hashes, same k-gram anchoring and
-gaps-and-islands run extension), so the cross-corpus anchoring is
-verified bit-for-bit, not just row counts.
+gaps-and-islands run extension, same integer micro-nat scaling), so
+results are verified bit-for-bit, not just row counts.
 """
 
 from __future__ import annotations
@@ -246,3 +254,266 @@ def docs_stratified_sample(spark, sf_dir):
         rates=_STRATA_RATES,
         default_rate=_STRATA_DEFAULT,
     ).select("doc_id", "lang", "source")
+
+
+# --- Naive-Bayes language classifier (trainable classifier filter) ---
+#
+# The classifier-based curation filter of the CCNet/fastText lineage,
+# expressed relationally: train multinomial NB token likelihoods on a
+# stable modulus split, score the held-out docs, report the confusion
+# matrix.  All log-likelihoods are scaled to INTEGER micro-nats BEFORE
+# summation (round(ln(p) * 1e6)::BIGINT), so per-doc scores are exact
+# integer sums — order-independent, hash-identical across engines —
+# and the argmax cannot flip on a parallel-summation ulp.  Ties break
+# to the alphabetically-first class on both engines.
+
+_NB_LANGS = ["de", "en", "es", "fr", "zh"]
+_NB_TEST_MOD = 5  # doc_id % 5 == 0 -> test (~20%), else train
+_NB_SCALE = 1_000_000
+
+
+def _nb_confusion_oracle() -> str:
+    langs = _NB_LANGS
+    ctl = ",\n             ".join(
+        f"sum(CASE WHEN lang = '{L}' THEN 1 ELSE 0 END) AS c_{L}"
+        for L in langs
+    )
+    cl = ",\n             ".join(
+        f"sum(CASE WHEN lang = '{L}' THEN 1 ELSE 0 END) AS cl_{L}"
+        for L in langs
+    )
+    nd = ",\n             ".join(
+        f"sum(CASE WHEN lang = '{L}' THEN 1 ELSE 0 END) AS nd_{L}"
+        for L in langs
+    )
+    ll = ",\n             ".join(
+        f"CAST(round(ln((m.c_{L} + 1) / (s.cl_{L} + s.v)) * {_NB_SCALE}) "
+        f"AS BIGINT) AS ll_{L}"
+        for L in langs
+    )
+    un = ",\n           ".join(
+        f"CAST(round(ln(1.0 / (cl_{L} + v)) * {_NB_SCALE}) AS BIGINT) "
+        f"AS un_{L}"
+        for L in langs
+    )
+    pri = ",\n           ".join(
+        f"CAST(round(ln(CAST(nd_{L} AS DOUBLE) / nd) * {_NB_SCALE}) "
+        f"AS BIGINT) AS pr_{L}"
+        for L in langs
+    )
+    sums = ",\n             ".join(
+        f"sum(coalesce(m.ll_{L}, u.un_{L})) AS s_{L}" for L in langs
+    )
+    tot = ",\n           ".join(
+        f"t.s_{L} + p.pr_{L} AS t_{L}" for L in langs
+    )
+    # first class (alphabetical) whose score is >= all others wins
+    pred_arms = "\n                ".join(
+        "WHEN "
+        + " AND ".join(f"t_{L} >= t_{R}" for R in langs if R != L)
+        + f" THEN '{L}'"
+        for L in langs
+    )
+    return f"""
+    WITH train AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id % {_NB_TEST_MOD} <> 0
+    ),
+    test AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id % {_NB_TEST_MOD} = 0
+    ),
+    tok_tr AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM train
+    ),
+    ctl AS (
+      SELECT tok,
+             {ctl}
+      FROM tok_tr GROUP BY tok
+    ),
+    scal AS (
+      SELECT count(DISTINCT tok) AS v,
+             {cl}
+      FROM tok_tr
+    ),
+    model AS (
+      SELECT m.tok,
+             {ll}
+      FROM ctl m CROSS JOIN scal s
+    ),
+    unseen AS (
+      SELECT {un}
+      FROM scal
+    ),
+    priors AS (
+      SELECT {pri}
+      FROM (SELECT count(*) AS nd,
+                   {nd}
+            FROM train)
+    ),
+    tok_te AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM test
+    ),
+    doc_sums AS (
+      SELECT t.doc_id, t.lang,
+             {sums}
+      FROM tok_te t
+      LEFT JOIN model m ON m.tok = t.tok
+      CROSS JOIN unseen u
+      GROUP BY t.doc_id, t.lang
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang AS actual,
+           {tot}
+      FROM doc_sums t CROSS JOIN priors p
+    ),
+    pred AS (
+      SELECT doc_id, actual,
+             CASE
+                {pred_arms}
+             END AS predicted
+      FROM scored
+    )
+    SELECT actual, predicted, count(*) AS n
+    FROM pred GROUP BY actual, predicted
+    """
+
+
+@register(
+    "docs_nb_lang_confusion",
+    _nb_confusion_oracle(),
+    tags=["quality", "classifier", "curation"],
+)
+def docs_nb_lang_confusion(spark, sf_dir):
+    """Trainable classifier-based curation filter (CCNet/fastText
+    lineage), relationally: multinomial Naive Bayes with Laplace
+    smoothing trained on the ~80% modulus split's token counts, scoring
+    the held-out 20%, reported as the (actual, predicted, n) confusion
+    matrix — the go/no-go artifact before deploying a learned filter
+    over a corpus.
+
+    Float discipline: every log-likelihood is scaled to integer
+    micro-nats (round(ln(p)*1e6) as BIGINT) BEFORE summation, so doc
+    scores are exact integer sums — order-independent under Spark's
+    parallel aggregation and hash-identical to the sequential DuckDB
+    replay; argmax ties break to the alphabetically-first class via an
+    identical comparison chain on both engines.
+
+    Scale shape: training is two grouped aggregates over the exploded
+    token stream (map-side combined, keyed on the token — natural Zipf
+    skew only); the model joins the test token stream KEYED on the
+    token with the tiny scalar relations (vocab size, class totals,
+    priors, unseen fallbacks) broadcast; per-doc score is one grouped
+    integer sum.  No all-pairs, no driver-side model materialization —
+    the model stays a distributed relation, which is what makes this
+    shape work when the vocabulary is 100M hashed n-grams instead of
+    60k tokens."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ffiec_pq_spark.operators.text import tokens
+
+    langs = _NB_LANGS
+    is_test = (F.col("doc_id") % _NB_TEST_MOD) == 0
+    train = docs.filter(~is_test)
+    test = docs.filter(is_test)
+
+    tok_tr = train.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    ctl = tok_tr.groupBy("tok").agg(
+        *[
+            F.sum(F.when(F.col("lang") == L, 1).otherwise(0)).alias(f"c_{L}")
+            for L in langs
+        ]
+    )
+    scal = tok_tr.agg(
+        F.countDistinct("tok").alias("v"),
+        *[
+            F.sum(F.when(F.col("lang") == L, 1).otherwise(0)).alias(f"cl_{L}")
+            for L in langs
+        ],
+    )
+
+    def _ll_int(expr):
+        return F.round(F.log(expr) * _NB_SCALE, 0).cast("long")
+
+    model = ctl.crossJoin(F.broadcast(scal)).select(
+        "tok",
+        *[
+            _ll_int(
+                (F.col(f"c_{L}") + 1) / (F.col(f"cl_{L}") + F.col("v"))
+            ).alias(f"ll_{L}")
+            for L in langs
+        ],
+    )
+    unseen = scal.select(
+        *[
+            _ll_int(F.lit(1.0) / (F.col(f"cl_{L}") + F.col("v"))).alias(
+                f"un_{L}"
+            )
+            for L in langs
+        ]
+    )
+    priors = train.agg(
+        F.count(F.lit(1)).alias("nd"),
+        *[
+            F.sum(F.when(F.col("lang") == L, 1).otherwise(0)).alias(f"nd_{L}")
+            for L in langs
+        ],
+    ).select(
+        *[
+            _ll_int(F.col(f"nd_{L}").cast("double") / F.col("nd")).alias(
+                f"pr_{L}"
+            )
+            for L in langs
+        ]
+    )
+
+    tok_te = test.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    doc_sums = (
+        tok_te.join(model, "tok", "left")
+        .crossJoin(F.broadcast(unseen))
+        .groupBy("doc_id", "actual")
+        .agg(
+            *[
+                F.sum(F.coalesce(F.col(f"ll_{L}"), F.col(f"un_{L}"))).alias(
+                    f"s_{L}"
+                )
+                for L in langs
+            ]
+        )
+    )
+    scored = doc_sums.crossJoin(F.broadcast(priors)).select(
+        "doc_id",
+        "actual",
+        *[
+            (F.col(f"s_{L}") + F.col(f"pr_{L}")).alias(f"t_{L}")
+            for L in langs
+        ],
+    )
+    pred = None
+    for L in langs:
+        cond = None
+        for R in langs:
+            if R == L:
+                continue
+            c = F.col(f"t_{L}") >= F.col(f"t_{R}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(L))
+            if pred is None
+            else pred.when(cond, F.lit(L))
+        )
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -77,6 +77,7 @@ NOTES = {
     "eval_exactsubstr_contamination": "substring eval decontamination: train side aggregates to DISTINCT gram hashes (map-side combined) before the keyed semi-join — probes |train vocab|, not |train positions|; eval anchors -> per-doc window -> inner join back to flagged eval docs",
     "docs_stratified_sample": "per-stratum hash gate: pure column expressions, ZERO exchanges, scan-prunable",
     "docs_exactsubstr_cleaned": "ExactSubstr removal transform: span relation compacts to one (id, spans) row per flagged doc (grouped collect), joins back KEYED on doc id, strip is a narrow higher-order filter over the token array — no |positions| explode through the join",
+    "docs_nb_lang_confusion": "Naive-Bayes classifier filter: token counts via map-side-combined grouped aggregates; model joins the test token stream KEYED on token; scalar relations (vocab size, class totals, priors) broadcast; scores are exact integer micro-nat sums",
 }
 
 

@@ -186,6 +186,7 @@ QUERIES = [
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
     "docs_exactsubstr_cleaned",
+    "docs_nb_lang_confusion",
 ]
 OFFSET = 10**9
 

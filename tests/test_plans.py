@@ -553,3 +553,20 @@ def test_exactsubstr_cleaned_no_positional_explode(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
     assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+def test_nb_classifier_model_join_keyed(spark, sf_dir):
+    """The NB model must join the test token stream as a KEYED hash /
+    sort-merge join on the token (never a cartesian of model x tokens);
+    the only nested-loop sites are the broadcast single-row scalar
+    relations (vocab size / class totals / priors / unseen fallbacks),
+    and the whole pipeline stays within the train-agg + model-join +
+    doc-sum exchange budget."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["docs_nb_lang_confusion"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the data-sized join (token stream x model) is keyed
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert count_exchanges(df) <= 6, plan
