@@ -48,9 +48,7 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     tok = tokens(text_col)
-    n = F.size(tok)
-    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
-    count = F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+    count = n_chunks(tok, chunk_tokens, overlap)
     chunks = F.transform(
         F.sequence(F.lit(0), (count - 1).cast("int")),
         lambda i: F.struct(

@@ -466,3 +466,24 @@ def test_sample_gate_rate_rounds_not_truncates():
     for rate, want in [(0.3, 3000), (0.1, 1000), (0.07, 700), (0.5, 5000)]:
         assert _gate_buckets(rate) == want
         assert sample_gate_sql("x", rate).endswith(f"< {want}")
+
+
+def test_check_pk_and_non_null_summary(spark):
+    """The driver-side audit summary (reference check_pk_and_non_null,
+    R/ffiec_manifest.R:382-396): duplicate key groups + null columns
+    roll up into one dict with an overall ok flag."""
+    from ffiec_pq_spark.operators.checks import check_pk_and_non_null
+
+    clean = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    got = check_pk_and_non_null(clean, keys=["k"], non_null=["v"])
+    assert got == {"n_dup_key_groups": 0, "null_columns": [], "ok": True}
+
+    dirty = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None)], "k long, v string"
+    )
+    got = check_pk_and_non_null(dirty, keys=["k"], non_null=["v"])
+    assert got["n_dup_key_groups"] == 1
+    assert got["null_columns"] == [{"column": "v", "n_na": 1}]
+    assert got["ok"] is False
