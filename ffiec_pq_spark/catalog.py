@@ -67,6 +67,7 @@ _NEVER_SAMPLED_FIRST = [
     "docs_stratified_sample",
     "docs_exactsubstr_cleaned",
     "docs_nb_lang_confusion",
+    "stream_neardup_compacted",
     # --- round-8 additions (sampled once, round 8) ---
     "docs_exactsubstr_spans",
     "docs_exactsubstr_dup_rate",

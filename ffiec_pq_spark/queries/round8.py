@@ -223,7 +223,9 @@ def stream_minhash_neardup(spark, sf_dir):
     the band relation (read + coalesce + rewrite between triggers, or a
     second availableNow maintenance stream) so the drain never pays a
     small-files scan — the fold is a set union, so compaction commutes
-    with it.  The decision pass is one
+    with it; ``stream_neardup_compacted`` (queries/round9.py) RUNS that
+    maintenance step mid-stream and certifies the commutation against
+    this query's own oracle.  The decision pass is one
     (band, bkey)-keyed aggregation + one same-keyed join — wide hashed
     key space, no skew magnet, no all-pairs."""
     import shutil

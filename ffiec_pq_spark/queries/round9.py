@@ -19,6 +19,8 @@ results are verified bit-for-bit, not just row counts.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
@@ -517,3 +519,104 @@ def docs_nb_lang_confusion(spark, sf_dir):
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _compacted_oracle() -> str:
+    """The compacted variant drains the SAME answer as the uncompacted
+    fold: reuse its batch-replay oracle verbatim (set-union state is
+    invariant under compaction and batch sizing)."""
+    from ffiec_pq_spark.queries.round8 import _stream_neardup_oracle
+
+    return _stream_neardup_oracle()
+
+
+@register(
+    "stream_neardup_compacted",
+    _compacted_oracle(),
+    tags=["streaming", "dedup", "approx", "maintenance"],
+)
+def stream_neardup_compacted(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup WITH mid-stream state compaction —
+    the deploy-shape maintenance step ``stream_minhash_neardup``'s
+    docstring names: the parquet band-state fold appends one file per
+    micro-batch, so a long-lived stream periodically COMPACTS the band
+    relation (read + eagerly pin + rewrite as one file) between
+    triggers.  Because the fold is a pure associative SET UNION,
+    compaction commutes with it — this query RUNS the compaction after
+    every second micro-batch and still drains the exact batch LSH
+    answer (same oracle as the uncompacted query), certifying the
+    claim rather than asserting it in prose.
+
+    Mechanics: ``foreachBatch`` calls are strictly sequential, so the
+    compactor materializes the current state with an eager
+    ``localCheckpoint`` (safe to delete the files it was read from),
+    clears the directory, and rewrites the pinned rows as a single
+    file; the next trigger appends to the compacted dir.  At scale the
+    same step is a maintenance job over the state store's band
+    relation; file count after the drain is bounded by the compaction
+    interval instead of the trigger count."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.operators.dedup import lsh_bands, minhash_signatures
+    from ffiec_pq_spark.queries.dedup import (
+        _K,
+        _N_BANDS,
+        _N_PERM,
+        _ROWS_PER_BAND,
+    )
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="stream_neardup_compact_")
+    try:
+        src = os.path.join(workdir, "src")
+        (
+            docs.repartition(4, F.col("doc_id") % 4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        state_dir = os.path.join(workdir, "band_state")
+        n_batches = {"n": 0}
+
+        def fold_batch(batch_df, epoch_id):
+            sig = minhash_signatures(
+                batch_df, id_col="doc_id", k=_K, n_perm=_N_PERM
+            )
+            bands = lsh_bands(sig, _N_BANDS, _ROWS_PER_BAND)
+            bands.write.mode("append").parquet(state_dir)
+            n_batches["n"] += 1
+            if n_batches["n"] % 2 == 0:
+                # COMPACT: pin current state off the files, clear, rewrite
+                pinned = spark.read.parquet(state_dir).localCheckpoint(
+                    eager=True
+                )
+                shutil.rmtree(state_dir)
+                pinned.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+        q = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.parquet(state_dir)
+        first_seen = state.groupBy("band", "bkey").agg(
+            F.min("id").alias("first_id")
+        )
+        out = (
+            state.join(first_seen, ["band", "bkey"])
+            .filter(F.col("first_id") < F.col("id"))
+            .groupBy("id")
+            .agg(F.min("first_id").alias("dup_of"))
+            .select(F.col("id").alias("doc_id"), "dup_of")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -187,6 +187,7 @@ QUERIES = [
     "docs_stratified_sample",
     "docs_exactsubstr_cleaned",
     "docs_nb_lang_confusion",
+    "stream_neardup_compacted",
 ]
 OFFSET = 10**9
 
@@ -310,6 +311,12 @@ NOTES = {
         "staging + 4 micro-batch drains dominate at this size; state "
         "fold is n_bands rows/doc appended per batch, decision pass is "
         "one (band,bkey) aggregation + same-keyed join"
+    ),
+    "stream_neardup_compacted": (
+        "same fold as stream_minhash_neardup plus a state compaction "
+        "(pin + rewrite) after every 2nd trigger — the compaction cost "
+        "is linear in state size and bounds the drain's file count by "
+        "the compaction interval instead of the trigger count"
     ),
 }
 
