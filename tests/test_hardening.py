@@ -487,3 +487,60 @@ def test_check_pk_and_non_null_summary(spark):
     assert got["n_dup_key_groups"] == 1
     assert got["null_columns"] == [{"column": "v", "n_na": 1}]
     assert got["ok"] is False
+
+
+def test_exactsubstr_gram_plans_equivalent(spark, sf_dir):
+    """window / recompute / persist are three physical strategies for
+    ONE logical operator: their span relations must be row-identical
+    (the measurement in scripts/exactsubstr_plan_bench.py picks the
+    default on speed alone; this pins that the choice is free of
+    semantic drift)."""
+    from ffiec_pq_spark.operators.exactsubstr import exact_substring_spans
+    from ffiec_pq_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    results = {}
+    for plan in ("window", "recompute", "persist"):
+        rows = exact_substring_spans(docs, k=8, gram_plan=plan).collect()
+        results[plan] = sorted(tuple(r) for r in rows)
+    assert results["window"] == results["recompute"] == results["persist"]
+    assert len(results["window"]) > 0  # sf0.001 corpus has planted dups
+
+
+def test_exactsubstr_gram_plan_rejects_unknown(spark):
+    import pytest as _pytest
+
+    from ffiec_pq_spark.operators.exactsubstr import exact_substring_spans
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="gram_plan"):
+        exact_substring_spans(df, gram_plan="bogus").collect()
+
+
+def test_exactsubstr_cleaned_strips_exact_span(spark):
+    """Crafted corpus: two docs share one verbatim 10-token paragraph;
+    the cleaned output must drop exactly that span from both docs and
+    leave every other token in place (k=8: the unique prefix/suffix
+    tokens adjacent to the span stay — their grams mix shared and
+    unique tokens only when a full k-window repeats)."""
+    from ffiec_pq_spark.operators.exactsubstr import exact_substring_cleaned
+
+    shared = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (1, f"alpha beta gamma {shared} delta epsilon"),
+        (2, f"zeta eta {shared} theta iota kappa"),
+        (3, "plain text with no duplication at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in exact_substring_cleaned(df, k=8, min_occurrences=2).collect()
+    }
+    assert got[1]["removed_tokens"] == 10
+    assert got[1]["cleaned_text"] == "alpha beta gamma delta epsilon"
+    assert got[2]["removed_tokens"] == 10
+    assert got[2]["cleaned_text"] == "zeta eta theta iota kappa"
+    assert got[3]["removed_tokens"] == 0
+    assert got[3]["cleaned_text"] == "plain text with no duplication at all"
+    for r in got.values():
+        assert r["kept_tokens"] + r["removed_tokens"] == r["n_tokens"]

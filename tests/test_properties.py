@@ -597,3 +597,41 @@ def test_zip_stats_batch_parity_fuzz(spark, tmp_path_factory, rows_a, rows_b, cr
     for m, spec in colspecs.items():
         expect = member_stats(zip_member_lines(spark, zp, m, skip=2), spec)
         assert batch[m] == expect, (m, batch[m], expect)
+
+
+_anchor_sets = st.lists(
+    st.integers(1, 40), min_size=1, max_size=15, unique=True
+)
+
+
+@settings(**_SETTINGS)
+@given(pos=_anchor_sets, k=st.integers(2, 9))
+def test_spans_from_anchors_gaps_and_islands_invariants(spark, pos, k):
+    """For ANY anchor position set: regions are disjoint, every anchor
+    falls inside exactly one region, consecutive anchors within a
+    region are <= k apart, distinct regions are > k apart, and each
+    region's token extent is [min_pos, max_pos + k - 1]."""
+    from ffiec_pq_spark.operators.exactsubstr import spans_from_anchors
+
+    df = spark.createDataFrame([(1, p) for p in pos], "id long, pos long")
+    spans = sorted(
+        (r["span_start"], r["span_end"], r["n_anchors"])
+        for r in spans_from_anchors(df, k).collect()
+    )
+    pos_sorted = sorted(pos)
+    # rebuild expected islands in plain python
+    groups, cur = [], [pos_sorted[0]]
+    for p in pos_sorted[1:]:
+        if p - cur[-1] <= k:
+            cur.append(p)
+        else:
+            groups.append(cur)
+            cur = [p]
+    groups.append(cur)
+    expected = sorted(
+        (g[0], g[-1] + k - 1, len(g)) for g in groups
+    )
+    assert spans == expected
+    # disjoint + separated by > k (anchor gap), extent arithmetic holds
+    for (s1, e1, _), (s2, _, _) in zip(spans, spans[1:]):
+        assert e1 < s2
