@@ -9,8 +9,6 @@ cross-engine bit-for-bit, not just row counts.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
@@ -228,60 +226,6 @@ def stream_minhash_neardup(spark, sf_dir):
     this query's own oracle.  The decision pass is one
     (band, bkey)-keyed aggregation + one same-keyed join — wide hashed
     key space, no skew magnet, no all-pairs."""
-    import shutil
-    import tempfile
+    from ffiec_pq_spark.streaming.neardup import run_neardup_stream
 
-    from ffiec_pq_spark.operators.dedup import lsh_bands, minhash_signatures
-    from ffiec_pq_spark.queries.dedup import _K, _N_BANDS, _N_PERM, _ROWS_PER_BAND
-    from ffiec_pq_spark.session import ensure_session_confs
-
-    ensure_session_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    workdir = tempfile.mkdtemp(prefix="stream_neardup_")
-    try:
-        src = os.path.join(workdir, "src")
-        (
-            docs.repartition(4, F.col("doc_id") % 4)
-            .write.mode("overwrite")
-            .parquet(src)
-        )
-        state_dir = os.path.join(workdir, "band_state")
-
-        def fold_batch(batch_df, epoch_id):
-            # incremental work per batch: signatures for NEW docs only;
-            # the append IS the state fold (set union, associative)
-            sig = minhash_signatures(
-                batch_df, id_col="doc_id", k=_K, n_perm=_N_PERM
-            )
-            bands = lsh_bands(sig, _N_BANDS, _ROWS_PER_BAND)
-            bands.write.mode("append").parquet(state_dir)
-
-        q = (
-            spark.readStream.format("parquet")
-            .schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .load(src)
-            .writeStream.foreachBatch(fold_batch)
-            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        state = spark.read.parquet(state_dir)
-        first_seen = state.groupBy("band", "bkey").agg(
-            F.min("id").alias("first_id")
-        )
-        out = (
-            state.join(first_seen, ["band", "bkey"])
-            .filter(F.col("first_id") < F.col("id"))
-            .groupBy("id")
-            .agg(F.min("first_id").alias("dup_of"))
-            .select(F.col("id").alias("doc_id"), "dup_of")
-        )
-        # pin the result into executor storage (eager localCheckpoint)
-        # so the staging/state dirs can be removed before returning —
-        # NOT a driver collect: the relation stays distributed (at scale
-        # you would keep the state dir and return the lazy plan)
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    return run_neardup_stream(spark, sf_dir)

@@ -9,7 +9,10 @@
 - ``docs_stratified_sample`` — the per-stratum deterministic sampler;
 - ``docs_nb_lang_confusion`` — a trainable Naive-Bayes classifier
   filter (CCNet/fastText lineage) with exact integer-scaled
-  log-likelihoods.
+  log-likelihoods;
+- ``stream_neardup_compacted`` — the streaming near-dup fold WITH
+  mid-stream band-state compaction (certifies that compaction commutes
+  with the set-union state fold, against the round-8 query's oracle).
 
 All strict-oracle certified: each DuckDB SQL replays the identical
 pipeline (portable md5-prefix hashes, same k-gram anchoring and
@@ -18,8 +21,6 @@ results are verified bit-for-bit, not just row counts.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import functions as F
 
@@ -555,68 +556,11 @@ def stream_neardup_compacted(spark, sf_dir):
     same step is a maintenance job over the state store's band
     relation; file count after the drain is bounded by the compaction
     interval instead of the trigger count."""
-    import shutil
-    import tempfile
+    from ffiec_pq_spark.streaming.neardup import run_neardup_stream
 
-    from ffiec_pq_spark.operators.dedup import lsh_bands, minhash_signatures
-    from ffiec_pq_spark.queries.dedup import (
-        _K,
-        _N_BANDS,
-        _N_PERM,
-        _ROWS_PER_BAND,
+    return run_neardup_stream(
+        spark,
+        sf_dir,
+        compact_every=2,
+        workdir_prefix="stream_neardup_compact_",
     )
-    from ffiec_pq_spark.session import ensure_session_confs
-
-    ensure_session_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    workdir = tempfile.mkdtemp(prefix="stream_neardup_compact_")
-    try:
-        src = os.path.join(workdir, "src")
-        (
-            docs.repartition(4, F.col("doc_id") % 4)
-            .write.mode("overwrite")
-            .parquet(src)
-        )
-        state_dir = os.path.join(workdir, "band_state")
-        n_batches = {"n": 0}
-
-        def fold_batch(batch_df, epoch_id):
-            sig = minhash_signatures(
-                batch_df, id_col="doc_id", k=_K, n_perm=_N_PERM
-            )
-            bands = lsh_bands(sig, _N_BANDS, _ROWS_PER_BAND)
-            bands.write.mode("append").parquet(state_dir)
-            n_batches["n"] += 1
-            if n_batches["n"] % 2 == 0:
-                # COMPACT: pin current state off the files, clear, rewrite
-                pinned = spark.read.parquet(state_dir).localCheckpoint(
-                    eager=True
-                )
-                shutil.rmtree(state_dir)
-                pinned.coalesce(1).write.mode("overwrite").parquet(state_dir)
-
-        q = (
-            spark.readStream.format("parquet")
-            .schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .load(src)
-            .writeStream.foreachBatch(fold_batch)
-            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        state = spark.read.parquet(state_dir)
-        first_seen = state.groupBy("band", "bkey").agg(
-            F.min("id").alias("first_id")
-        )
-        out = (
-            state.join(first_seen, ["band", "bkey"])
-            .filter(F.col("first_id") < F.col("id"))
-            .groupBy("id")
-            .agg(F.min("first_id").alias("dup_of"))
-            .select(F.col("id").alias("doc_id"), "dup_of")
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
