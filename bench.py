@@ -41,8 +41,11 @@ HEADLINE = [
 
 # LLM-pipeline headliners: heavier multi-stage plans (shingle LSH,
 # sparse cosine, k-means cells) tracked round-over-round like the
-# relational set, but at one timed rep after warmup — min-of-3 on a
-# 10-20s query would triple bench wall time for noise we don't need.
+# relational set, but at min-of-2 timed reps after warmup (min-of-3
+# would triple bench wall time; min-of-1 produced three rounds of
+# false +-10-30% regression readings on tfidf_cosine_pairs /
+# dedup_minhash_lsh that later retracted — one extra rep buys the
+# trend line's signal).  Override with SPARK_GRAFT_BENCH_HEAVY_RUNS.
 HEAVY = [
     "dedup_minhash_lsh",
     "tfidf_cosine_pairs",
@@ -74,13 +77,19 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in names + heavy:
-        q_runs = 1 if name in HEAVY else runs
+        heavy_runs = max(
+            1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2"))
+        )
+        q_runs = heavy_runs if name in HEAVY else runs
         if name in BUILD_TIMED:
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(q_runs):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
             continue
         df = queries[name](spark, sf_dir)
         # per-query untimed warmup, mirroring the DuckDB side: the
@@ -173,8 +182,11 @@ def duckdb_timings(sf_dir: str, names: list[str], runs: int) -> dict[str, float]
             continue
         sql = oracles[name]
         con.execute(sql).fetchall()  # warmup (buffer cache, plan)
+        heavy_runs = max(
+            1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2"))
+        )
         best = float("inf")
-        for _ in range(1 if name in HEAVY else runs):
+        for _ in range(heavy_runs if name in HEAVY else runs):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - t0)
