@@ -275,7 +275,13 @@ _NB_TEST_MOD = 5  # doc_id % 5 == 0 -> test (~20%), else train
 _NB_SCALE = 1_000_000
 
 
-def _nb_confusion_oracle() -> str:
+def _nb_pred_cte_sql() -> str:
+    """Shared oracle prefix: the CTE chain ``train .. pred`` where
+    ``pred`` carries (doc_id, actual, predicted, t_<lang> integer
+    micro-nat scores).  The confusion / kappa / margin-reliability
+    oracles each append their own final SELECT over ``pred`` (see
+    queries/round9b.py for the two consumers added after the confusion
+    matrix was certified)."""
     langs = _NB_LANGS
     ctl = ",\n             ".join(
         f"sum(CASE WHEN lang = '{L}' THEN 1 ELSE 0 END) AS c_{L}"
@@ -317,6 +323,7 @@ def _nb_confusion_oracle() -> str:
         + f" THEN '{L}'"
         for L in langs
     )
+    tcols = ", ".join(f"t_{L}" for L in langs)
     return f"""
     WITH train AS (
       SELECT doc_id, lang, text FROM documents
@@ -374,15 +381,23 @@ def _nb_confusion_oracle() -> str:
       FROM doc_sums t CROSS JOIN priors p
     ),
     pred AS (
-      SELECT doc_id, actual,
+      SELECT doc_id, actual, {tcols},
              CASE
                 {pred_arms}
              END AS predicted
       FROM scored
     )
+    """
+
+
+def _nb_confusion_oracle() -> str:
+    return (
+        _nb_pred_cte_sql()
+        + """
     SELECT actual, predicted, count(*) AS n
     FROM pred GROUP BY actual, predicted
     """
+    )
 
 
 @register(
@@ -414,6 +429,18 @@ def docs_nb_lang_confusion(spark, sf_dir):
     the model stays a distributed relation, which is what makes this
     shape work when the vocabulary is 100M hashed n-grams instead of
     60k tokens."""
+    scored = nb_scored_predictions(spark, sf_dir)
+    return scored.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def nb_scored_predictions(spark, sf_dir):
+    """Shared NB scorer: (doc_id, actual, t_<lang> integer micro-nat
+    scores, predicted) for the held-out test split — the relation the
+    confusion matrix, Cohen's-kappa agreement, and margin-reliability
+    queries all aggregate.  Scale shape documented on
+    :func:`docs_nb_lang_confusion`."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
@@ -515,11 +542,7 @@ def docs_nb_lang_confusion(spark, sf_dir):
             if pred is None
             else pred.when(cond, F.lit(L))
         )
-    return (
-        scored.withColumn("predicted", pred)
-        .groupBy("actual", "predicted")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return scored.withColumn("predicted", pred)
 
 
 def _compacted_oracle() -> str:

@@ -78,6 +78,10 @@ NOTES = {
     "docs_stratified_sample": "per-stratum hash gate: pure column expressions, ZERO exchanges, scan-prunable",
     "docs_exactsubstr_cleaned": "ExactSubstr removal transform: span relation compacts to one (id, spans) row per flagged doc (grouped collect), joins back KEYED on doc id, strip is a narrow higher-order filter over the token array — no |positions| explode through the join",
     "docs_nb_lang_confusion": "Naive-Bayes classifier filter: token counts via map-side-combined grouped aggregates; model joins the test token stream KEYED on token; scalar relations (vocab size, class totals, priors) broadcast; scores are exact integer micro-nat sums",
+    # round-9 second wave
+    "docs_epoch_shuffle_shards": "reproducible epoch shuffle: shard = top bits of the seeded portable hash (no global sort, no range-sampling pass); one grouped agg on (epoch, shard) + broadcast min-key join-back for the deterministic first-doc",
+    "docs_nb_margin_reliability": "reliability curve rides the NB scorer: per-row 5-element array_sort margin (integer micro-nats, no window) + one <=10-group aggregate",
+    "corpus_datacard_by_source": "per-source data card: two keyed grouped aggs (source / source,lang with two-phase distinct), single-row total broadcast, mode via max-count broadcast join + min(lang) tie-break — no window over the corpus",
 }
 
 

@@ -188,6 +188,11 @@ QUERIES = [
     "docs_exactsubstr_cleaned",
     "docs_nb_lang_confusion",
     "stream_neardup_compacted",
+    # round-9 second wave
+    "docs_epoch_shuffle_shards",
+    "docs_nb_agreement_kappa",
+    "docs_nb_margin_reliability",
+    "corpus_datacard_by_source",
 ]
 OFFSET = 10**9
 
@@ -317,6 +322,15 @@ NOTES = {
         "(pin + rewrite) after every 2nd trigger — the compaction cost "
         "is linear in state size and bounds the drain's file count by "
         "the compaction interval instead of the trigger count"
+    ),
+    "docs_nb_agreement_kappa": (
+        "rides the NB scorer (keyed token x model join) — its cost IS "
+        "the classifier's scoring pass; everything after it aggregates "
+        "the constant-size confusion relation"
+    ),
+    "docs_nb_margin_reliability": (
+        "same NB scoring pass + a per-row 5-element array_sort and one "
+        "<=10-group aggregate; linear in test docs"
     ),
 }
 

@@ -570,3 +570,65 @@ def test_nb_classifier_model_join_keyed(spark, sf_dir):
     # the data-sized join (token stream x model) is keyed
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert count_exchanges(df) <= 6, plan
+
+
+def test_epoch_shuffle_no_sort_no_single_partition(spark, sf_dir):
+    """The epoch shuffle must assign shards WITHOUT any global sort:
+    shard = top bits of the seeded hash, so the plan is projection +
+    grouped aggregate + a broadcast join-back of the 16-row group
+    relation — no window, no single-partition exchange, no sort of the
+    keyed stream, no cartesian."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["docs_epoch_shuffle_shards"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert count_exchanges(df) <= 4, plan
+
+
+def test_nb_kappa_rides_keyed_model_join(spark, sf_dir):
+    """Kappa aggregates the |classes|^2 confusion relation on top of
+    the shared NB scorer: the data-sized join stays the KEYED token x
+    model join (no cartesian anywhere; the only nested-loop sites are
+    broadcast single-row scalars), and no window sneaks in for the
+    marginals."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["docs_nb_agreement_kappa"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_nb_margin_reliability_is_projection_plus_agg(spark, sf_dir):
+    """The margin curve must be a per-row sorted-array projection over
+    the shared NB scorer plus ONE grouped aggregate on the bucket id:
+    no window function (the top-2 margin comes from array_sort, not
+    row_number), no cartesian, and the keyed model join intact."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["docs_nb_margin_reliability"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_datacard_mode_join_broadcasts_no_window(spark, sf_dir):
+    """The per-source data card must stay grouped-aggregate-shaped:
+    the dominant-language mode resolves via the max-count join on the
+    tiny (source, lang) relation — broadcast, never a window over the
+    corpus — and the single-row corpus total is the only nested-loop
+    (broadcast) site."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["corpus_datacard_by_source"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan, plan
