@@ -167,24 +167,47 @@ def avg_hash60(payload_text_col, length_col=None):
     Returns a Column (long).  Deterministic: integer positions, integer
     bytes, one exact mean division; the bit threshold compares an
     integer against that exact double on both engines.
+
+    Built with higher-order array functions (transform/aggregate), not
+    60 unrolled column expressions: the unrolled form inlined the
+    60-term sample sum into every one of the 60 threshold terms
+    (~3600-node expression tree), which cost ~15 s of Catalyst
+    analysis + a codegen fallback per query build — pure fixed
+    overhead, measured before/after in SCALECHECK's
+    multimodal_phash_pairs note.  The HOF form is a ~constant-size
+    tree with identical bit-for-bit semantics (same strided positions,
+    same integer sum, same mean threshold), so the DuckDB oracle SQL
+    is unchanged.
     """
     from pyspark.sql import functions as F
 
     c = F.col(payload_text_col) if isinstance(payload_text_col, str) else payload_text_col
     ln = F.length(c) if length_col is None else F.col(length_col)
-    pos = [
-        (F.lit(1) + ((F.lit(i) * (ln - 1)) / F.lit(PHASH_BITS - 1)).cast("long"))
-        for i in range(PHASH_BITS)
-    ]
-    bytes_ = [F.ascii(c.substr(p, F.lit(1))) for p in pos]
-    total = bytes_[0]
-    for b in bytes_[1:]:
-        total = total + b
+    # sampled bytes as ONE array column: pos_i = 1 + (i*(len-1)) div 59
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_BITS - 1)),
+        lambda i: F.ascii(
+            c.substr(
+                (F.lit(1) + ((i * (ln - 1)) / F.lit(PHASH_BITS - 1)).cast("long")),
+                F.lit(1),
+            )
+        ),
+    )
+    total = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
     mean = total / F.lit(float(PHASH_BITS))
-    fp = None
-    for i, b in enumerate(bytes_):
-        term = F.when(b > mean, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return fp
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(PHASH_BITS)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            arr,
+            powers,
+            lambda b, p: F.when(b > mean, p).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
