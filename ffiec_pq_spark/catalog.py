@@ -67,6 +67,7 @@ _NEVER_SAMPLED_FIRST = [
     "docs_nb_agreement_kappa",
     "docs_nb_margin_reliability",
     "corpus_datacard_by_source",
+    "dedup_normalized_exact",
     # --- round-9 additions (never sampled by definition) ---
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

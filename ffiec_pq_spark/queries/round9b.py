@@ -22,8 +22,11 @@ certified round-9 surface.
   corpus share, language spread, exact-duplicate rate and dominant
   language per source — the summary table a data-governance review
   asks for before a source is admitted to the training mix.
+- ``dedup_normalized_exact`` — normalization-collapsed exact dedup
+  (the CCNet-style first pass: lowercase, punctuation strip,
+  whitespace collapse, then one content-hash groupBy).
 
-All four are strict-oracle certified (DuckDB replays the identical
+All are strict-oracle certified (DuckDB replays the identical
 pipeline: same md5-prefix portable hashes, same integer scaling, same
 rounding discipline).  Scale notes live on each docstring; none of the
 plans contains a global sort, a cartesian product, or a
@@ -466,4 +469,90 @@ def corpus_datacard_by_source(spark, sf_dir):
                 "top_lang_share"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_normalized_exact
+
+# ASCII punctuation as four explicit ranges (0x21-2F, 3A-40, 5B-60,
+# 7B-7E) written IDENTICALLY for Java regex and RE2 — \p{Punct} /
+# [[:punct:]] spellings differ between engines, explicit ranges don't.
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+_WS_CLASS = "[ \\t\\n\\r]+"
+
+
+def _normalized_dedup_oracle() -> str:
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, source, lang,
+             md5(text) AS raw_hash,
+             md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '{_PUNCT_CLASS}', ' ', 'g'),
+                 '{_WS_CLASS}', ' ', 'g'))) AS nh
+      FROM documents
+    )
+    SELECT min(doc_id) AS rep,
+           count(*) AS n_docs,
+           count(DISTINCT raw_hash) AS raw_variants,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs
+    FROM norm
+    GROUP BY nh
+    HAVING count(*) >= 2
+    """
+
+
+@register(
+    "dedup_normalized_exact",
+    _normalized_dedup_oracle(),
+    tags=["dedup", "curation"],
+)
+def dedup_normalized_exact(spark, sf_dir):
+    """Normalization-collapsed exact dedup (the CCNet-style first pass):
+    lowercase, ASCII punctuation -> space, whitespace collapse, trim,
+    then group on the md5 of the normalized text.  Catches the
+    reformatted-but-identical duplicates raw-hash dedup misses; the
+    ``raw_variants`` column counts how many distinct raw payloads each
+    normalized cluster collapses (rows with raw_variants >= 2 are the
+    wins over ``dedup_exact``).
+
+    The punctuation class is written as explicit ASCII ranges so the
+    SAME pattern string compiles identically under Java regex (Spark)
+    and RE2 (DuckDB) — \\p{{Punct}} spellings differ between engines.
+
+    Scale shape: one scan -> per-row normalization expressions (JVM,
+    whole-stage codegen) -> ONE grouped aggregate keyed on the
+    normalized content hash (map-side combined; distinct counts are
+    the standard two-phase partial distinct).  Identical profile to
+    the certified ``dedup_exact`` pass — one shuffle at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    nh = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), _PUNCT_CLASS, " "),
+                _WS_CLASS,
+                " ",
+            )
+        )
+    )
+    norm = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("raw_hash"),
+        nh.alias("nh"),
+    )
+    return (
+        norm.groupBy("nh")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_hash").alias("raw_variants"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .drop("nh")
     )

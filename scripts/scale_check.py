@@ -193,6 +193,7 @@ QUERIES = [
     "docs_nb_agreement_kappa",
     "docs_nb_margin_reliability",
     "corpus_datacard_by_source",
+    "dedup_normalized_exact",
 ]
 OFFSET = 10**9
 

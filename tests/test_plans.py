@@ -632,3 +632,19 @@ def test_datacard_mode_join_broadcasts_no_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_normalized_dedup_single_exchange(spark, sf_dir):
+    """Normalized exact dedup must keep dedup_exact's profile: per-row
+    JVM normalization expressions + ONE grouped aggregate keyed on the
+    normalized content hash (two-phase distinct partials ride the same
+    exchange) — no window, no join, no single-partition stage."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["dedup_normalized_exact"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
