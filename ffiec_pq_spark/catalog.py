@@ -62,6 +62,10 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-9 third wave (queries/round9c.py, never sampled) ---
+    "embedding_pq_codebook",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_at_k",
     # --- round-9 second wave (queries/round9b.py, never sampled) ---
     "docs_epoch_shuffle_shards",
     "docs_nb_agreement_kappa",
@@ -196,6 +200,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round9c  # noqa: F401
     from ffiec_pq_spark.queries import round9b  # noqa: F401
     from ffiec_pq_spark.queries import round9  # noqa: F401
     from ffiec_pq_spark.queries import round8  # noqa: F401

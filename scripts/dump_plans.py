@@ -82,6 +82,10 @@ NOTES = {
     "docs_epoch_shuffle_shards": "reproducible epoch shuffle: shard = top bits of the seeded portable hash (no global sort, no range-sampling pass); one grouped agg on (epoch, shard) + broadcast min-key join-back for the deterministic first-doc",
     "docs_nb_margin_reliability": "reliability curve rides the NB scorer: per-row 5-element array_sort margin (integer micro-nats, no window) + one <=10-group aggregate",
     "corpus_datacard_by_source": "per-source data card: two keyed grouped aggs (source / source,lang with two-phase distinct), single-row total broadcast, mode via max-count broadcast join + min(lang) tie-break — no window over the corpus",
+    # round-9 third wave (PQ family)
+    "embedding_pq_codebook": "PQ training + code histogram: encoding is a pure column expression vs the broadcast codebook literal (NO join anywhere), one groupBy(sub, cell) exchange with map-side-combined integer-nano partials",
+    "ann_pq_adc_topk": "ADC top-k: scan -> literal-LUT projection -> one keyed integer-sum exchange per id -> TakeOrderedAndProject; probe never touches raw vectors",
+    "ann_pq_recall_at_k": "recall@k: both top-k sides are k rows (TakeOrderedAndProject each), overlap join broadcasts k ids; exact side is the one-probe brute scan you CAN afford for validation",
 }
 
 

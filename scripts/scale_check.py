@@ -194,6 +194,10 @@ QUERIES = [
     "docs_nb_margin_reliability",
     "corpus_datacard_by_source",
     "dedup_normalized_exact",
+    # round-9 third wave
+    "embedding_pq_codebook",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_at_k",
 ]
 OFFSET = 10**9
 

@@ -31,6 +31,11 @@ EXPECT_RAISE = {
     # fail-fast contract as k-means)
     "bpe_train_merges": ValueError,
     "bpe_apply_stats": ValueError,
+    # PQ codebook training seeds from the k lowest-id vectors — same
+    # trainer fail-fast contract as k-means (operators/pq.py::pq_init)
+    "embedding_pq_codebook": ValueError,
+    "ann_pq_adc_topk": ValueError,
+    "ann_pq_recall_at_k": ValueError,
 }
 
 

@@ -648,3 +648,46 @@ def test_normalized_dedup_single_exchange(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "Join" not in plan, plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_pq_codebook_rollup_no_join_one_exchange(spark, sf_dir):
+    """PQ code histogram: encoding is a pure column expression against
+    the broadcast codebook literal, so the whole query is scan ->
+    project -> ONE grouped aggregate (m*k groups) — no join anywhere,
+    no window, no single-partition stage."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["embedding_pq_codebook"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_pq_adc_topk_is_take_ordered_no_join(spark, sf_dir):
+    """ADC top-k: per-id integer distance sum (one keyed exchange) then
+    TakeOrderedAndProject — never a global sort, never a join against
+    raw vectors (the probe-to-centroid table rides as literals)."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["ann_pq_adc_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_pq_recall_overlap_join_broadcasts(spark, sf_dir):
+    """Recall@k: both top-k relations are k rows, so the overlap join
+    must broadcast — and the exact side's ranking must be a
+    TakeOrderedAndProject over the scan, never a global sort."""
+    from ffiec_pq_spark.plans.audit import has_broadcast_join, physical_plan
+
+    df = queries()["ann_pq_recall_at_k"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df), plan

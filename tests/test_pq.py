@@ -1,0 +1,91 @@
+"""Product-quantization operator tests (operators/pq.py): unit-level
+semantics on toy vectors (the oracle queries certify the full chain at
+sf0.01 — these pin the operator contract in isolation)."""
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.operators.pq import (
+    pq_adc_topk,
+    pq_codes,
+    pq_fit,
+    pq_init,
+    pq_subvectors,
+)
+
+# Two obvious clusters per subspace: ids 0-3 near (0,0 | 0,0), ids 4-7
+# near (10,10 | 10,10) — Lloyd must separate them in every subspace.
+_TOY = [
+    (0, [0.0, 0.1, 0.0, 0.1]),
+    (1, [0.1, 0.0, 0.1, 0.0]),
+    (2, [0.2, 0.1, 0.2, 0.1]),
+    (3, [0.0, 0.2, 0.0, 0.2]),
+    (4, [10.0, 10.1, 10.0, 10.1]),
+    (5, [10.1, 10.0, 10.1, 10.0]),
+    (6, [10.2, 10.1, 10.2, 10.1]),
+    (7, [10.0, 10.2, 10.0, 10.2]),
+]
+
+
+def _toy_df(spark):
+    return spark.createDataFrame(_TOY, ["vec_id", "embedding"])
+
+
+def test_pq_subvectors_shape(spark):
+    sv = pq_subvectors(_toy_df(spark), m=2, sub_dim=2)
+    rows = sv.collect()
+    assert len(rows) == len(_TOY) * 2
+    r = next(x for x in rows if x["id"] == 0 and x["sub"] == 1)
+    assert r["v"] == [0.0, 0.1]
+
+
+def test_pq_init_is_lowest_ids(spark):
+    books = pq_init(_toy_df(spark), m=2, sub_dim=2, k=2)
+    # subspace 0, code 0 = vec 0's first half; code 1 = vec 1's
+    assert books[0][0] == [0.0, 0.1]
+    assert books[0][1] == [0.1, 0.0]
+    assert books[1][0] == [0.0, 0.1]
+
+
+def test_pq_fit_separates_clusters(spark):
+    df = _toy_df(spark)
+    books = pq_fit(df, m=2, sub_dim=2, k=2, iters=3)
+    codes = pq_codes(df, books).collect()
+    # within each subspace, ids 0-3 share one code and 4-7 the other
+    for sub in (0, 1):
+        lo = {r["cell"] for r in codes if r["sub"] == sub and r["id"] < 4}
+        hi = {r["cell"] for r in codes if r["sub"] == sub and r["id"] >= 4}
+        assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    # the far cluster's centroid must have moved to ~10 (not stayed at
+    # the lowest-id init, which was all in the low cluster)
+    far = [r for r in codes if r["id"] >= 4]
+    assert all(r["d"] < 1.0 for r in far), far
+
+
+def test_pq_adc_probe_ranks_own_cluster_first(spark):
+    df = _toy_df(spark)
+    books = pq_fit(df, m=2, sub_dim=2, k=2, iters=3)
+    codes = pq_codes(df, books)
+    top = pq_adc_topk(codes, books, [10.0, 10.1, 10.0, 10.1], top_k=4).collect()
+    assert {r["id"] for r in top} == {4, 5, 6, 7}
+    assert all(r["adc_dist"] < 1.0 for r in top)
+
+
+def test_pq_codes_are_pure_projection(spark):
+    """Encoding must add NO exchange and NO join over the scan — the
+    codebook rides the plan as a literal."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = _toy_df(spark)
+    books = pq_fit(df, m=2, sub_dim=2, k=2, iters=1)
+    codes = pq_codes(df, books)
+    plan = physical_plan(codes)
+    assert "Join" not in plan
+    assert count_exchanges(codes) == 0, plan
+
+
+def test_pq_empty_input_raises(spark):
+    import pytest
+
+    empty = _toy_df(spark).where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        pq_init(empty, m=2, sub_dim=2, k=2)
