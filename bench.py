@@ -54,13 +54,19 @@ HEAVY = [
     # round-over-round trend lines like the rest of the headline set
     "docs_exactsubstr_dup_rate",
     "stream_minhash_neardup",
+    # round-9 third wave: the two-stage IVF-PQ pipeline (coarse Lloyd +
+    # residual PQ + probed ADC) is the newest iterative family — track
+    # its driver-roundtrip-dominated profile round-over-round
+    "ann_ivfpq_residual_topk",
 ]
 
 # Queries whose BUILDER executes the work (streaming drains: the
 # foreachBatch fold runs during construction and the returned frame is
-# already materialized) — time builder+sink together per rep, otherwise
-# the noop write measures an already-checkpointed result.
-BUILD_TIMED = {"stream_minhash_neardup"}
+# already materialized; iterative trainers: the Lloyd driver loop runs
+# in the builder and dominates the pipeline) — time builder+sink
+# together per rep, otherwise the noop write measures only the cheap
+# final stage of an already-trained result.
+BUILD_TIMED = {"stream_minhash_neardup", "ann_ivfpq_residual_topk"}
 
 
 def main() -> None:

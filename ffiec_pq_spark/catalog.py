@@ -66,6 +66,9 @@ _NEVER_SAMPLED_FIRST = [
     "embedding_pq_codebook",
     "ann_pq_adc_topk",
     "ann_pq_recall_at_k",
+    "ann_ivfpq_residual_topk",
+    "embedding_kcenter_coreset",
+    "dedup_lsh_recall_eval",
     # --- round-9 second wave (queries/round9b.py, never sampled) ---
     "docs_epoch_shuffle_shards",
     "docs_nb_agreement_kappa",

@@ -237,3 +237,156 @@ def pq_adc_topk(
             F.round(F.col("nano").cast("double") / F.lit(1e9), 6).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition: coarse quantizer (operators/kmeans.py) + PQ over
+# RESIDUALS + probed-cell ADC search — the full production ANN shape
+# (FAISS IVFPQ lineage): the coarse cell prunes the scan (at scale it
+# is the partition column, as in ann_ivf_topk), the residual PQ codes
+# compress what remains, and the probe pays m·k·nprobe centroid
+# distances instead of touching any raw vector.
+
+
+def ivfpq_residuals(
+    df: DataFrame,
+    coarse: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, ccell, rv): each vector's coarse cell and its round(·, 9)
+    residual (x - coarse centroid).  The per-element 9 dp rounding pins
+    the second-stage (PQ) training input bit-for-bit across engines —
+    a last-ulp difference in a centroid coordinate cannot propagate
+    into the residual Lloyd loop.  Pure projection — no shuffle."""
+    from ffiec_pq_spark.operators.kmeans import assign_cells
+
+    cc = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        assign_cells(df, coarse, vec_col).alias("ccell"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return base.select(
+        "id",
+        "ccell",
+        F.transform(
+            F.zip_with(
+                F.col("v"),
+                F.element_at(cc, F.col("ccell") + 1),
+                lambda x, c: x - c,
+            ),
+            lambda r: F.round(r, 9),
+        ).alias("rv"),
+    )
+
+
+def ivfpq_codes(
+    resid: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """(id, ccell, sub, cell): PQ codes of the residual vectors, the
+    coarse cell carried through (it keys the probed-cell filter and, at
+    scale, the partition layout).  Pure projection — no shuffle."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col("rv"), s * sub_dim + 1, sub_dim).alias("v"),
+            )
+            for s in range(m)
+        ]
+    )
+    sv = resid.select("id", "ccell", F.inline(parts))
+    a = _assign_expr(codebooks)
+    return sv.select("id", "ccell", "sub", a["cell"].alias("cell"))
+
+
+def ivfpq_probed_cells(
+    spark, coarse: list[list[float]], probe: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe coarse cells nearest the probe (ties -> lowest cell),
+    evaluated as a SPARK expression over literals so the round(·, 9)
+    discipline matches the engine's (and the oracle's) — never Python
+    float rounding, whose half-to-even differs from both engines."""
+    q = F.array(*[F.lit(float(x)) for x in probe])
+    entries = [
+        F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        q,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, cv: (x - cv) * (x - cv),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                9,
+            ).alias("d"),
+            F.lit(j).alias("c"),
+        )
+        for j, c in enumerate(coarse)
+    ]
+    row = (
+        spark.range(1)
+        .select(F.slice(F.array_sort(F.array(*entries)), 1, nprobe).alias("p"))
+        .collect()[0]
+    )
+    return sorted(s["c"] for s in row["p"])
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    probed: list[int],
+    top_k: int = 10,
+) -> DataFrame:
+    """Probed-cell ADC top-k: scan only codes whose coarse cell is in
+    ``probed`` (at scale this is partition pruning), score each code
+    against the PROBE's residual in that cell (round(·, 9) per element,
+    exactly like the doc residuals), reduce per-id as integer nano
+    sums, TakeOrderedAndProject the top-k."""
+    cc = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    cb = _codebook_lit(codebooks)
+    sub_dim = len(codebooks[0][0])
+    q = F.array(*[F.lit(float(x)) for x in probe])
+    q_res = F.transform(
+        F.zip_with(q, F.element_at(cc, F.col("ccell") + 1), lambda x, c: x - c),
+        lambda r: F.round(r, 9),
+    )
+    qr_sub = F.slice(q_res, F.col("sub") * sub_dim + 1, sub_dim)
+    d_q = F.round(
+        F.aggregate(
+            F.zip_with(
+                qr_sub,
+                F.element_at(
+                    F.element_at(cb, F.col("sub") + 1), F.col("cell") + 1
+                ),
+                lambda x, cv: (x - cv) * (x - cv),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        9,
+    )
+    nano = F.round(d_q * F.lit(1e9), 0).cast("long")
+    return (
+        codes.filter(F.col("ccell").isin([int(c) for c in probed]))
+        .select("id", nano.alias("nano"))
+        .groupBy("id")
+        .agg(F.sum("nano").alias("nano"))
+        .orderBy(F.col("nano").asc(), F.col("id").asc())
+        .limit(top_k)
+        .select(
+            "id",
+            F.round(F.col("nano").cast("double") / F.lit(1e9), 6).alias(
+                "adc_dist"
+            ),
+        )
+    )

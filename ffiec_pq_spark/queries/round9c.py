@@ -306,3 +306,478 @@ def ann_pq_recall_at_k(spark, sf_dir):
             F.col("n_hit").cast("double") / F.lit(float(top_k)), 6
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual PQ + probed-cell ADC search.
+# Small geometry keeps the unrolled oracle tractable; the plan shapes
+# are identical at production scale (coarse k in the thousands, cell =
+# partition column, PQ k=256).
+_CO_K = 4
+_CO_ITERS = 2
+_PQ_ITERS = 2
+_NPROBE = 2
+
+
+def _ivfpq_sql(top_k: int = 10) -> str:
+    """Stage-for-stage replay: coarse Lloyd chain (co_*), per-element
+    round(·, 9) residuals, per-subspace residual Lloyd chain (pq_*),
+    probe cell ranking, per-cell probe residual LUT, probed-cell ADC.
+    Both Lloyd chains follow the certified kmeans/PQ conventions
+    (lowest-id init, round(·, 9) distances, empty-cell carry)."""
+    probe_lit = "[" + ", ".join(repr(float(x)) for x in _PROBE) + "]::DOUBLE[]"
+    ctes = [
+        """ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    )""",
+        f"""co_cent0 AS (
+      SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+             i, x AS v
+      FROM ex
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id
+                       LIMIT {_CO_K})
+    )""",
+    ]
+    for it in range(_CO_ITERS + 1):
+        ctes.append(
+            f"""co_d{it} AS (
+      SELECT e.vec_id, c.c, round(sum((e.x - c.v) * (e.x - c.v)), 9) AS d
+      FROM ex e JOIN co_cent{it} c ON e.i = c.i
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""co_asg{it} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC)
+                 AS rn
+        FROM co_d{it}
+      ) WHERE rn = 1
+    )"""
+        )
+        if it < _CO_ITERS:
+            ctes.append(
+                f"""co_upd{it} AS (
+      SELECT a.c, e.i, avg(e.x) AS v
+      FROM co_asg{it} a JOIN ex e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )"""
+            )
+            ctes.append(
+                f"""co_cent{it + 1} AS (
+      SELECT p.c, p.i, coalesce(u.v, p.v) AS v
+      FROM co_cent{it} p LEFT JOIN co_upd{it} u ON u.c = p.c AND u.i = p.i
+    )"""
+            )
+    T = _CO_ITERS
+    ctes.append(
+        f"""res AS (
+      SELECT e.vec_id, a.c AS ccell, e.i, round(e.x - c.v, 9) AS x
+      FROM ex e
+      JOIN co_asg{T} a ON a.vec_id = e.vec_id
+      JOIN co_cent{T} c ON c.c = a.c AND c.i = e.i
+    )"""
+    )
+    ctes.append(
+        f"""rsx AS (
+      SELECT vec_id, ccell, CAST((i - 1) // {_SUB_DIM} AS INTEGER) AS sub,
+             (i - 1) % {_SUB_DIM} AS j, x
+      FROM res
+    )"""
+    )
+    ctes.append(
+        f"""pq_cent0 AS (
+      SELECT sub,
+             CAST(dense_rank() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                  AS INTEGER) AS c,
+             j, x AS v
+      FROM rsx
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id
+                       LIMIT {_K})
+    )"""
+    )
+    for it in range(_PQ_ITERS + 1):
+        ctes.append(
+            f"""pq_d{it} AS (
+      SELECT s.vec_id, s.sub, c.c,
+             round(sum((s.x - c.v) * (s.x - c.v)), 9) AS d
+      FROM rsx s JOIN pq_cent{it} c ON c.sub = s.sub AND c.j = s.j
+      GROUP BY 1, 2, 3
+    )"""
+        )
+        ctes.append(
+            f"""pq_asg{it} AS (
+      SELECT vec_id, sub, c FROM (
+        SELECT vec_id, sub, c,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d ASC, c ASC) AS rn
+        FROM pq_d{it}
+      ) WHERE rn = 1
+    )"""
+        )
+        if it < _PQ_ITERS:
+            ctes.append(
+                f"""pq_upd{it} AS (
+      SELECT a.sub, a.c, s.j, avg(s.x) AS v
+      FROM pq_asg{it} a JOIN rsx s ON s.vec_id = a.vec_id AND s.sub = a.sub
+      GROUP BY 1, 2, 3
+    )"""
+            )
+            ctes.append(
+                f"""pq_cent{it + 1} AS (
+      SELECT p.sub, p.c, p.j, coalesce(u.v, p.v) AS v
+      FROM pq_cent{it} p
+      LEFT JOIN pq_upd{it} u ON u.sub = p.sub AND u.c = p.c AND u.j = p.j
+    )"""
+            )
+    T2 = _PQ_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    qx AS (
+      SELECT generate_subscripts(q, 1) AS i, unnest(q)::DOUBLE AS x
+      FROM (SELECT {probe_lit} AS q)
+    ),
+    qcd AS (
+      SELECT c.c, round(sum((q.x - c.v) * (q.x - c.v)), 9) AS d
+      FROM co_cent{T} c JOIN qx q ON q.i = c.i
+      GROUP BY 1
+    ),
+    probed AS (
+      SELECT c FROM (
+        SELECT c, row_number() OVER (ORDER BY d ASC, c ASC) AS rn FROM qcd
+      ) WHERE rn <= {_NPROBE}
+    ),
+    qres AS (
+      SELECT p.c AS ccell, q.i, round(q.x - c.v, 9) AS x
+      FROM probed p
+      JOIN co_cent{T} c ON c.c = p.c
+      JOIN qx q ON q.i = c.i
+    ),
+    qrsx AS (
+      SELECT ccell, CAST((i - 1) // {_SUB_DIM} AS INTEGER) AS sub,
+             (i - 1) % {_SUB_DIM} AS j, x
+      FROM qres
+    ),
+    lut AS (
+      SELECT r.ccell, pc.sub, pc.c,
+             round(sum((r.x - pc.v) * (r.x - pc.v)), 9) AS d
+      FROM qrsx r
+      JOIN pq_cent{T2} pc ON pc.sub = r.sub AND pc.j = r.j
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT a.vec_id, sum(CAST(round(l.d * 1e9, 0) AS BIGINT)) AS nano
+      FROM pq_asg{T2} a
+      JOIN co_asg{T} ca ON ca.vec_id = a.vec_id
+      JOIN lut l ON l.ccell = ca.c AND l.sub = a.sub AND l.c = a.c
+      GROUP BY 1
+    )
+    SELECT vec_id AS id, round(CAST(nano AS DOUBLE) / 1e9, 6) AS adc_dist
+    FROM adc
+    ORDER BY nano ASC, vec_id ASC
+    LIMIT {top_k}"""
+    )
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    _ivfpq_sql(),
+    tags=["similarity", "quantize", "iterative"],
+)
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """Full IVF-PQ search (FAISS IVFPQ lineage): coarse k-means cells
+    prune the scan (nprobe=2 of 4 cells here), per-element round(·, 9)
+    residuals feed the PQ codebooks, and the probe is scored against
+    residual centroids only.
+
+    The production 100 TB layout: coarse cell = partition column
+    (probed-cell filter becomes partition pruning, as certified in
+    ann_ivf_topk), codes = m bytes/vector, probe cost = nprobe·m·k
+    centroid distances + one keyed integer-sum exchange +
+    TakeOrderedAndProject.  Residual rounding pins the stage-2
+    training input bit-for-bit across engines."""
+    from ffiec_pq_spark.operators.kmeans import kmeans_fit
+    from ffiec_pq_spark.operators.pq import (
+        ivfpq_adc_topk,
+        ivfpq_codes,
+        ivfpq_probed_cells,
+        ivfpq_residuals,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit(emb, k=_CO_K, dim=_DIM, iters=_CO_ITERS)
+    resid = ivfpq_residuals(emb, coarse)
+    books = pq_fit(
+        resid, vec_col="rv", id_col="id",
+        m=_M, sub_dim=_SUB_DIM, k=_K, iters=_PQ_ITERS,
+    )
+    codes = ivfpq_codes(resid, books)
+    probed = ivfpq_probed_cells(spark, coarse, _PROBE, _NPROBE)
+    return ivfpq_adc_topk(codes, coarse, books, _PROBE, probed, top_k=10)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (operators/coreset.py)
+
+_KC_K = 8
+
+
+def _kcenter_sql(k: int = _KC_K) -> str:
+    """Unrolled Gonzalez traversal: sel1 = lowest id; per round, d{t} =
+    nano distance of every point to sel{t}'s ACTUAL vector (exact
+    parquet values — no averaging, so the replay is bit-exact), dm{t} =
+    running least, sel{t+1} = argmax(dm{t}) with lowest-id tie-break."""
+    ctes = [
+        """ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    )""",
+        "sel1 AS (SELECT min(vec_id) AS vec_id FROM embeddings)",
+    ]
+    for t in range(1, k):
+        ctes.append(
+            f"""d{t} AS (
+      SELECT e.vec_id,
+             CAST(round(round(sum((e.x - c.x) * (e.x - c.x)), 9) * 1e9, 0)
+                  AS BIGINT) AS nano
+      FROM ex e
+      JOIN sel{t} s ON TRUE
+      JOIN ex c ON c.i = e.i AND c.vec_id = s.vec_id
+      GROUP BY 1
+    )"""
+        )
+        if t == 1:
+            ctes.append("dm1 AS (SELECT vec_id, nano FROM d1)")
+        else:
+            ctes.append(
+                f"""dm{t} AS (
+      SELECT m.vec_id, least(m.nano, d.nano) AS nano
+      FROM dm{t - 1} m JOIN d{t} d USING (vec_id)
+    )"""
+            )
+        ctes.append(
+            f"""sel{t + 1} AS (
+      SELECT vec_id, nano FROM dm{t} ORDER BY nano DESC, vec_id ASC LIMIT 1
+    )"""
+        )
+    rows = [
+        "SELECT 1 AS pick_order, (SELECT vec_id FROM sel1) AS id, "
+        "0.0 AS dmin_sel"
+    ]
+    for t in range(2, k + 1):
+        rows.append(
+            f"SELECT {t} AS pick_order, vec_id AS id, "
+            f"round(CAST(nano AS DOUBLE) / 1e9, 6) AS dmin_sel FROM sel{t}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+@register(
+    "embedding_kcenter_coreset",
+    _kcenter_sql(),
+    tags=["similarity", "sampling", "iterative"],
+)
+def embedding_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (Gonzalez farthest-point, k=8): the
+    diversity-maximizing subset whose selection distances also chart
+    coverage-vs-k (the stopping-rule evidence for panel sizing).
+
+    Scale shape: state is one narrow (id, v, dmin) relation; each
+    round is a literal-center projection (no join) + a
+    TakeOrderedAndProject(1); one row reaches the driver per round.
+    Centers are actual data points, so the oracle replay is bit-exact
+    (no Lloyd averaging ulps anywhere)."""
+    from ffiec_pq_spark.operators.coreset import kcenter_coreset_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset_df(spark, emb, k=_KC_K)
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall/precision audit (completes the dedup family's
+# evaluation surface the way ann_pq_recall_at_k completes ANN's).
+
+_RC_TAU = 0.5
+
+
+def _lsh_recall_sql() -> str:
+    """Replay of the production MinHash banding (same permutations,
+    band keys, and distinct-content collapse as dedup_minhash_lsh /
+    minhash_calibration) against UNCAPPED exact-Jaccard ground truth:
+    the afford-once audit that tells a dedup team what fraction of true
+    >= tau pairs the banding surfaces, and how clean the candidate set
+    is."""
+    from ffiec_pq_spark.functions.hashing import hash60_sql
+    from ffiec_pq_spark.operators.dedup import MINHASH_PRIME, perm_params
+    from ffiec_pq_spark.operators.text import shingles_sql
+    from ffiec_pq_spark.queries.dedup import (
+        _K as _DK,
+        _N_BANDS,
+        _N_PERM,
+        _ROWS_PER_BAND,
+    )
+
+    perms = perm_params(_N_PERM)
+    mh_exprs = ",\n             ".join(
+        f"min(({a} * (h % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, a, b in perms
+    )
+    band_arms = "\n      UNION ALL\n".join(
+        "      SELECT id, {bi} AS band, md5({concat}) AS bkey FROM sig".format(
+            bi=bi,
+            concat=" || ',' || ".join(
+                f"CAST(mh{bi * _ROWS_PER_BAND + ri} AS VARCHAR)"
+                for ri in range(_ROWS_PER_BAND)
+            ),
+        )
+        for bi in range(_N_BANDS)
+    )
+    return f"""
+    WITH reps AS (
+      SELECT min(doc_id) AS id
+      FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+        FROM documents
+      ) GROUP BY ch
+    ),
+    docs2 AS (
+      SELECT d.doc_id AS id, d.text
+      FROM documents d JOIN reps r ON r.id = d.doc_id
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct({shingles_sql('text', _DK)})) AS shingle
+      FROM docs2
+    ),
+    hashed AS (SELECT id, {hash60_sql('shingle')} AS h FROM sh),
+    sig AS (
+      SELECT id, {mh_exprs}
+      FROM hashed GROUP BY id
+    ),
+    bands AS (
+{band_arms}
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+    ),
+    sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / (sa.set_size + sb.set_size - n_common) >= {_RC_TAU}
+    ),
+    hit AS (SELECT id_a FROM truth JOIN cand USING (id_a, id_b))
+    SELECT CAST({_RC_TAU} AS DOUBLE) AS tau,
+           (SELECT count(*) FROM truth)::BIGINT AS n_true,
+           (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+           (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / nullif(CAST((SELECT count(*) FROM truth) AS DOUBLE), 0.0),
+                 6) AS recall,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / nullif(CAST((SELECT count(*) FROM cand) AS DOUBLE), 0.0),
+                 6) AS precision_tau
+    """
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    _lsh_recall_sql(),
+    tags=["dedup", "evaluation"],
+)
+def dedup_lsh_recall_eval(spark, sf_dir):
+    """Recall and precision of the PRODUCTION MinHash banding
+    (n_bands x rows_per_band from dedup_minhash_lsh) against uncapped
+    exact-Jaccard >= tau ground truth on distinct content.
+
+    minhash_calibration measures estimate ERROR on pairs the banding
+    DID surface; this measures what the banding MISSES (the
+    false-negative audit a dedup team runs before trusting a config at
+    100 TB — the truth side is the one full shingle self-join you CAN
+    afford once on a sample).  Counts are exact integers; the two
+    ratios are single double divisions rounded identically on both
+    engines."""
+    from ffiec_pq_spark.operators.dedup import (
+        doc_shingles,
+        exact_dedup_groups,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from ffiec_pq_spark.queries.dedup import (
+        _K as _DK,
+        _N_BANDS,
+        _N_PERM,
+        _ROWS_PER_BAND,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dedup_groups(docs).select(F.col("rep_id").alias("doc_id"))
+    rd = docs.join(reps, "doc_id", "left_semi")
+    sh = doc_shingles(rd, k=_DK).persist()
+    sigs = minhash_signatures(rd, k=_DK, n_perm=_N_PERM, _shingles=sh)
+    cands = lsh_candidates(sigs, _N_BANDS, _ROWS_PER_BAND)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jx = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    truth = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jx >= F.lit(_RC_TAU))
+        .select("id_a", "id_b")
+    )
+    hits = truth.join(cands, ["id_a", "id_b"])
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cands.agg(F.count(F.lit(1)).alias("n_cand"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            F.lit(float(_RC_TAU)).alias("tau"),
+            "n_true",
+            "n_cand",
+            "n_hit",
+            # nullif guards the empty-corpus case: Spark 4 runs ANSI
+            # mode, where 0.0/0.0 RAISES instead of returning NaN
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_true").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_cand").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("precision_tau"),
+        )
+    )

@@ -86,6 +86,9 @@ NOTES = {
     "embedding_pq_codebook": "PQ training + code histogram: encoding is a pure column expression vs the broadcast codebook literal (NO join anywhere), one groupBy(sub, cell) exchange with map-side-combined integer-nano partials",
     "ann_pq_adc_topk": "ADC top-k: scan -> literal-LUT projection -> one keyed integer-sum exchange per id -> TakeOrderedAndProject; probe never touches raw vectors",
     "ann_pq_recall_at_k": "recall@k: both top-k sides are k rows (TakeOrderedAndProject each), overlap join broadcasts k ids; exact side is the one-probe brute scan you CAN afford for validation",
+    "ann_ivfpq_residual_topk": "IVF-PQ: coarse assign + residual + PQ encode are ALL literal-codebook projections (no join in the search plan); probed-cell filter prunes before the one keyed integer-sum exchange; TakeOrderedAndProject top-k",
+    "embedding_kcenter_coreset": "greedy k-center: per round one literal-center projection (no join, zero exchanges) + TakeOrderedAndProject(1); one row to the driver per round; result relation is the k driver-built picks",
+    "dedup_lsh_recall_eval": "LSH recall audit: banding + hit joins keyed; the UNCAPPED shingle self-join is the deliberate afford-once truth side (run on a sample at 100 TB); the only nested loops cross three 1-row counts",
 }
 
 

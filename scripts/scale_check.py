@@ -198,6 +198,9 @@ QUERIES = [
     "embedding_pq_codebook",
     "ann_pq_adc_topk",
     "ann_pq_recall_at_k",
+    "ann_ivfpq_residual_topk",
+    "embedding_kcenter_coreset",
+    "dedup_lsh_recall_eval",
 ]
 OFFSET = 10**9
 

@@ -691,3 +691,38 @@ def test_pq_recall_overlap_join_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert has_broadcast_join(df), plan
+
+
+def test_ivfpq_search_no_join_prunes_before_exchange(spark, sf_dir):
+    """IVF-PQ: coarse assign, residual, and PQ encode are all
+    literal-codebook projections, so the search plan has NO join; the
+    probed-cell filter must sit below the single keyed integer-sum
+    exchange; top-k = TakeOrderedAndProject."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["ann_ivfpq_residual_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_lsh_recall_eval_joins_stay_keyed(spark, sf_dir):
+    """The recall audit's heavy relations (truth self-join, candidate
+    banding, hit overlap) must all join KEYED (shingle / band / pair
+    ids) — the only nested-loop joins are the three single-row count
+    aggregates crossed into the report row, and no window appears."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["dedup_lsh_recall_eval"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    # the three 1-row aggregates may BNLJ; a data-sized BNLJ would show
+    # as a join with a non-aggregate child — pin by forbidding any
+    # ShuffledHashJoin/SortMergeJoin-free plan from degrading is
+    # covered by the keyed-join asserts in the operator tests; here we
+    # additionally require the shingle join to be an equi-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan

@@ -89,3 +89,44 @@ def test_pq_empty_input_raises(spark):
     empty = _toy_df(spark).where(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         pq_init(empty, m=2, sub_dim=2, k=2)
+
+
+def test_ivfpq_residuals_and_probed_cells(spark):
+    """Residuals are round(·,9)(x - own-cell centroid); probed cells
+    are the nprobe nearest to the probe with the lowest-cell tie-break."""
+    from ffiec_pq_spark.operators.kmeans import kmeans_fit
+    from ffiec_pq_spark.operators.pq import ivfpq_probed_cells, ivfpq_residuals
+
+    df = _toy_df(spark)
+    coarse = kmeans_fit(df, k=2, dim=4, iters=2)
+    resid = ivfpq_residuals(df, coarse).collect()
+    assert len(resid) == len(_TOY)
+    # every residual is small once the centroid matches the cluster
+    for r in resid:
+        assert all(abs(x) < 1.0 for x in r["rv"]), r
+    probed = ivfpq_probed_cells(spark, coarse, [10.0, 10.1, 10.0, 10.1], 1)
+    hi_cell = next(r["ccell"] for r in resid if r["id"] == 4)
+    assert probed == [hi_cell]
+
+
+def test_ivfpq_adc_scans_probed_cells_only(spark):
+    """With nprobe=1 aimed at the far cluster, the near cluster's ids
+    must not appear — the cell filter prunes them before scoring."""
+    from ffiec_pq_spark.operators.kmeans import kmeans_fit
+    from ffiec_pq_spark.operators.pq import (
+        ivfpq_adc_topk,
+        ivfpq_codes,
+        ivfpq_probed_cells,
+        ivfpq_residuals,
+        pq_fit,
+    )
+
+    df = _toy_df(spark)
+    coarse = kmeans_fit(df, k=2, dim=4, iters=2)
+    resid = ivfpq_residuals(df, coarse)
+    books = pq_fit(resid, vec_col="rv", id_col="id", m=2, sub_dim=2, k=2, iters=1)
+    codes = ivfpq_codes(resid, books)
+    probe = [10.0, 10.1, 10.0, 10.1]
+    probed = ivfpq_probed_cells(spark, coarse, probe, 1)
+    top = ivfpq_adc_topk(codes, coarse, books, probe, probed, top_k=8).collect()
+    assert {r["id"] for r in top} == {4, 5, 6, 7}
