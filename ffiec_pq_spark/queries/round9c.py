@@ -1,6 +1,6 @@
-"""Round-9 third wave: the product-quantization (PQ) vector-compression
-family (operators/pq.py) — the scale path that lets a 100 TB corpus's
-embeddings live in memory as m one-byte codes per vector.
+"""Round-9 third wave: the product-quantization (PQ) vector family
+(operators/pq.py) plus the evaluation and selection operators that
+complete the vector/dedup surface for a 100 TB training-data pipeline.
 
 - ``embedding_pq_codebook`` — train m per-subspace codebooks with
   deterministic Lloyd steps and report the code histogram + mean
@@ -11,15 +11,27 @@ embeddings live in memory as m one-byte codes per vector.
   the PQ codes: the probe is compared to CENTROIDS only (m·k lookup
   entries), never to raw vectors, so query cost is independent of dim
   and the scan reads m bytes per vector.
+- ``ann_pq_recall_at_k`` — PQ/ADC recall@10 vs brute-force ground
+  truth (the index-acceptance gate).
+- ``ann_ivfpq_residual_topk`` — the FULL IVF-PQ composition: coarse
+  cells prune the scan, round(·, 9) residuals feed the PQ stage,
+  probed-cell ADC search (FAISS IVFPQ lineage).
+- ``embedding_kcenter_coreset`` — greedy farthest-point (Gonzalez)
+  diversity-maximizing subset selection; bit-exact replay because the
+  centers are actual data points.
+- ``dedup_lsh_recall_eval`` — recall/precision of the production
+  MinHash banding vs uncapped exact-Jaccard ground truth (the
+  false-negative audit complementing minhash_calibration).
 
-Both are strict-oracle certified: the DuckDB SQL replays the identical
-deterministic Lloyd chain per subspace (same lowest-id init, same
-round(·, 9) distance discipline, same empty-cell carry-forward), then
-the same integer nano-unit distance sums, so results match
-bit-for-bit.  Float discipline notes: distances are rounded to 9 dp
-IN-ENGINE before any cross-row reduction, reductions over distances
-are integer sums (order-independent), and every derived double is
-rounded identically on both sides after aggregation.
+All strict-oracle certified: the DuckDB SQL replays the identical
+deterministic chain (same lowest-id inits, same round(·, 9) distance
+discipline, same empty-cell carry-forward), then the same integer
+nano-unit distance sums, so results match bit-for-bit.  Float
+discipline: distances are rounded to 9 dp IN-ENGINE before any
+cross-row reduction, reductions over distances are integer sums
+(order-independent), ratio denominators are nullif-guarded (Spark 4
+ANSI mode raises on 0/0), and every derived double is rounded
+identically on both sides after aggregation.
 """
 
 from __future__ import annotations
@@ -270,8 +282,6 @@ def ann_pq_recall_at_k(spark, sf_dir):
     panel, to validate); the ADC side reads codes only; both top-k
     relations are k rows, so the overlap join is a broadcast of k ids.
     Distances reduce as integer nano sums — no cross-engine ulp."""
-    from ffiec_pq_spark.operators.pq import pq_adc_topk, pq_codes, pq_fit
-
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_fit(emb, m=_M, sub_dim=_SUB_DIM, k=_K, iters=_ITERS)
     codes = pq_codes(emb, books)

@@ -635,3 +635,73 @@ def test_spans_from_anchors_gaps_and_islands_invariants(spark, pos, k):
     # disjoint + separated by > k (anchor gap), extent arithmetic holds
     for (s1, e1, _), (s2, _, _) in zip(spans, spans[1:]):
         assert e1 < s2
+
+
+_grid_vec4 = st.lists(
+    st.integers(-4, 4).map(lambda i: i * 0.25),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(**_SETTINGS)
+@given(vecs=st.lists(_grid_vec4, min_size=2, max_size=10), k=st.integers(1, 3))
+def test_pq_assignment_is_argmin(spark, vecs, k):
+    """Every (id, sub) code pq_codes emits must be the argmin of the
+    rounded squared distance over that subspace's codebook, ties to
+    the lowest cell — brute-forced in Python with identical rounding
+    (grid values are exact binary rationals, so round(·, 9) can never
+    sit on a half boundary)."""
+    from ffiec_pq_spark.operators.pq import pq_codes, pq_init
+
+    k = min(k, len(vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_init(df, m=2, sub_dim=2, k=k)
+    got = {
+        (r["id"], r["sub"]): (r["cell"], r["d"])
+        for r in pq_codes(df, books).collect()
+    }
+    for i, v in enumerate(vecs):
+        for s in range(2):
+            sub_v = v[s * 2 : (s + 1) * 2]
+            dists = [
+                (round(sum((x - c) * (x - c) for x, c in zip(sub_v, cent)), 9), j)
+                for j, cent in enumerate(books[s])
+            ]
+            want = min(dists)
+            assert got[(i, s)] == (want[1], want[0]), (i, s, dists, got[(i, s)])
+
+
+@settings(**_SETTINGS)
+@given(vecs=st.lists(_grid_vec4, min_size=1, max_size=10), k=st.integers(1, 5))
+def test_kcenter_matches_bruteforce(spark, vecs, k):
+    """kcenter_select must reproduce the pure-Python greedy
+    farthest-point traversal exactly (seed = lowest id, argmax of the
+    running min-distance, ties to the lowest id, stop when the cover
+    is exact) — including duplicate vectors, which trigger early
+    stop."""
+    from ffiec_pq_spark.operators.coreset import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = kcenter_select(df, k=k)
+
+    def nano(a, b):
+        return int(round(sum((x - y) * (x - y) for x, y in zip(a, b)), 9) * 1e9)
+
+    want = [(1, 0, 0)]
+    dmin = {i: nano(v, vecs[0]) for i, v in enumerate(vecs)}
+    for t in range(2, k + 1):
+        far = max(dmin.items(), key=lambda kv: (kv[1], -kv[0]))
+        # ties -> lowest id: max on (nano, -id)
+        if far[1] == 0:
+            break
+        want.append((t, far[0], far[1]))
+        for i, v in enumerate(vecs):
+            dmin[i] = min(dmin[i], nano(v, vecs[far[0]]))
+    assert got == want, (got, want)
