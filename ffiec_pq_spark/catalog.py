@@ -69,6 +69,7 @@ _NEVER_SAMPLED_FIRST = [
     "ann_ivfpq_residual_topk",
     "embedding_kcenter_coreset",
     "dedup_lsh_recall_eval",
+    "dedup_incremental_newbatch",
     # --- round-9 second wave (queries/round9b.py, never sampled) ---
     "docs_epoch_shuffle_shards",
     "docs_nb_agreement_kappa",

@@ -791,3 +791,215 @@ def dedup_lsh_recall_eval(spark, sf_dir):
             ).alias("precision_tau"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental new-batch dedup: the DAILY-INGEST shape — classify each
+# incoming doc against the EXISTING corpus (exact layer, then LSH near
+# layer), never re-pairing the corpus with itself.
+
+_INC_TAU = 0.5
+_INC_MOD = 10
+_INC_BATCH_MIN = 8  # doc_id % 10 in {8, 9} -> the "new batch" (~20%)
+
+
+def _inc_dedup_sql() -> str:
+    """Stage-for-stage replay of the asymmetric pipeline: exact layer =
+    normalized-content hash semi-join into the corpus hash set; near
+    layer = MinHash bands of the REMAINING batch docs joined to bands
+    of the corpus's exact-dedup REPS, candidates verified by exact
+    Jaccard >= tau.  Same normalization, permutations, and banding as
+    the certified dedup family."""
+    from ffiec_pq_spark.functions.hashing import hash60_sql
+    from ffiec_pq_spark.operators.dedup import MINHASH_PRIME, perm_params
+    from ffiec_pq_spark.operators.text import shingles_sql
+    from ffiec_pq_spark.queries.dedup import (
+        _K as _DK,
+        _N_BANDS,
+        _N_PERM,
+        _ROWS_PER_BAND,
+    )
+
+    perms = perm_params(_N_PERM)
+    mh_exprs = ",\n             ".join(
+        f"min(({a} * (h % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, a, b in perms
+    )
+
+    def band_arms(src: str) -> str:
+        return "\n      UNION ALL\n".join(
+            "      SELECT id, {bi} AS band, md5({concat}) AS bkey FROM {src}".format(
+                bi=bi,
+                src=src,
+                concat=" || ',' || ".join(
+                    f"CAST(mh{bi * _ROWS_PER_BAND + ri} AS VARCHAR)"
+                    for ri in range(_ROWS_PER_BAND)
+                ),
+            )
+            for bi in range(_N_BANDS)
+        )
+
+    norm = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return f"""
+    WITH batch AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE doc_id % {_INC_MOD} >= {_INC_BATCH_MIN}
+    ),
+    corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE doc_id % {_INC_MOD} < {_INC_BATCH_MIN}
+    ),
+    bh AS (SELECT id, {norm} AS ch FROM batch),
+    chs AS (SELECT DISTINCT {norm} AS ch FROM corpus),
+    exact_ids AS (SELECT b.id FROM bh b JOIN chs c ON c.ch = b.ch),
+    rem AS (
+      SELECT * FROM batch WHERE id NOT IN (SELECT id FROM exact_ids)
+    ),
+    creps AS (
+      SELECT min(id) AS id
+      FROM (SELECT id, {norm} AS ch FROM corpus) GROUP BY ch
+    ),
+    cdocs AS (
+      SELECT c.id, c.text FROM corpus c JOIN creps r ON r.id = c.id
+    ),
+    b_sh AS (
+      SELECT id, unnest(list_distinct({shingles_sql('text', _DK)})) AS shingle
+      FROM rem
+    ),
+    c_sh AS (
+      SELECT id, unnest(list_distinct({shingles_sql('text', _DK)})) AS shingle
+      FROM cdocs
+    ),
+    b_hashed AS (SELECT id, {hash60_sql('shingle')} AS h FROM b_sh),
+    c_hashed AS (SELECT id, {hash60_sql('shingle')} AS h FROM c_sh),
+    b_sig AS (SELECT id, {mh_exprs} FROM b_hashed GROUP BY id),
+    c_sig AS (SELECT id, {mh_exprs} FROM c_hashed GROUP BY id),
+    b_bands AS (
+{band_arms('b_sig')}
+    ),
+    c_bands AS (
+{band_arms('c_sig')}
+    ),
+    cand AS (
+      SELECT DISTINCT b.id AS id_b, c.id AS id_c
+      FROM b_bands b JOIN c_bands c
+        ON b.band = c.band AND b.bkey = c.bkey
+    ),
+    b_sizes AS (SELECT id, count(*) AS sz FROM b_sh GROUP BY id),
+    c_sizes AS (SELECT id, count(*) AS sz FROM c_sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_b, b.id AS id_c, count(*) AS n_common
+      FROM b_sh a
+      JOIN c_sh b ON a.shingle = b.shingle
+      JOIN cand ON cand.id_b = a.id AND cand.id_c = b.id
+      GROUP BY 1, 2
+    ),
+    near_ids AS (
+      SELECT DISTINCT id_b AS id
+      FROM inter
+      JOIN b_sizes sa ON sa.id = id_b
+      JOIN c_sizes sb ON sb.id = id_c
+      WHERE n_common / (sa.sz + sb.sz - n_common) >= {_INC_TAU}
+    )
+    SELECT (SELECT count(*) FROM batch)::BIGINT AS n_batch,
+           (SELECT count(*) FROM exact_ids)::BIGINT AS n_exact_dup,
+           (SELECT count(*) FROM near_ids)::BIGINT AS n_near_dup,
+           ((SELECT count(*) FROM batch)
+            - (SELECT count(*) FROM exact_ids)
+            - (SELECT count(*) FROM near_ids))::BIGINT AS n_clean
+    """
+
+
+@register(
+    "dedup_incremental_newbatch",
+    _inc_dedup_sql(),
+    tags=["dedup", "incremental"],
+)
+def dedup_incremental_newbatch(spark, sf_dir):
+    """Incremental dedup of an incoming batch against the existing
+    corpus — the daily-ingest pipeline shape: exact layer (normalized
+    content hash semi-join into the corpus's DISTINCT hash set), then
+    MinHash-LSH near layer for the remainder (batch bands joined to
+    the bands of the corpus's exact-dedup reps, candidates verified by
+    exact Jaccard >= tau).
+
+    The scale property is ASYMMETRY: the corpus is touched only as a
+    distinct hash set + rep signatures (both already materialized in a
+    real pipeline); no corpus x corpus pair is ever generated, so
+    daily cost tracks |batch|, not |corpus|^2.  Counts are exact
+    integers — no float surface at all."""
+    from ffiec_pq_spark.operators.dedup import (
+        doc_shingles,
+        exact_dedup_groups,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from ffiec_pq_spark.operators.text import fingerprint_md5
+    from ffiec_pq_spark.queries.dedup import (
+        _K as _DK,
+        _N_BANDS,
+        _N_PERM,
+        _ROWS_PER_BAND,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter((F.col("doc_id") % _INC_MOD) >= _INC_BATCH_MIN)
+    corpus = docs.filter((F.col("doc_id") % _INC_MOD) < _INC_BATCH_MIN)
+
+    chs = corpus.select(fingerprint_md5("text").alias("content_hash")).distinct()
+    bh = batch.select("doc_id", fingerprint_md5("text").alias("content_hash"))
+    exact_ids = bh.join(chs, "content_hash", "left_semi").select("doc_id")
+
+    rem = batch.join(exact_ids, "doc_id", "left_anti")
+    creps = exact_dedup_groups(corpus).select(F.col("rep_id").alias("doc_id"))
+    cdocs = corpus.join(creps, "doc_id", "left_semi")
+
+    sig_b = minhash_signatures(rem, k=_DK, n_perm=_N_PERM)
+    sig_c = minhash_signatures(cdocs, k=_DK, n_perm=_N_PERM)
+    bands_b = lsh_bands(sig_b, _N_BANDS, _ROWS_PER_BAND).select(
+        F.col("id").alias("id_b"), "band", "bkey"
+    )
+    bands_c = lsh_bands(sig_c, _N_BANDS, _ROWS_PER_BAND).select(
+        F.col("id").alias("id_c"), "band", "bkey"
+    )
+    cand = (
+        bands_b.join(bands_c, ["band", "bkey"])
+        .select("id_b", "id_c")
+        .distinct()
+    )
+
+    sh_b = doc_shingles(rem, k=_DK)
+    sh_c = doc_shingles(cdocs, k=_DK)
+    sizes_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes_c = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh_b.select(F.col("id").alias("id_b"), "shingle")
+        .join(sh_c.select(F.col("id").alias("id_c"), "shingle"), "shingle")
+        .join(cand, ["id_b", "id_c"], "left_semi")
+        .groupBy("id_b", "id_c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jx = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    near_ids = (
+        inter.join(sizes_b.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_a")), "id_b")
+        .join(sizes_c.select(F.col("id").alias("id_c"), F.col("sz").alias("sz_b")), "id_c")
+        .filter(jx >= F.lit(_INC_TAU))
+        .select("id_b")
+        .distinct()
+    )
+
+    nb = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    ne = exact_ids.agg(F.count(F.lit(1)).alias("n_exact_dup"))
+    nn = near_ids.agg(F.count(F.lit(1)).alias("n_near_dup"))
+    return (
+        nb.crossJoin(ne)
+        .crossJoin(nn)
+        .select(
+            "n_batch",
+            "n_exact_dup",
+            "n_near_dup",
+            (
+                F.col("n_batch") - F.col("n_exact_dup") - F.col("n_near_dup")
+            ).alias("n_clean"),
+        )
+    )

@@ -201,6 +201,7 @@ QUERIES = [
     "ann_ivfpq_residual_topk",
     "embedding_kcenter_coreset",
     "dedup_lsh_recall_eval",
+    "dedup_incremental_newbatch",
 ]
 OFFSET = 10**9
 

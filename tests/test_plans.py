@@ -726,3 +726,18 @@ def test_lsh_recall_eval_joins_stay_keyed(spark, sf_dir):
     # additionally require the shingle join to be an equi-join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_is_asymmetric(spark, sf_dir):
+    """Incremental ingest dedup must never pair the corpus with itself:
+    every join is keyed (hash / band / shingle / pair id), no cartesian
+    over data relations, no window — the nested loops are the 1-row
+    count aggregates crossed into the report row."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["dedup_incremental_newbatch"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
