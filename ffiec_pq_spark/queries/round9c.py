@@ -1003,3 +1003,172 @@ def dedup_incremental_newbatch(spark, sf_dir):
             ).alias("n_clean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Banding design curve: expected recall/precision of each (bands, rows)
+# MinHash config, ANALYTIC in the exact Jaccard — the sizing decision
+# tool the recall audit motivates.  P(candidate | J) = 1 - (1 - J^r)^b
+# is evaluated as LEFT-ASSOCIATIVE multiplication chains (no pow(), no
+# exp() — libm is the one non-portable surface), rounded to 9 dp and
+# integer-nano scaled before the cross-pair sums.
+
+_BD_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8)]
+
+
+def _chain_sql(expr: str, n: int) -> str:
+    """expr multiplied by itself n times, left-associative (matches the
+    Spark Column * chain bit-for-bit)."""
+    return "(" + " * ".join([expr] * n) + ")" if n > 1 else expr
+
+
+def _banding_curve_sql() -> str:
+    from ffiec_pq_spark.operators.text import shingles_sql
+    from ffiec_pq_spark.queries.dedup import _K as _DK
+
+    arms = []
+    for b, r in _BD_CONFIGS:
+        jr = _chain_sql("jx", r)
+        q = f"(1.0 - {jr})"
+        qb = _chain_sql(q, b)
+        p_nano = f"CAST(round(round(1.0 - {qb}, 9) * 1e9, 0) AS BIGINT)"
+        arms.append(
+            f"""SELECT {b} AS n_bands, {r} AS rows_per_band,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN jx >= {_RC_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           round(CAST(sum(CASE WHEN jx >= {_RC_TAU} THEN {p_nano} ELSE 0 END)
+                      AS DOUBLE)
+                 / nullif(CAST(sum(CASE WHEN jx >= {_RC_TAU} THEN 1 ELSE 0 END)
+                               AS DOUBLE), 0.0) / 1e9, 6) AS exp_recall,
+           round(CAST(sum(CASE WHEN jx >= {_RC_TAU} THEN {p_nano} ELSE 0 END)
+                      AS DOUBLE)
+                 / nullif(CAST(sum({p_nano}) AS DOUBLE), 0.0), 6)
+             AS exp_precision
+    FROM scored"""
+        )
+    return f"""
+    WITH reps AS (
+      SELECT min(doc_id) AS id
+      FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+        FROM documents
+      ) GROUP BY ch
+    ),
+    docs2 AS (
+      SELECT d.doc_id AS id, d.text
+      FROM documents d JOIN reps r ON r.id = d.doc_id
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct({shingles_sql('text', _DK)})) AS shingle
+      FROM docs2
+    ),
+    sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT n_common / (sa.set_size + sb.set_size - n_common) AS jx
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    )
+    {'''
+    UNION ALL '''.join(arms)}"""
+
+
+@register(
+    "dedup_banding_design_curve",
+    _banding_curve_sql(),
+    tags=["dedup", "evaluation", "design"],
+)
+def dedup_banding_design_curve(spark, sf_dir):
+    """Expected recall and precision of every candidate (n_bands,
+    rows_per_band) MinHash config on THIS corpus's measured Jaccard
+    distribution — P(candidate | J) = 1 - (1 - J^r)^b summed over the
+    pairs sharing >= 1 shingle.  The analytic design tool that turns
+    dedup_lsh_recall_eval's single-config audit into a config choice,
+    WITHOUT building any signature: one shingle self-join feeds all
+    four configs.
+
+    Portability: the S-curve is evaluated as left-associative
+    multiplication chains (never pow()/exp() — libm rounding differs
+    across engines), rounded to 9 dp, integer-nano scaled before the
+    cross-pair sums, ratios rounded at 6 dp; nullif guards the empty
+    corpus (Spark 4 ANSI raises on 0/0)."""
+    from ffiec_pq_spark.operators.dedup import doc_shingles, exact_dedup_groups
+    from ffiec_pq_spark.queries.dedup import _K as _DK
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dedup_groups(docs).select(F.col("rep_id").alias("doc_id"))
+    rd = docs.join(reps, "doc_id", "left_semi")
+    sh = doc_shingles(rd, k=_DK)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jx = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b")),
+            "id_b",
+        )
+        .select(jx.alias("jx"))
+        .persist()
+    )
+
+    def _chain(col, n):
+        e = col
+        for _ in range(n - 1):
+            e = e * col
+        return e
+
+    rows = []
+    for b, r in _BD_CONFIGS:
+        p = F.lit(1.0) - _chain(F.lit(1.0) - _chain(F.col("jx"), r), b)
+        nano = F.round(F.round(p, 9) * F.lit(1e9), 0).cast("long")
+        is_true = F.col("jx") >= F.lit(_RC_TAU)
+        rows.append(
+            scored.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(is_true, 1).otherwise(0))
+                .cast("long")
+                .alias("n_true"),
+                F.sum(F.when(is_true, nano).otherwise(F.lit(0))).alias("_tn"),
+                F.sum(nano).alias("_an"),
+            ).select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_pairs",
+                "n_true",
+                F.round(
+                    F.col("_tn").cast("double")
+                    / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
+                    / F.lit(1e9),
+                    6,
+                ).alias("exp_recall"),
+                F.round(
+                    F.col("_tn").cast("double")
+                    / F.nullif(F.col("_an").cast("double"), F.lit(0.0)),
+                    6,
+                ).alias("exp_precision"),
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out

@@ -202,6 +202,7 @@ QUERIES = [
     "embedding_kcenter_coreset",
     "dedup_lsh_recall_eval",
     "dedup_incremental_newbatch",
+    "dedup_banding_design_curve",
 ]
 OFFSET = 10**9
 

@@ -741,3 +741,18 @@ def test_incremental_dedup_is_asymmetric(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan
+
+
+def test_banding_curve_one_join_no_pow(spark, sf_dir):
+    """The design curve must reuse ONE shingle self-join for all four
+    configs (the jx relation is persisted) and keep the S-curve as
+    multiplication chains — no POWER/EXP expression (libm is not
+    bit-portable), no window, no cartesian."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["dedup_banding_design_curve"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "POWER" not in plan and "EXP(" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted shared jx relation
