@@ -511,7 +511,14 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     ann_ivf_topk), codes = m bytes/vector, probe cost = nprobe·m·k
     centroid distances + one keyed integer-sum exchange +
     TakeOrderedAndProject.  Residual rounding pins the stage-2
-    training input bit-for-bit across engines."""
+    training input bit-for-bit across engines.
+
+    The residual relation is PERSISTED: every PQ Lloyd step, the
+    encode, and the final search would otherwise recompute the coarse
+    assignment fold (k_co x dim multiply-adds per row) from the scan —
+    measured A/B (scripts/ivfpq_plan_bench.py): persist wins 6.20 vs
+    6.51s at 1x, 5.57 vs 6.25s at 8x, 6.81 vs 7.58s at 16x (sf0.1
+    replicas, min-of-3)."""
     from ffiec_pq_spark.operators.kmeans import kmeans_fit
     from ffiec_pq_spark.operators.pq import (
         ivfpq_adc_topk,
@@ -523,7 +530,7 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     coarse = kmeans_fit(emb, k=_CO_K, dim=_DIM, iters=_CO_ITERS)
-    resid = ivfpq_residuals(emb, coarse)
+    resid = ivfpq_residuals(emb, coarse).persist()
     books = pq_fit(
         resid, vec_col="rv", id_col="id",
         m=_M, sub_dim=_SUB_DIM, k=_K, iters=_PQ_ITERS,
