@@ -71,6 +71,7 @@ _NEVER_SAMPLED_FIRST = [
     "dedup_lsh_recall_eval",
     "dedup_incremental_newbatch",
     "dedup_banding_design_curve",
+    "embedding_knn_outlier_scores",
     # --- round-9 second wave (queries/round9b.py, never sampled) ---
     "docs_epoch_shuffle_shards",
     "docs_nb_agreement_kappa",

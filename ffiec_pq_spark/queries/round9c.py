@@ -1179,3 +1179,210 @@ def dedup_banding_design_curve(spark, sf_dir):
     for extra in rows[1:]:
         out = out.unionByName(extra)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cell-bounded kNN outlier scores, DEDUP-AWARE: identical vectors are
+# collapsed to (rep, multiplicity) BEFORE the pair join — the same
+# exact-duplicate collapse that keeps every other pairwise operator in
+# this repo flat on duplicate-heavy corpora.  The weighted top-5 over
+# (rep pairs + an implicit self row of m-1 zero-distance copies)
+# reproduces the naive per-copy score multiset exactly: the score only
+# depends on the 5 smallest neighbor distances, not on which duplicate
+# ids carry them.
+
+_OUT_KNN = 5
+_OUT_TOPN = 10
+
+
+def _knn_outlier_sql() -> str:
+    """Replay: collapse to distinct vectors, train the Lloyd chain on
+    the reps, within-cell rep pairs (nano distances, weight = target
+    multiplicity) + self rows (nano 0, weight m-1), weighted top-5 via
+    a window cumsum of integer weights, scores mapped back to every
+    copy through the list-equality join."""
+    k, iters = 4, 3
+    ctes = [
+        "vr AS (SELECT vec_id AS id, embedding AS v FROM embeddings)",
+        "grp AS (SELECT v, min(id) AS rep, count(*) AS m FROM vr GROUP BY v)",
+        """rex AS (
+      SELECT rep, generate_subscripts(v, 1) AS i, unnest(v)::DOUBLE AS x
+      FROM grp
+    )""",
+        f"""cent0 AS (
+      SELECT CAST(dense_rank() OVER (ORDER BY rep) - 1 AS INTEGER) AS c,
+             i, x AS v
+      FROM rex
+      WHERE rep IN (SELECT rep FROM grp ORDER BY rep LIMIT {k})
+    )""",
+    ]
+    for it in range(iters + 1):
+        ctes.append(
+            f"""d{it} AS (
+      SELECT e.rep, c.c, round(sum((e.x - c.v) * (e.x - c.v)), 9) AS d
+      FROM rex e JOIN cent{it} c ON e.i = c.i
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""asg{it} AS (
+      SELECT rep, c FROM (
+        SELECT rep, c,
+               row_number() OVER (PARTITION BY rep ORDER BY d ASC, c ASC)
+                 AS rn
+        FROM d{it}
+      ) WHERE rn = 1
+    )"""
+        )
+        if it < iters:
+            ctes.append(
+                f"""upd{it} AS (
+      SELECT a.c, e.i, avg(e.x) AS v
+      FROM asg{it} a JOIN rex e ON e.rep = a.rep
+      GROUP BY 1, 2
+    )"""
+            )
+            ctes.append(
+                f"""cent{it + 1} AS (
+      SELECT p.c, p.i, coalesce(u.v, p.v) AS v
+      FROM cent{it} p LEFT JOIN upd{it} u ON u.c = p.c AND u.i = p.i
+    )"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    pd AS (
+      SELECT a.rep AS ra, b.rep AS rb,
+             CAST(round(round(sum((ea.x - eb.x) * (ea.x - eb.x)), 9) * 1e9,
+                        0) AS BIGINT) AS nano,
+             gb.m AS w
+      FROM asg{iters} a
+      JOIN asg{iters} b ON a.c = b.c AND a.rep != b.rep
+      JOIN rex ea ON ea.rep = a.rep
+      JOIN rex eb ON eb.rep = b.rep AND eb.i = ea.i
+      JOIN grp gb ON gb.rep = b.rep
+      GROUP BY 1, 2, gb.m
+    ),
+    nbr AS (
+      SELECT ra, rb, nano, w FROM pd
+      UNION ALL
+      SELECT rep, rep, CAST(0 AS BIGINT), m - 1 FROM grp WHERE m >= 2
+    ),
+    cum AS (
+      SELECT ra, nano, w,
+             sum(w) OVER (PARTITION BY ra ORDER BY nano ASC, rb ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw
+      FROM nbr
+    ),
+    sc AS (
+      SELECT ra,
+             sum(least(w, greatest(0, {_OUT_KNN} - (cw - w))) * nano) AS s,
+             sum(least(w, greatest(0, {_OUT_KNN} - (cw - w)))) AS n
+      FROM cum GROUP BY 1
+    ),
+    cp AS (SELECT vr.id, g.rep FROM vr JOIN grp g ON g.v = vr.v)
+    SELECT cp.id,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9, 6) AS knn_dist
+    FROM sc JOIN cp ON cp.rep = sc.ra
+    WHERE n > 0
+    ORDER BY knn_dist DESC, cp.id ASC
+    LIMIT {_OUT_TOPN}"""
+    )
+
+
+@register(
+    "embedding_knn_outlier_scores",
+    _knn_outlier_sql(),
+    tags=["similarity", "curation", "iterative"],
+)
+def embedding_knn_outlier_scores(spark, sf_dir):
+    """Top-10 embedding-space outliers: mean round(·, 9) squared
+    distance to the 5 nearest neighbors within the vector's k-means
+    cell — the data-cleaning audit (off-manifold / mislabeled docs
+    surface at the top).
+
+    Scale shape: identical vectors collapse to (rep, multiplicity)
+    FIRST, so the within-cell pair join is quadratic only in DISTINCT
+    vectors per cell (duplicates ride a weighted self row and a weight
+    on the target side — the score multiset is exactly the naive
+    one); the Lloyd trainer runs on reps; the weighted top-5 is a
+    window cumsum of integer weights; the final top-N is a
+    TakeOrderedAndProject.  At 100 TB the cell is the partition and
+    k_co grows with the corpus, bounding distinct-per-cell."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.kmeans import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vr = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    grp = vr.groupBy("v").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("m")
+    )
+    reps = grp.select(F.col("rep").alias("vec_id"), F.col("v").alias("embedding"))
+    asg = kmeans_assignments(reps, k=4, dim=_DIM, iters=3).select(
+        F.col("id").alias("rep"), "cell"
+    )
+    a = asg.join(grp.select("rep", "v", "m"), "rep")
+    left = a.select(F.col("rep").alias("ra"), "cell", F.col("v").alias("va"))
+    right = a.select(
+        F.col("rep").alias("rb"), "cell", F.col("v").alias("vb"),
+        F.col("m").alias("w"),
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+        9,
+    )
+    nano = F.round(d * F.lit(1e9), 0).cast("long")
+    pd_ = (
+        left.join(right, "cell")
+        .filter(F.col("ra") != F.col("rb"))
+        .select("ra", "rb", nano.alias("nano"), F.col("w").cast("long").alias("w"))
+    )
+    selfrows = grp.filter(F.col("m") >= 2).select(
+        F.col("rep").alias("ra"),
+        F.col("rep").alias("rb"),
+        F.lit(0).cast("long").alias("nano"),
+        (F.col("m") - 1).cast("long").alias("w"),
+    )
+    nbr = pd_.unionByName(selfrows)
+    wspec = (
+        Window.partitionBy("ra")
+        .orderBy(F.col("nano").asc(), F.col("rb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cw = F.sum("w").over(wspec)
+    take = F.least(
+        F.col("w"),
+        F.greatest(F.lit(0).cast("long"), F.lit(_OUT_KNN) - (cw - F.col("w"))),
+    )
+    sc = (
+        nbr.select("ra", "nano", "w", take.alias("take"))
+        .groupBy("ra")
+        .agg(
+            F.sum(F.col("take") * F.col("nano")).alias("s"),
+            F.sum("take").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    cp = vr.join(grp.select("v", "rep"), "v").select("id", "rep")
+    return (
+        sc.join(cp, sc["ra"] == cp["rep"])
+        .select(
+            "id",
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e9),
+                6,
+            ).alias("knn_dist"),
+        )
+        .orderBy(F.col("knn_dist").desc(), F.col("id").asc())
+        .limit(_OUT_TOPN)
+    )

@@ -91,6 +91,7 @@ NOTES = {
     "dedup_lsh_recall_eval": "LSH recall audit: banding + hit joins keyed; the UNCAPPED shingle self-join is the deliberate afford-once truth side (run on a sample at 100 TB); the only nested loops cross three 1-row counts",
     "dedup_incremental_newbatch": "incremental ingest dedup: ASYMMETRIC joins only (batch hash semi-join into corpus hash set; batch bands x corpus-rep bands; candidate-verified shingle join) — no corpus x corpus pair anywhere; daily cost tracks |batch|",
     "dedup_banding_design_curve": "banding design curve: ONE shingle self-join feeds all four (b, r) configs (persisted jx relation); per config a single-row aggregate of the analytic S-curve — no signatures built, no window",
+    "embedding_knn_outlier_scores": "cell-bounded kNN outliers: pair join keys on the k-means cell (quadratic only within a cell, SemDeDup's bound); neighbor rank = per-id partition-local window; TakeOrderedAndProject top-N",
 }
 
 

@@ -203,6 +203,7 @@ QUERIES = [
     "dedup_lsh_recall_eval",
     "dedup_incremental_newbatch",
     "dedup_banding_design_curve",
+    "embedding_knn_outlier_scores",
 ]
 OFFSET = 10**9
 

@@ -40,6 +40,8 @@ EXPECT_RAISE = {
     "ann_ivfpq_residual_topk": ValueError,
     # k-center seeds from the lowest-id vector
     "embedding_kcenter_coreset": ValueError,
+    # rides the k-means trainer (same fail-fast as kmeans_cell_sizes)
+    "embedding_knn_outlier_scores": ValueError,
 }
 
 

@@ -756,3 +756,16 @@ def test_banding_curve_one_join_no_pow(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert "POWER" not in plan and "EXP(" not in plan
     assert "InMemoryTableScan" in plan  # the persisted shared jx relation
+
+
+def test_knn_outlier_pairs_keyed_on_cell(spark, sf_dir):
+    """Outlier scores: pair generation must key on the k-means cell
+    (SemDeDup's quadratic-per-cell bound) — no cartesian, no BNLJ over
+    data relations; the final top-N is a TakeOrderedAndProject."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["embedding_knn_outlier_scores"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
