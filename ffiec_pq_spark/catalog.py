@@ -72,6 +72,7 @@ _NEVER_SAMPLED_FIRST = [
     "dedup_incremental_newbatch",
     "dedup_banding_design_curve",
     "embedding_knn_outlier_scores",
+    "ann_pq_recall_panel",
     # --- round-9 second wave (queries/round9b.py, never sampled) ---
     "docs_epoch_shuffle_shards",
     "docs_nb_agreement_kappa",

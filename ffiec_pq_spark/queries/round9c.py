@@ -1386,3 +1386,145 @@ def embedding_knn_outlier_scores(spark, sf_dir):
         .orderBy(F.col("knn_dist").desc(), F.col("id").asc())
         .limit(_OUT_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe recall panel: recall@10 per probe over a deterministic
+# 4-probe panel — the statistically meaningful form of the
+# single-probe ann_pq_recall_at_k acceptance gate.
+
+_PANEL = [
+    [(((i * 7 + p * 13) % 11) - 5) / 4.0 for i in range(_DIM)]
+    for p in range(4)
+]
+
+
+def _pq_recall_panel_sql(top_k: int = 10) -> str:
+    ctes = _pq_ctes(_M, _SUB_DIM, _K, _ITERS)
+    probe_arms = "\n      UNION ALL\n".join(
+        "      SELECT {p} AS pid, generate_subscripts(q, 1) AS i, "
+        "unnest(q)::DOUBLE AS x FROM (SELECT [{vals}]::DOUBLE[] AS q)".format(
+            p=p, vals=", ".join(repr(float(x)) for x in probe)
+        )
+        for p, probe in enumerate(_PANEL)
+    )
+    pid_rows = ", ".join(f"({p})" for p in range(len(_PANEL)))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    qx AS (
+{probe_arms}
+    ),
+    qsub AS (
+      SELECT pid, CAST((i - 1) // {_SUB_DIM} AS INTEGER) AS sub,
+             (i - 1) % {_SUB_DIM} AS j, x
+      FROM qx
+    ),
+    lut AS (
+      SELECT q.pid, c.sub, c.c,
+             round(sum((q.x - c.v) * (q.x - c.v)), 9) AS d
+      FROM cent{_ITERS} c JOIN qsub q ON q.sub = c.sub AND q.j = c.j
+      GROUP BY 1, 2, 3
+    ),
+    adc_top AS (
+      SELECT pid, vec_id FROM (
+        SELECT l.pid, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY l.pid
+                 ORDER BY sum(CAST(round(l.d * 1e9, 0) AS BIGINT)) ASC,
+                          a.vec_id ASC) AS rn
+        FROM asg{_ITERS} a JOIN lut l ON l.sub = a.sub AND l.c = a.c
+        GROUP BY 1, 2
+      ) WHERE rn <= {top_k}
+    ),
+    exact_top AS (
+      SELECT pid, vec_id FROM (
+        SELECT q.pid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.pid
+                 ORDER BY CAST(round(round(sum((e.x - q.x) * (e.x - q.x)),
+                                           9) * 1e9, 0) AS BIGINT) ASC,
+                          e.vec_id ASC) AS rn
+        FROM ex e JOIN qx q ON q.i = e.i
+        GROUP BY 1, 2
+      ) WHERE rn <= {top_k}
+    ),
+    hits AS (
+      SELECT pid, count(*) AS n_hit
+      FROM adc_top JOIN exact_top USING (pid, vec_id)
+      GROUP BY 1
+    )
+    SELECT p.pid AS probe_id, {top_k} AS k,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {float(top_k)!r}, 6)
+             AS recall
+    FROM (VALUES {pid_rows}) p(pid)
+    LEFT JOIN hits h ON h.pid = p.pid"""
+    )
+
+
+@register(
+    "ann_pq_recall_panel",
+    _pq_recall_panel_sql(),
+    tags=["similarity", "quantize", "evaluation"],
+)
+def ann_pq_recall_panel(spark, sf_dir):
+    """Recall@10 of the PQ/ADC index for each probe of a deterministic
+    4-probe panel — the acceptance gate with enough probes to see
+    variance (one probe's recall is a coin flip; the panel is the
+    artifact an index team actually signs off on).
+
+    Scale shape: codebooks fit ONCE; per probe the ADC ranking is one
+    keyed integer-sum aggregation + per-probe window top-k over the
+    shared code relation, the exact side is the afford-once brute
+    scan, and each overlap join is k rows."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.pq import pq_codes, pq_fit
+
+    top_k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=_M, sub_dim=_SUB_DIM, k=_K, iters=_ITERS)
+    codes = pq_codes(emb, books).persist()
+
+    rows = []
+    for p, probe in enumerate(_PANEL):
+        from ffiec_pq_spark.operators.pq import pq_adc_topk
+
+        approx = pq_adc_topk(codes, books, probe, top_k=top_k).select("id")
+        q_arr = F.array(*[F.lit(float(x)) for x in probe])
+        d_exact = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    q_arr,
+                    lambda x, qv: (x - qv) * (x - qv),
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+            9,
+        )
+        nano = F.round(d_exact * F.lit(1e9), 0).cast("long")
+        exact = (
+            emb.select(F.col("vec_id").alias("id"), nano.alias("nano"))
+            .orderBy(F.col("nano").asc(), F.col("id").asc())
+            .limit(top_k)
+            .select("id")
+        )
+        hit = approx.join(F.broadcast(exact), "id")
+        rows.append(
+            hit.agg(F.count(F.lit(1)).alias("n_hit")).select(
+                F.lit(p).alias("probe_id"),
+                F.lit(top_k).alias("k"),
+                F.col("n_hit"),
+                F.round(
+                    F.col("n_hit").cast("double") / F.lit(float(top_k)), 6
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out

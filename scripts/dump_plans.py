@@ -92,6 +92,7 @@ NOTES = {
     "dedup_incremental_newbatch": "incremental ingest dedup: ASYMMETRIC joins only (batch hash semi-join into corpus hash set; batch bands x corpus-rep bands; candidate-verified shingle join) — no corpus x corpus pair anywhere; daily cost tracks |batch|",
     "dedup_banding_design_curve": "banding design curve: ONE shingle self-join feeds all four (b, r) configs (persisted jx relation); per config a single-row aggregate of the analytic S-curve — no signatures built, no window",
     "embedding_knn_outlier_scores": "cell-bounded kNN outliers: pair join keys on the k-means cell (quadratic only within a cell, SemDeDup's bound); neighbor rank = per-id partition-local window; TakeOrderedAndProject top-N",
+    "ann_pq_recall_panel": "recall panel: codebooks fit once, codes persisted; per probe one keyed integer-sum agg + TakeOrdered + a k-row broadcast overlap — probe count multiplies only the cheap final stages",
 }
 
 

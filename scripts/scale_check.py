@@ -204,6 +204,7 @@ QUERIES = [
     "dedup_incremental_newbatch",
     "dedup_banding_design_curve",
     "embedding_knn_outlier_scores",
+    "ann_pq_recall_panel",
 ]
 OFFSET = 10**9
 

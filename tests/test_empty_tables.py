@@ -36,6 +36,7 @@ EXPECT_RAISE = {
     "embedding_pq_codebook": ValueError,
     "ann_pq_adc_topk": ValueError,
     "ann_pq_recall_at_k": ValueError,
+    "ann_pq_recall_panel": ValueError,
     # IVF-PQ seeds its coarse quantizer from the k lowest-id vectors
     "ann_ivfpq_residual_topk": ValueError,
     # k-center seeds from the lowest-id vector

@@ -769,3 +769,17 @@ def test_knn_outlier_pairs_keyed_on_cell(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recall_panel_reuses_codes_no_cartesian(spark, sf_dir):
+    """The recall panel must fit once and reuse the persisted code
+    relation (InMemoryTableScan present) — per probe only a keyed
+    aggregation + TakeOrdered + k-row broadcast overlap; no cartesian
+    over data relations."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["ann_pq_recall_panel"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
