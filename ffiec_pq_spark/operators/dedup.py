@@ -558,12 +558,12 @@ def connected_components(
     is a silent-correctness hazard.
 
     Round-count diagnostics: pass ``stats={}`` and read
-    ``stats["rounds"]`` after the call — per-call, so concurrent
+    ``stats["rounds"]`` after the call — per-call state, so concurrent
     pipelines in one driver cannot clobber each other's reading (the
-    pointer-jump O(log d) test pins the bound through this).  The last
-    call's count is ALSO mirrored on ``connected_components.last_rounds``
-    for interactive use; that attribute is shared mutable state —
-    diagnostics only, never read it from concurrent code.
+    pointer-jump O(log d) test pins the bound through this).  The
+    former ``connected_components.last_rounds`` mirror attribute was
+    REMOVED in round 10: shared mutable function state raced between
+    concurrent pipelines, and the per-call dict covers every use.
     """
     if checkpoint_every is not None:
         import warnings
@@ -676,7 +676,6 @@ def connected_components(
             _free_ckpt(prev_ckpt)
         if stats is not None:
             stats["rounds"] = rounds
-        connected_components.last_rounds = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "

@@ -30,16 +30,50 @@ lowest-id vectors' subvectors (no RNG), distances round(·, 9) on both
 engines so summation-order ulps cannot flip a near-tie assignment.
 
 At real scale you'd raise k to 256 (one byte per code) and m to D/8;
-the plan shapes are identical — only the literal codebook grows, and
-past ~64k floats you switch the assignment expression to a pandas UDF
-over a broadcast numpy array (same loop, same aggregation), as noted
-in operators/kmeans.py.
+the plan shapes are identical — only the assignment stage switches
+from the literal expression to the Arrow-batched pandas-UDF scorer
+(``_make_assign_udf``) past ``_EXPR_MAX_FLOATS`` codebook floats: the
+literal path emits k struct entries each holding a sub_dim-element
+fold, so its expression tree grows as k·sub_dim and blows past
+whole-stage-codegen limits long before k=256, while the UDF path is a
+single vectorized numpy distance matrix per Arrow batch against a
+codebook that rides the pickled UDF command (which PySpark itself
+ships as a broadcast once it exceeds the 1 MB command threshold — the
+"broadcast numpy codebook" path, with zero explicit broadcast-handle
+lifetime to manage).  ``pq_fit``/``pq_codes`` pick the path by size
+(``assign="auto"``) or explicitly (``"expr"``/``"pandas"``).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Past this many codebook floats (m·k·sub_dim) the literal assignment
+# expression is replaced by the pandas-UDF scorer.  Set from the A/B
+# (scripts/pq_assign_bench.py, sf0.1 + 8x/16x replicas, full
+# fit(iters=2)+encode, min-of-3, clean machine):
+#
+#     k=4  (256 floats):  expr 2.17/1.83/2.10s   pandas 1.36/1.18/1.51s
+#     k=16 (1024):        expr 6.00/5.94/7.27s   pandas 1.35/1.39/1.58s
+#     k=64 (4096):        expr 44.9/46.9/49.2s   pandas 1.48/3.34/1.89s
+#
+# The expr column is FLAT in data size — it measures Catalyst/codegen
+# compile of the k·sub_dim-node expression tree, which passes 45s at
+# k=64 and would only worsen at k=256: the expression path is unusable
+# at production parameters regardless of data volume.  k=16 already
+# loses 4-5x locally -> 1024 floats lands on the UDF path (threshold
+# 512).  k=4 also loses locally (~0.7s, again pure compile), but stays
+# on the expression path: at 100 TB per-row cost dominates compile,
+# and 256 fused JVM multiply-adds with no Arrow transfer is the better
+# per-row deal — plus it keeps tiny-codebook encodes free of any
+# Python-worker dependency (streaming stages, JVM-only deployments).
+_EXPR_MAX_FLOATS = 512
 
 
 def pq_subvectors(
@@ -108,6 +142,105 @@ def _assign_expr(codebooks: list[list[list[float]]]):
     return F.array_min(F.array(*entries))
 
 
+def _np_round9(a):
+    """Vectorized Spark-compatible ``round(x, 9)`` (HALF_UP on the
+    shortest decimal repr, i.e. java BigDecimal.valueOf().setScale(9,
+    HALF_UP)) for non-negative doubles.
+
+    Fast path: floor(x·1e9 + 0.5)/1e9 on the binary value.  That
+    differs from decimal HALF_UP only when the true decimal expansion
+    sits within the binary representation error of the .5 boundary, so
+    values whose scaled fractional part lands inside ±0.01 of 0.5 are
+    re-rounded exactly through ``decimal.Decimal`` (repr(float) is the
+    shortest round-trip string, matching BigDecimal.valueOf).  The
+    band is ~1e3× wider than the worst-case product error at the
+    distance magnitudes involved (d ≤ ~1e3 → x·1e9 ulp ≤ ~1e-4), and
+    the slow path triggers on ~2% of uniform values — vectorized cost
+    everywhere else."""
+    x = np.asarray(a, dtype=np.float64)
+    scaled = x * 1e9
+    fl = np.floor(scaled)
+    frac = scaled - fl
+    out = np.where(frac >= 0.5, fl + 1.0, fl) / 1e9
+    risky = np.abs(frac - 0.5) < 1e-2
+    if risky.any():
+        flat = out.reshape(-1)
+        xf = x.reshape(-1)
+        for i in np.nonzero(risky.reshape(-1))[0]:
+            flat[i] = float(
+                Decimal(repr(float(xf[i]))).quantize(
+                    Decimal("1e-9"), rounding=ROUND_HALF_UP
+                )
+            )
+    return out
+
+
+def _make_assign_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched pandas-UDF scorer over the full numpy codebook —
+    the production-parameter (k=256, m=D/8) assignment path.
+
+    Per batch: one (rows × k) squared-distance matrix per subspace
+    present in the batch, ``_np_round9``-pinned so the (d, cell)
+    ordering matches the literal-expression path and the DuckDB oracle
+    (ties → lowest cell via argmin's first-min rule), then the chosen
+    cell's rounded distance is reported.  The codebook ndarray is
+    closure-captured: PySpark ships pickled UDF commands above 1 MB as
+    a broadcast automatically, so a production-size codebook reaches
+    executors exactly once per stage with no handle lifetime to
+    manage.
+
+    This is the package's ONE intentional Python-side stage (mandated
+    scale path — the k·sub_dim-node literal expression stops
+    compiling near k≈128): vectorized numpy on Arrow batches, never
+    row-at-a-time.  The 9-dp decimal pinning exists for cross-engine
+    oracle replay; a production encode job free of replay constraints
+    may drop it and keep raw float distances."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub_dim)
+
+    @pandas_udf("struct<cell:int,d:double>")
+    def assign(sub: pd.Series, v: pd.Series) -> pd.DataFrame:
+        subs = sub.to_numpy(dtype=np.int64)
+        X = np.stack(v.to_numpy())  # (n, sub_dim) float64
+        n = len(subs)
+        cell = np.zeros(n, dtype=np.int64)
+        dist = np.zeros(n, dtype=np.float64)
+        for s in np.unique(subs):
+            m_ = subs == s
+            diff = X[m_][:, None, :] - cb[s][None, :, :]
+            r = _np_round9((diff * diff).sum(axis=-1))  # (ns, k)
+            c = np.argmin(r, axis=1)  # ties -> lowest cell
+            cell[m_] = c
+            dist[m_] = r[np.arange(len(c)), c]
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "d": dist}
+        )
+
+    return assign
+
+
+def _assign_struct(
+    codebooks: list[list[list[float]]], assign: str = "auto"
+) -> Column:
+    """The (cell, d) assignment column under the chosen path: ``expr``
+    (literal codebook, pure JVM expression), ``pandas`` (Arrow-batched
+    numpy scorer), or ``auto`` (size switch at ``_EXPR_MAX_FLOATS``).
+    Both paths produce identical (cell, d) values — same round(·, 9)
+    distances, same ties→lowest-cell rule (pinned by
+    tests/test_pq.py::test_pandas_assign_matches_expr)."""
+    if assign == "auto":
+        n_floats = (
+            len(codebooks) * len(codebooks[0]) * len(codebooks[0][0])
+        )
+        assign = "pandas" if n_floats > _EXPR_MAX_FLOATS else "expr"
+    if assign == "expr":
+        return _assign_expr(codebooks)
+    if assign == "pandas":
+        return _make_assign_udf(codebooks)(F.col("sub"), F.col("v"))
+    raise ValueError(f"assign must be auto|expr|pandas, got {assign!r}")
+
+
 def pq_init(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -140,18 +273,20 @@ def pq_fit(
     sub_dim: int = 16,
     k: int = 4,
     iters: int = 3,
+    assign: str = "auto",
 ) -> list[list[list[float]]]:
     """Fit the m per-subspace codebooks with ``iters`` Lloyd steps.
 
     One job per step: all m subspaces assign and reduce together in a
     single groupBy(sub, cell) with per-dimension sums — m·k rows of
     sub_dim floats reach the driver; empty cells keep their previous
-    centroid (matching the kmeans convention and the SQL oracle)."""
+    centroid (matching the kmeans convention and the SQL oracle).
+    ``assign`` picks the assignment path (see ``_assign_struct``)."""
     sv = pq_subvectors(df, vec_col, id_col, m, sub_dim)
     books = pq_init(df, vec_col, id_col, m, sub_dim, k)
     for _ in range(iters):
         assigned = sv.select(
-            "sub", _assign_expr(books)["cell"].alias("cell"), "v"
+            "sub", _assign_struct(books, assign)["cell"].alias("cell"), "v"
         )
         stats = (
             assigned.groupBy("sub", "cell")
@@ -179,14 +314,17 @@ def pq_codes(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> DataFrame:
     """(id, sub, cell, d): each vector's m PQ codes under the fitted
     codebooks, with the round(·, 9) squared reconstruction distance of
-    the chosen centroid.  Pure projection — no shuffle."""
+    the chosen centroid.  Pure projection — no shuffle on either
+    assignment path (the pandas path adds one ArrowEvalPython map
+    stage, still shuffle-free)."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     sv = pq_subvectors(df, vec_col, id_col, m, sub_dim)
-    a = _assign_expr(codebooks)
+    a = _assign_struct(codebooks, assign)
     return sv.select("id", "sub", a["cell"].alias("cell"), a["d"].alias("d"))
 
 

@@ -269,6 +269,19 @@ def docs_stratified_sample(spark, sf_dir):
 # integer sums — order-independent, hash-identical across engines —
 # and the argmax cannot flip on a parallel-summation ulp.  Ties break
 # to the alphabetically-first class on both engines.
+#
+# ACCEPTED libm RISK: the micro-nat scaling itself calls ln() on both
+# engines, and IEEE 754 does not pin ln()'s last ulp — a cross-libm
+# divergence at an exact 0.5 micro-nat boundary would shift one model
+# weight by 1 and could flip a near-tie argmax.  This is accepted
+# here (unlike the banding design curve, which avoids libm entirely)
+# because NB weights are ln of RATIONAL counts (c+1)/(cl+v) — the
+# probability of such a quotient's ln landing within one double ulp
+# of a 5e-7 boundary is ~1e-9 per weight — and because both engines
+# on this platform resolve to the same system libm.  The libm-free
+# alternative (integer count ratios via the banding-curve chain
+# trick) cannot express ln without a series expansion, which would
+# trade a measure-zero risk for a real precision cliff.
 
 _NB_LANGS = ["de", "en", "es", "fr", "zh"]
 _NB_TEST_MOD = 5  # doc_id % 5 == 0 -> test (~20%), else train

@@ -198,7 +198,7 @@ def _kappa_oracle() -> str:
       FROM tot t CROSS JOIN pe_num p
     )
     SELECT n_test, po, pe,
-           round((po - pe) / (1 - pe), 6) AS kappa
+           round((po - pe) / nullif(1 - pe, 0.0), 6) AS kappa
     FROM k
     """
     )
@@ -261,13 +261,18 @@ def docs_nb_agreement_kappa(spark, sf_dir):
             6,
         ).alias("pe"),
     )
+    # pe = 1.0 on a degenerate single-class test split makes kappa
+    # 0/0: nullif-guarded per the repo's Spark-4 ANSI convention (ANSI
+    # double division RAISES on /0), NULL identically on both engines
     return k.select(
         "n_test",
         "po",
         "pe",
-        F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6).alias(
-            "kappa"
-        ),
+        F.round(
+            (F.col("po") - F.col("pe"))
+            / F.nullif(F.lit(1.0) - F.col("pe"), F.lit(0.0)),
+            6,
+        ).alias("kappa"),
     )
 
 

@@ -518,7 +518,11 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     assignment fold (k_co x dim multiply-adds per row) from the scan —
     measured A/B (scripts/ivfpq_plan_bench.py): persist wins 6.20 vs
     6.51s at 1x, 5.57 vs 6.25s at 8x, 6.81 vs 7.58s at 16x (sf0.1
-    replicas, min-of-3)."""
+    replicas, min-of-3).  The pinned blocks stay resident until
+    session GC (the builder returns a lazy frame, so it cannot
+    unpersist itself); long-lived drivers running many pipelines
+    should ``spark.catalog.clearCache()`` between them — same caveat
+    as the dedup family's shingle persists."""
     from ffiec_pq_spark.operators.kmeans import kmeans_fit
     from ffiec_pq_spark.operators.pq import (
         ivfpq_adc_topk,
@@ -732,7 +736,12 @@ def dedup_lsh_recall_eval(spark, sf_dir):
     100 TB — the truth side is the one full shingle self-join you CAN
     afford once on a sample).  Counts are exact integers; the two
     ratios are single double divisions rounded identically on both
-    engines."""
+    engines.
+
+    The shared shingle relation is persisted (signatures, truth join
+    and sizes all read it); the pinned blocks stay resident until
+    session GC — ``spark.catalog.clearCache()`` between pipelines on
+    long-lived drivers, per the dedup-family convention."""
     from ffiec_pq_spark.operators.dedup import (
         doc_shingles,
         exact_dedup_groups,
@@ -979,10 +988,24 @@ def dedup_incremental_newbatch(spark, sf_dir):
     sh_c = doc_shingles(cdocs, k=_DK)
     sizes_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sizes_c = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # PAIR-DRIVEN exact verify (round-10 rewrite of the one weak scale
+    # shape in this family): expand each candidate pair by the batch
+    # doc's shingles (keyed join on id_b), then keep the rows the
+    # corpus rep also holds (keyed join on (id_c, shingle)).  Work is
+    # Σ_pairs |sh(batch doc)| probe rows — LSH already bounded the
+    # pair count.  The previous shingle-driven form equi-joined the
+    # raw batch×rep shingle relations FIRST and only then semi-joined
+    # to candidates: Catalyst cannot push a two-column semi-join below
+    # the equi-join, so one hot shingle (a stopword-like k-gram held
+    # by millions of corpus reps) exploded the intermediate before the
+    # prune.  Same counts, same oracle (the SQL replays the naive
+    # shingle-driven form — the hash compare proves the rewrite).
     inter = (
-        sh_b.select(F.col("id").alias("id_b"), "shingle")
-        .join(sh_c.select(F.col("id").alias("id_c"), "shingle"), "shingle")
-        .join(cand, ["id_b", "id_c"], "left_semi")
+        cand.join(sh_b.select(F.col("id").alias("id_b"), "shingle"), "id_b")
+        .join(
+            sh_c.select(F.col("id").alias("id_c"), "shingle"),
+            ["id_c", "shingle"],
+        )
         .groupBy("id_b", "id_c")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1106,7 +1129,11 @@ def dedup_banding_design_curve(spark, sf_dir):
     multiplication chains (never pow()/exp() — libm rounding differs
     across engines), rounded to 9 dp, integer-nano scaled before the
     cross-pair sums, ratios rounded at 6 dp; nullif guards the empty
-    corpus (Spark 4 ANSI raises on 0/0)."""
+    corpus (Spark 4 ANSI raises on 0/0).
+
+    The shared per-pair jx relation is persisted (all four config arms
+    read it); pinned until session GC — ``spark.catalog.clearCache()``
+    between pipelines on long-lived drivers."""
     from ffiec_pq_spark.operators.dedup import doc_shingles, exact_dedup_groups
     from ffiec_pq_spark.queries.dedup import _K as _DK
 
@@ -1478,7 +1505,11 @@ def ann_pq_recall_panel(spark, sf_dir):
     Scale shape: codebooks fit ONCE; per probe the ADC ranking is one
     keyed integer-sum aggregation + per-probe window top-k over the
     shared code relation, the exact side is the afford-once brute
-    scan, and each overlap join is k rows."""
+    scan, and each overlap join is k rows.
+
+    The shared code relation is persisted (all four probe arms read
+    it); pinned until session GC — ``spark.catalog.clearCache()``
+    between pipelines on long-lived drivers."""
     from pyspark.sql import Window
 
     from ffiec_pq_spark.operators.pq import pq_codes, pq_fit

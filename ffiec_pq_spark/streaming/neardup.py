@@ -27,8 +27,9 @@ def run_neardup_stream(
 ) -> DataFrame:
     """Stage ``documents`` as four files, fold each micro-batch's LSH
     band rows into the parquet band state (signatures computed ONCE per
-    arriving doc), optionally COMPACT the state (pin + clear + rewrite
-    as one file) after every ``compact_every``-th trigger, then drain
+    arriving doc), optionally COMPACT the state (pin + rewrite to a
+    sibling dir + atomic rename swap — crash-safe at every point)
+    after every ``compact_every``-th trigger, then drain
     (doc_id, dup_of = smallest doc id sharing >= 1 band signature).
 
     Returns an eagerly localCheckpoint'ed result so the staging/state
@@ -63,12 +64,28 @@ def run_neardup_stream(
             if compact_every and n_batches["n"] % compact_every == 0:
                 # COMPACT: foreachBatch calls are strictly sequential,
                 # so pin the current state OFF its files (eager
-                # localCheckpoint), clear the dir, rewrite as one file
+                # localCheckpoint), write the compacted copy to a
+                # SIBLING dir, then swap it in with two renames.  The
+                # old delete-then-rewrite order had a crash window
+                # between rmtree and the rewrite that permanently lost
+                # state for micro-batches the stream checkpoint already
+                # marked committed (non-replayable); after the swap the
+                # old files are deleted only once the rewrite is fully
+                # committed, so a crash at any point leaves either the
+                # old state or the new state intact on disk.
                 pinned = spark.read.parquet(state_dir).localCheckpoint(
                     eager=True
                 )
-                shutil.rmtree(state_dir)
-                pinned.coalesce(1).write.mode("overwrite").parquet(state_dir)
+                compact_dir = state_dir + ".compact"
+                old_dir = state_dir + ".old"
+                shutil.rmtree(compact_dir, ignore_errors=True)
+                shutil.rmtree(old_dir, ignore_errors=True)
+                pinned.coalesce(1).write.mode("overwrite").parquet(
+                    compact_dir
+                )
+                os.rename(state_dir, old_dir)
+                os.rename(compact_dir, state_dir)  # atomic swap-in
+                shutil.rmtree(old_dir)
 
         q = (
             spark.readStream.format("parquet")

@@ -205,6 +205,8 @@ QUERIES = [
     "dedup_banding_design_curve",
     "embedding_knn_outlier_scores",
     "ann_pq_recall_panel",
+    # round-10 wave
+    "embedding_pq_codebook_k64",
 ]
 OFFSET = 10**9
 
@@ -215,6 +217,27 @@ OFFSET = 10**9
 # partially absorbed by cores idle at 1x.  Queries with ratio > 2 also
 # get their output row counts measured so the artifact shows which.
 NOTES = {
+    "embedding_pq_codebook_k64": (
+        "production-parameter assignment path (Arrow-batched numpy "
+        "scorer), A/B'd vs the literal expression at 1x/8x/16x "
+        "(scripts/pq_assign_bench.py, fit+encode, min-of-3): expr "
+        "2.17/1.83/2.10s at k=4, 6.00/5.94/7.27s at k=16, "
+        "44.9/46.9/49.2s at k=64 (flat in data = codegen compile of "
+        "the k*sub_dim-node tree, unusable at production k) vs pandas "
+        "1.36/1.18/1.51s, 1.35/1.39/1.58s, 1.48/3.34/1.89s — the UDF "
+        "path ships for >512 codebook floats; k=4 keeps the JVM "
+        "literal path (per-row fused codegen wins once compile "
+        "amortizes at scale, and no Python-worker dependency)"
+    ),
+    "dedup_incremental_newbatch": (
+        "round-10: exact verify rewritten pair-driven (expand "
+        "candidates by the batch doc's shingles keyed on id_b, probe "
+        "corpus reps keyed on (id_c, shingle)) — the previous raw "
+        "batch x corpus-rep shingle equi-join ran BEFORE the "
+        "candidate semi-join and was the family's one hot-shingle "
+        "quadratic magnet; plan-pinned (no shingle-only join key "
+        "anywhere in the plan)"
+    ),
     "text_repetition_stats": (
         "per-document pure-function compute (token counts + gram "
         "fractions); work is strictly linear in rows, ratio is 8x "

@@ -77,3 +77,29 @@ def test_kcenter_round_plan_is_projection_plus_top1(spark):
     assert count_exchanges(updated) == 0
     sel = updated.orderBy(F.col("dmin").desc(), F.col("id").asc()).limit(1)
     assert "TakeOrderedAndProject" in physical_plan(sel)
+
+
+def test_kcenter_checkpoint_bounds_plan_depth(spark):
+    """Round-10 lineage pin: with checkpoint_every=4 over a 40-round
+    run, the deepest analyzed state plan must stay BOUNDED (a pinned
+    state is a flat LogicalRDD plus at most checkpoint_every stacked
+    projections) instead of deepening linearly in k — and the
+    checkpointed run must pick the identical coreset."""
+    rows = [(i, [float(3 * i % 41), float(7 * i % 29)]) for i in range(60)]
+    df = _df(spark, rows)
+
+    s_ck: dict = {}
+    picks_ck = kcenter_select(df, k=40, checkpoint_every=4, stats=s_ck)
+    s_no: dict = {}
+    picks_no = kcenter_select(df, k=40, checkpoint_every=0, stats=s_no)
+
+    assert picks_ck == picks_no
+    assert s_ck["checkpoints"] >= 9
+    assert s_no["checkpoints"] == 0
+    # unpinned: ~1 projection node per round -> depth tracks k.
+    # pinned: depth resets at each pin; bound = flat source + ~4 selects.
+    assert s_no["max_plan_nodes"] > 2 * s_ck["max_plan_nodes"], (
+        s_ck,
+        s_no,
+    )
+    assert s_ck["max_plan_nodes"] <= 12, s_ck

@@ -666,6 +666,25 @@ def test_pq_codebook_rollup_no_join_one_exchange(spark, sf_dir):
     assert count_exchanges(df) <= 1, plan
 
 
+def test_pq_codebook_k64_single_arrow_stage(spark, sf_dir):
+    """Production-parameter (k=64) PQ rollup: the pandas-UDF scorer is
+    the ONLY Python stage — one ArrowEvalPython map node over the
+    subvector projection (never row-at-a-time BatchEvalPython), and the
+    rest of the plan is the same no-join single-aggregate shape as the
+    k=4 literal-expression rollup."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["embedding_pq_codebook_k64"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 1, plan
+
+
 def test_pq_adc_topk_is_take_ordered_no_join(spark, sf_dir):
     """ADC top-k: per-id integer distance sum (one keyed exchange) then
     TakeOrderedAndProject — never a global sort, never a join against
@@ -732,7 +751,14 @@ def test_incremental_dedup_is_asymmetric(spark, sf_dir):
     """Incremental ingest dedup must never pair the corpus with itself:
     every join is keyed (hash / band / shingle / pair id), no cartesian
     over data relations, no window — the nested loops are the 1-row
-    count aggregates crossed into the report row."""
+    count aggregates crossed into the report row.
+
+    Round-10 addition: the exact verify must be PAIR-DRIVEN — no join
+    anywhere in the plan keyed on the shingle ALONE (the hot-shingle
+    quadratic magnet); shingles may only be joined together with a doc
+    id already pruned to candidates ((id_c, shingle))."""
+    import re
+
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["dedup_incremental_newbatch"](spark, sf_dir)
@@ -741,6 +767,9 @@ def test_incremental_dedup_is_asymmetric(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan
+    assert not re.search(
+        r"Join \[shingle#\d+L?\], \[shingle#\d+L?\]", plan
+    ), "shingle-only equi-join precedes the candidate prune:\n" + plan
 
 
 def test_banding_curve_one_join_no_pow(spark, sf_dir):

@@ -130,3 +130,71 @@ def test_ivfpq_adc_scans_probed_cells_only(spark):
     probed = ivfpq_probed_cells(spark, coarse, probe, 1)
     top = ivfpq_adc_topk(codes, coarse, books, probe, probed, top_k=8).collect()
     assert {r["id"] for r in top} == {4, 5, 6, 7}
+
+
+# --- round-10: production-parameter (pandas-UDF) assignment path ---
+
+
+def test_np_round9_matches_spark_round(spark):
+    """_np_round9 must reproduce Spark's round(double, 9) (BigDecimal
+    HALF_UP on the shortest decimal repr) exactly, including values
+    engineered onto the .5 boundary at the 9th decimal where binary
+    half-up and decimal half-up diverge."""
+    from ffiec_pq_spark.operators.pq import _np_round9
+
+    vals = [
+        0.0,
+        1.2345678935,          # boundary: ...35 at 10th dp
+        0.0000000005,          # exactly .5e-9 in decimal repr
+        2.5e-9,
+        1.9999999995,
+        0.1 + 0.2,             # classic repr-vs-binary value
+        123.4567890125,
+        7.00000000049999,      # just under the boundary
+        7.00000000050001,      # just over
+        64.0,
+        3.141592653589793,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    expected = [
+        r["r"] for r in df.select(F.round("x", 9).alias("r")).collect()
+    ]
+    got = list(_np_round9(vals))
+    assert got == expected, list(zip(vals, got, expected))
+
+
+def test_pandas_assign_matches_expr(spark, sf_dir):
+    """The Arrow-batched numpy scorer and the literal expression must
+    produce identical (cell, d) assignments — same round(·, 9)
+    distances, same ties→lowest-cell rule — and therefore identical
+    fitted codebooks through the Lloyd loop."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_fit(emb, m=4, sub_dim=16, k=8, iters=1, assign="expr")
+    a = pq_codes(emb, books, assign="expr").orderBy("id", "sub").collect()
+    b = pq_codes(emb, books, assign="pandas").orderBy("id", "sub").collect()
+    assert a == b
+    assert pq_fit(
+        emb, m=4, sub_dim=16, k=8, iters=1, assign="pandas"
+    ) == books
+
+
+def test_assign_auto_switches_on_codebook_size(spark):
+    """auto = expr at k·m·sub_dim ≤ _EXPR_MAX_FLOATS, pandas above —
+    and the pandas plan is ONE ArrowEvalPython map stage (the struct is
+    projected twice but evaluated once), no row-at-a-time Python, no
+    exchange added over the scan."""
+    from ffiec_pq_spark.operators.pq import _EXPR_MAX_FLOATS
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = _toy_df(spark)
+    books_small = pq_fit(df, m=2, sub_dim=2, k=2, iters=1)
+    plan_small = physical_plan(pq_codes(df, books_small, assign="auto"))
+    assert "ArrowEvalPython" not in plan_small  # 8 floats -> expr path
+
+    big = pq_codes(df, books_small, assign="pandas")
+    plan_big = physical_plan(big)
+    assert plan_big.count("ArrowEvalPython") == 1, plan_big
+    assert "BatchEvalPython" not in plan_big
+    assert "Exchange" not in plan_big, plan_big
+    assert count_exchanges(big) == 0
+    assert 2 * 2 * 2 <= _EXPR_MAX_FLOATS  # the toy stays on expr

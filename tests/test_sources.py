@@ -195,3 +195,137 @@ def test_zip_datasource_pipeline_equivalence(spark, tmp_path):
     assert sorted(map(key, via_ds.collect())) == sorted(
         map(key, via_mip.collect())
     )
+
+
+# --- round-10: adversarial repair-path fuzz (S4) ---
+#
+# The reference repairs embedded newlines THEN extra tabs in sequence
+# (R/ffeic_read.R:86-146); these tests hit repair_member_text with all
+# three corruption classes COMBINED in one physical row (embedded
+# newline + extra tab + CONF/"" NA tokens) instead of one-per-row as
+# the pipeline fixtures do, and pin that the member audit — the exact
+# relation operators/process.py folds into the process log's
+# ``repairs`` column — carries both repair tags.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FIELD_ALPHABET = "abcXYZ019. -"
+
+
+def _clean_field(draw):
+    s = draw(
+        st.text(alphabet=_FIELD_ALPHABET, min_size=1, max_size=8).filter(
+            lambda x: x.strip()
+        )
+    )
+    return s
+
+
+@given(data=st.data())
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_repair_combined_corruptions_property(data):
+    """One victim row carries ALL of: an embedded newline (mid-field,
+    never tab-adjacent on the left — FFIEC's trailing-tab invariant is
+    what makes the join sound), one extra tab in the final free-text
+    field, and CONF/"" NA tokens in other fields.  After
+    repair_member_text: the text has exactly header+n_rows physical
+    lines again, every row splits into exactly n_cols fields plus the
+    trailing delimiter, the corrupted fields equal their originals
+    with newline/tab turned into single spaces, untouched fields
+    (including the NA tokens) are byte-identical, and both repair tags
+    fire."""
+    from ffiec_pq_spark.sources.tsv import repair_member_text
+
+    n_cols = data.draw(st.integers(3, 6))
+    n_rows = data.draw(st.integers(1, 5))
+    rows = [
+        [_clean_field(data.draw) for _ in range(n_cols)] for _ in range(n_rows)
+    ]
+    vr = data.draw(st.integers(0, n_rows - 1))
+
+    # CONF/"" NA tokens sprinkled into the victim's NON-corrupted cells
+    for j in range(1, n_cols - 2):
+        if data.draw(st.booleans()):
+            rows[vr][j] = data.draw(st.sampled_from(["", "CONF"]))
+
+    # embedded newline(s): field 0, inserted at position >= 1 so the
+    # newline is never preceded by a field separator tab
+    base_nl = _clean_field(data.draw)
+    pos = data.draw(st.integers(1, len(base_nl)))
+    nl_field = base_nl[:pos] + "\n" + base_nl[pos:]
+    if data.draw(st.booleans()) and len(nl_field) > pos + 1:
+        pos2 = data.draw(st.integers(pos + 1, len(nl_field) - 1))
+        if nl_field[pos2] != "\n":
+            nl_field = nl_field[:pos2] + "\n" + nl_field[pos2:]
+    rows[vr][0] = nl_field
+
+    # extra tab: the final free-text field (the only position where
+    # the width repair can reconstruct — reference semantics)
+    base_tab = _clean_field(data.draw)
+    tpos = data.draw(st.integers(0, len(base_tab)))
+    rows[vr][n_cols - 1] = base_tab[:tpos] + "\t" + base_tab[tpos:]
+
+    header = "\t".join(f"C{j}" for j in range(n_cols)) + "\t"
+    eol = "\r\n" if data.draw(st.booleans()) else "\n"
+    text = eol.join(
+        [header] + ["\t".join(r) + "\t" for r in rows]
+    ) + eol
+
+    repaired, tags = repair_member_text(text, n_cols)
+    assert set(tags) == {"newline-gsub", "tab-repair"}, (tags, text)
+
+    lines = repaired.split("\n")
+    assert lines[-1] == ""
+    lines.pop()
+    assert len(lines) == 1 + n_rows, repaired
+    for i, line in enumerate(lines[1:]):
+        assert line.endswith("\t"), line
+        got = line[:-1].split("\t")
+        want = [
+            f.replace("\n", " ").replace("\t", " ") for f in rows[i]
+        ]
+        assert got == want, (got, want)
+
+
+def test_repair_combined_row_end_to_end_audit(spark, tmp_path):
+    """The combined-corruption row through the FULL S4 reader: typed
+    values recover, the CONF cell parses to NULL, and the member audit
+    (the relation process.py folds into the process log's ``repairs``
+    column — pinned there by test_process_log) reports both tags."""
+    import zipfile
+
+    from ffiec_pq_spark.sources.tsv import read_call_schedule
+
+    header = ["IDRSSD", "RCFD0010", "TEXT9999", "RCFD2170", "TEXT4545"]
+    lines = [
+        "\t".join(header) + "\t",
+        "ID\tCash\tMemo\tAssets\tNote\t",
+        "1001\t10.5\tmemo one\t20000\tclean note\t",
+        # ONE row, all three corruptions: embedded newline in the memo
+        # text, CONF token in the numeric, extra tab in the final text
+        "1002\t33.5\tbroken\nmemo\tCONF\tnote 2\textra\t",
+        "1003\t70.25\tmemo three\t90000\tlast\t",
+    ]
+    zpath = str(tmp_path / "FFIEC CDR Call Bulk All Schedules 03312024.zip")
+    member = "FFIEC CDR Call Schedule RX 03312024.txt"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr(member, "\n".join(lines) + "\n")
+
+    df, audit = read_call_schedule(
+        spark, zpath, member, {"RCFD0010": "d", "RCFD2170": "i"}
+    )
+    rows = {r["IDRSSD"]: r for r in df.collect()}
+    audit["unpersist"]()
+    assert audit["ok"], audit
+    assert set(audit["repairs"]) >= {"newline-gsub", "tab-repair"}, audit
+    assert rows[1002]["RCFD0010"] == pytest.approx(33.5)
+    assert rows[1002]["TEXT9999"] == "broken memo"  # newline -> space
+    assert rows[1002]["RCFD2170"] is None  # CONF -> NULL
+    assert rows[1002]["TEXT4545"] == "note 2 extra"  # extra tab -> space
+    assert rows[1001]["RCFD0010"] == pytest.approx(10.5)
+    assert rows[1003]["TEXT4545"] == "last"
