@@ -58,6 +58,11 @@ HEAVY = [
     # residual PQ + probed ADC) is the newest iterative family — track
     # its driver-roundtrip-dominated profile round-over-round
     "ann_ivfpq_residual_topk",
+    # round-10: the two heaviest registry queries get trend lines —
+    # both iterative-by-nature (pointer-jumping CC; covariance rollup
+    # + driver power iteration), both builder-executed -> BUILD_TIMED
+    "dedup_clusters",
+    "embedding_pca_scores",
 ]
 
 # Queries whose BUILDER executes the work (streaming drains: the
@@ -66,7 +71,16 @@ HEAVY = [
 # in the builder and dominates the pipeline) — time builder+sink
 # together per rep, otherwise the noop write measures only the cheap
 # final stage of an already-trained result.
-BUILD_TIMED = {"stream_minhash_neardup", "ann_ivfpq_residual_topk"}
+BUILD_TIMED = {
+    "stream_minhash_neardup",
+    "ann_ivfpq_residual_topk",
+    # CC label propagation materializes per-round localCheckpoints in
+    # the builder; the PCA covariance rollup collects in the builder
+    # and the returned frame is a cheap scoring projection — without
+    # BUILD_TIMED the timer would miss both (the round-9 lesson)
+    "dedup_clusters",
+    "embedding_pca_scores",
+}
 
 
 def main() -> None:
@@ -96,6 +110,7 @@ def main() -> None:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            spark.catalog.clearCache()
             continue
         df = queries[name](spark, sf_dir)
         # per-query untimed warmup, mirroring the DuckDB side: the
@@ -111,6 +126,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # measurement isolation (round-10, same rationale as
+        # scripts/scale_check.py): the dedup/tfidf/kcenter builders
+        # persist session-lifetime relations, so later queries in the
+        # sweep were timed under the earlier queries' cache+GC
+        # pressure — semantic_dedup_cells read +45% in round 9 from
+        # exactly this (its plan was structurally unchanged and it
+        # measures 2.88s isolated); a query's OWN persists still serve
+        # its warmup + timed reps, only cross-query residue is dropped
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -64,6 +64,10 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 _NEVER_SAMPLED_FIRST = [
     # --- round-10 wave (queries/round10.py, never sampled) ---
     "embedding_pq_codebook_k64",
+    "embedding_pq_codebook_k256",
+    "dedup_pq_semantic_buckets",
+    "corpus_heaps_law_curve",
+    "stream_pq_encode",
     # --- round-9 third wave (queries/round9c.py, never sampled) ---
     "embedding_pq_codebook",
     "ann_pq_adc_topk",

@@ -90,3 +90,334 @@ def embedding_pq_codebook_k64(spark, sf_dir):
             ).alias("mean_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_codebook_k256 — the FULL production parameterization
+# (k=256 codes = one byte per subspace code, m = D/8 subspaces): the
+# exact geometry a real 100 TB index build runs, exercised end-to-end
+# through the pandas-UDF scorer (the literal-expression path stopped
+# compiling in reasonable time at k=64 already — see _EXPR_MAX_FLOATS).
+
+_M256 = 8          # D/8 subspaces at D=64
+_SUB_DIM256 = 8
+_K256 = 256        # one byte per code — the production code width
+_ITERS256 = 2
+
+
+def _pq_codebook_k256_sql() -> str:
+    ctes = _pq_ctes(_M256, _SUB_DIM256, _K256, _ITERS256)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT sub, c AS cell, count(*) AS n,
+           round(CAST(sum(CAST(round(d * 1e9, 0) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1e9, 6) AS mean_err
+    FROM asg{_ITERS256}
+    GROUP BY 1, 2"""
+    )
+
+
+@register(
+    "embedding_pq_codebook_k256",
+    _pq_codebook_k256_sql(),
+    tags=["similarity", "quantize", "iterative", "pandas-udf"],
+)
+def embedding_pq_codebook_k256(spark, sf_dir):
+    """PQ codebook rollup at the PRODUCTION parameters: k=256 (one
+    byte per code), m=D/8=8 subspaces of 8 dims — the geometry that
+    makes a 100 TB embedding corpus fit in memory at 8 bytes/vector
+    (256x compression over float32 at D=64).
+
+    The assignment stage is the Arrow-batched numpy scorer for every
+    Lloyd step and the final encode (2048 codebook floats — far past
+    the expression path's viability; its compile cost alone measured
+    45s at k=64).  Per batch: one (rows x 256) distance matrix per
+    subspace, Spark-exact round(·, 9), ties to the lowest cell.  Plan
+    shape is IDENTICAL to the k=4 rollup otherwise: one
+    groupBy(sub, cell) job per step, one m·k-group final aggregate,
+    no join, no global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(
+        emb, m=_M256, sub_dim=_SUB_DIM256, k=_K256, iters=_ITERS256
+    )
+    codes = pq_codes(emb, books)
+    nano = F.round(F.col("d") * F.lit(1e9), 0).cast("long")
+    return (
+        codes.select("sub", "cell", nano.alias("nano"))
+        .groupBy("sub", "cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("nano").alias("nano"))
+        .select(
+            "sub",
+            "cell",
+            "n",
+            F.round(
+                F.col("nano").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1e9),
+                6,
+            ).alias("mean_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_pq_semantic_buckets — SemDeDup at compression scale: vectors
+# sharing their FULL m-code PQ tuple fall in one semantic bucket, so
+# the near-dup prefilter reads m bytes per vector instead of the raw
+# floats.  The bucket relation is exactly what a 100 TB semantic-dedup
+# pass groups on before any within-bucket exact verification.
+
+from ffiec_pq_spark.queries.round9c import _K  # noqa: E402  (k=4 geometry)
+
+
+def _pq_buckets_sql() -> str:
+    ctes = _pq_ctes(_M, _SUB_DIM, _K, _ITERS)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    keys AS (
+      SELECT vec_id,
+             string_agg(CAST(c AS VARCHAR), ',' ORDER BY sub) AS code_key
+      FROM asg{_ITERS}
+      GROUP BY vec_id
+    )
+    SELECT code_key,
+           count(*)::BIGINT AS n_members,
+           min(vec_id)::BIGINT AS rep_id
+    FROM keys
+    GROUP BY 1"""
+    )
+
+
+@register(
+    "dedup_pq_semantic_buckets",
+    _pq_buckets_sql(),
+    tags=["dedup", "similarity", "quantize"],
+)
+def dedup_pq_semantic_buckets(spark, sf_dir):
+    """Semantic near-dup buckets from PQ codes: vectors with an
+    identical m-code tuple collapse to one bucket (code_key,
+    n_members, rep_id = lowest member id).
+
+    Scale story: this is the SemDeDup prefilter rebuilt on the
+    COMPRESSED representation — the grouping key is m bytes (here
+    "c0,c1,c2,c3"), so the shuffle moves 4 bytes of key per vector
+    instead of the raw embedding, and the downstream exact
+    verification only ever runs within a bucket.  Plan: encode is a
+    pure projection (broadcast codebook literal at this k=4 geometry),
+    one groupBy(id) to assemble the tuple (sort_array over the m
+    structs — deterministic sub order), one groupBy(code_key) for the
+    bucket rollup.  No join anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=_M, sub_dim=_SUB_DIM, k=_K, iters=_ITERS)
+    codes = pq_codes(emb, books)
+    key = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cell"))),
+            lambda s: s["cell"].cast("string"),
+        ),
+    )
+    return (
+        codes.groupBy("id")
+        .agg(key.alias("code_key"))
+        .groupBy("code_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("rep_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_heaps_law_curve — vocabulary growth vs corpus size (Heaps'
+# law): distinct-token count at ingest checkpoints.  The
+# "is more data still buying new vocabulary?" collection-planning
+# artifact — the flattening point of this curve is when scraping more
+# of the same source stops paying.
+
+_HEAPS_BUCKETS = 8
+
+
+def _heaps_sql() -> str:
+    b = _HEAPS_BUCKETS
+    tok = "unnest(string_split_regex(trim(text), '\\s+'))"
+    return f"""
+    WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+    tok AS (
+      SELECT doc_id, {tok} AS tok FROM documents
+    ),
+    first_ AS (
+      SELECT tok, min(doc_id) AS first_doc
+      FROM tok WHERE tok <> '' GROUP BY tok
+    ),
+    newtok AS (
+      SELECT CAST((first_doc * {b}) // (mx + 1) AS INTEGER) AS bucket,
+             count(*) AS n_new_tokens
+      FROM first_ CROSS JOIN mx
+      GROUP BY 1
+    ),
+    docs_ AS (
+      SELECT CAST((doc_id * {b}) // (mx + 1) AS INTEGER) AS bucket,
+             count(*) AS n_docs
+      FROM documents CROSS JOIN mx
+      GROUP BY 1
+    )
+    SELECT d.bucket,
+           CAST(sum(d.n_docs) OVER w AS BIGINT) AS n_docs_cum,
+           CAST(coalesce(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+           CAST(sum(coalesce(n.n_new_tokens, 0)) OVER w AS BIGINT)
+             AS n_vocab_cum,
+           round(CAST(sum(coalesce(n.n_new_tokens, 0)) OVER w AS DOUBLE)
+                 / nullif(CAST(sum(d.n_docs) OVER w AS DOUBLE), 0.0),
+                 6) AS vocab_per_doc
+    FROM docs_ d LEFT JOIN newtok n ON n.bucket = d.bucket
+    WINDOW w AS (ORDER BY d.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@register(
+    "corpus_heaps_law_curve",
+    _heaps_sql(),
+    tags=["text", "corpus", "analytics"],
+)
+def corpus_heaps_law_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: the corpus in doc-id order
+    split into equal-width ingest checkpoints; per checkpoint the NEW
+    distinct tokens (first occurrence in that bucket), the cumulative
+    vocabulary, and vocabulary-per-document.
+
+    Scale shape: one explode + one groupBy(token) min-aggregate (the
+    only data-sized shuffle — map-side combined, keyed on the token),
+    then everything is B-row arithmetic: the bucket rollups are
+    B-group aggregates, the cumulative sums are a window over B rows
+    (bounded — never a data-sized window), and the max-id scalar rides
+    a broadcast cross join.  Integer bucket math ((id*B) DIV (max+1))
+    is exact on both engines; the single ratio is nullif-guarded."""
+    from ffiec_pq_spark.operators.text import tokens
+
+    b = _HEAPS_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    first = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    bucket_of = lambda c: F.expr(f"CAST(({c} * {b}) DIV (mx + 1) AS INT)")
+    newtok = (
+        first.crossJoin(F.broadcast(mx))
+        .select(bucket_of("first_doc").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    )
+    docs_b = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(bucket_of("doc_id").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = docs_b.join(newtok, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        F.coalesce(F.col("n_new_tokens"), F.lit(0)).alias("n_new_tokens"),
+    )
+    return joined.select(
+        "bucket",
+        F.sum("n_docs").over(w).alias("n_docs_cum"),
+        F.col("n_new_tokens").cast("long").alias("n_new_tokens"),
+        F.sum("n_new_tokens").over(w).alias("n_vocab_cum"),
+        F.round(
+            F.sum("n_new_tokens").over(w).cast("double")
+            / F.nullif(
+                F.sum("n_docs").over(w).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("vocab_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_pq_encode — the PQ encode stage as a Structured Streaming
+# micro-batch job at production codebook size: each arriving batch is
+# scored by the SAME pandas-UDF path the batch encode uses, and codes
+# append to the state sink.  Encoding is stateless per row, so the
+# drained state is batch-order-invariant and hash-equals the batch
+# chain — proving the Arrow scorer drops into foreachBatch unchanged
+# (the continuous-ingest shape of a production index build).
+
+
+def _stream_pq_encode_sql() -> str:
+    ctes = _pq_ctes(_M, _SUB_DIM, _K64, _ITERS)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id AS id, sub, c AS cell
+    FROM asg{_ITERS}"""
+    )
+
+
+@register(
+    "stream_pq_encode",
+    _stream_pq_encode_sql(),
+    tags=["streaming", "quantize", "pandas-udf"],
+)
+def stream_pq_encode(spark, sf_dir):
+    """Streaming PQ encode with the k=64 pandas-UDF scorer: stage the
+    embeddings as four files, stream them with maxFilesPerTrigger=1,
+    encode each micro-batch with the prefit codebooks (the scorer is a
+    per-row pure function — no state, no watermark), append (id, sub,
+    cell) to the parquet state, drain.
+
+    INTEGER-only output (the round(·, 9) distance stays internal), so
+    the cross-engine hash has zero float surface.  The drain equals
+    the batch encode for ANY batch order — certified against the same
+    Lloyd-chain oracle as embedding_pq_codebook_k64."""
+    import os
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=_M, sub_dim=_SUB_DIM, k=_K64, iters=_ITERS)
+    workdir = tempfile.mkdtemp(prefix="stream_pq_encode_")
+    try:
+        src = os.path.join(workdir, "src")
+        (
+            emb.repartition(4, F.col("vec_id") % 4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        state_dir = os.path.join(workdir, "codes")
+
+        def encode_batch(batch_df, epoch_id):
+            pq_codes(batch_df, books).select("id", "sub", "cell").write.mode(
+                "append"
+            ).parquet(state_dir)
+
+        q = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(encode_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(state_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -207,6 +207,10 @@ QUERIES = [
     "ann_pq_recall_panel",
     # round-10 wave
     "embedding_pq_codebook_k64",
+    "embedding_pq_codebook_k256",
+    "dedup_pq_semantic_buckets",
+    "corpus_heaps_law_curve",
+    "stream_pq_encode",
 ]
 OFFSET = 10**9
 
@@ -228,6 +232,18 @@ NOTES = {
         "path ships for >512 codebook floats; k=4 keeps the JVM "
         "literal path (per-row fused codegen wins once compile "
         "amortizes at scale, and no Python-worker dependency)"
+    ),
+    "embedding_pq_codebook_k256": (
+        "full production geometry (k=256, m=D/8) through the pandas "
+        "scorer; per-batch work is a (rows x 256) numpy distance "
+        "matrix per subspace — linear in rows, codebook ships once "
+        "per stage via the auto-broadcast pickled command"
+    ),
+    "stream_pq_encode": (
+        "foreachBatch staging writes + 4 micro-batch triggers "
+        "dominate at this scale (fixed streaming overhead, ~linear "
+        "data term); encode itself is the stateless k=64 pandas "
+        "scorer per batch"
     ),
     "dedup_incremental_newbatch": (
         "round-10: exact verify rewritten pair-driven (expand "

@@ -41,6 +41,12 @@ EXPECT_RAISE = {
     "ann_ivfpq_residual_topk": ValueError,
     # k-center seeds from the lowest-id vector
     "embedding_kcenter_coreset": ValueError,
+    # round-10 PQ family: all seed codebooks via pq_init (k lowest-id
+    # vectors) — same trainer fail-fast contract
+    "embedding_pq_codebook_k64": ValueError,
+    "embedding_pq_codebook_k256": ValueError,
+    "dedup_pq_semantic_buckets": ValueError,
+    "stream_pq_encode": ValueError,
     # rides the k-means trainer (same fail-fast as kmeans_cell_sizes)
     "embedding_knn_outlier_scores": ValueError,
 }

@@ -812,3 +812,54 @@ def test_recall_panel_reuses_codes_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_pq_codebook_k256_production_shape(spark, sf_dir):
+    """k=256/m=8 (full production geometry): still the pandas-UDF
+    single-Python-stage shape — one ArrowEvalPython, no join, one
+    grouped aggregate, no row-at-a-time Python anywhere."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["embedding_pq_codebook_k256"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_pq_semantic_buckets_no_join_two_exchanges(spark, sf_dir):
+    """PQ-code semantic buckets: encode is a pure projection (k=4
+    geometry stays on the literal-expression path), then exactly the
+    two keyed aggregations (per-id tuple assembly, per-key rollup) —
+    no join, no window, no Python stage, no single-partition stage."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["dedup_pq_semantic_buckets"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_heaps_curve_bounded_window(spark, sf_dir):
+    """Heaps curve: the only data-sized shuffle is the token
+    first-occurrence aggregate; the scalar max rides a broadcast
+    cross join; the cumulative window runs over the B bucket rows
+    ONLY (a bounded SinglePartition is the design, never data-sized
+    — the window input is the B-group aggregate, not the corpus)."""
+    from ffiec_pq_spark.plans.audit import (
+        count_exchanges,
+        has_broadcast_join,
+        physical_plan,
+    )
+
+    df = queries()["corpus_heaps_law_curve"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df), plan
+    assert "windowspecdefinition" in plan  # the B-row cumsum
+    assert count_exchanges(df) <= 4, plan

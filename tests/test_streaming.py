@@ -240,3 +240,31 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_stream_pq_encode_equals_batch_encode(spark, sf_dir):
+    """The streamed PQ encode (micro-batched pandas-UDF scorer via
+    foreachBatch) must produce EXACTLY the batch encode's code rows —
+    encoding is stateless per row, so the drain is batch-order
+    invariant by construction; this pins it against the real batch
+    operator (the registry oracle pins it against the SQL chain)."""
+    from ffiec_pq_spark.catalog import queries
+    from ffiec_pq_spark.operators.pq import pq_codes, pq_fit
+    from ffiec_pq_spark.queries.round10 import _K64
+    from ffiec_pq_spark.queries.round9c import _ITERS, _M, _SUB_DIM
+    from ffiec_pq_spark.session import load_table
+
+    streamed = (
+        queries()["stream_pq_encode"](spark, sf_dir)
+        .orderBy("id", "sub")
+        .collect()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=_M, sub_dim=_SUB_DIM, k=_K64, iters=_ITERS)
+    batch = (
+        pq_codes(emb, books)
+        .select("id", "sub", "cell")
+        .orderBy("id", "sub")
+        .collect()
+    )
+    assert streamed == batch
