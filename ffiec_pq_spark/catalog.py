@@ -38,9 +38,20 @@ _REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
-    """Decorator registering a query builder under ``name``."""
+    """Decorator registering a query builder under ``name``.
+
+    Duplicate names FAIL FAST: a silent overwrite means whichever
+    module imports later wins and the earlier query's oracle/builder
+    pair vanishes from certification without any signal (a round-10
+    near-miss — a new module re-used an existing query name and the
+    older module's registration clobbered the new one)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered by {_REGISTRY[name].spark_fn.__module__}"
+            )
         _REGISTRY[name] = Query(name, fn, oracle, tags or [])
         return fn
 
@@ -68,6 +79,8 @@ _NEVER_SAMPLED_FIRST = [
     "dedup_pq_semantic_buckets",
     "corpus_heaps_law_curve",
     "stream_pq_encode",
+    "ann_ivf_incremental_newvecs",
+    "embedding_isotropy_datacard",
     # --- round-9 third wave (queries/round9c.py, never sampled) ---
     "embedding_pq_codebook",
     "ann_pq_adc_topk",

@@ -421,3 +421,279 @@ def stream_pq_encode(spark, sf_dir):
         return spark.read.parquet(state_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_incremental_newvecs — IVF index maintenance for continuous
+# ingest: a new vector batch is assigned to the FROZEN coarse
+# quantizer (trained on the existing corpus only), and the per-cell
+# report compares corpus vs batch occupancy and quantization error.
+# This is the "do we need to retrain the index?" artifact: a cell
+# whose batch share balloons, or whose batch-side error is far above
+# its corpus-side error, means the ingest distribution drifted off the
+# trained centroids.  Asymmetric like dedup_incremental_newbatch —
+# daily cost touches the model (k x dim floats) plus the batch, never
+# retrains on the corpus.
+
+_INCV_MOD = 5          # vec_id % 5 == 4 -> "new batch" (~20%)
+_INCV_K = 4
+_INCV_ITERS = 2
+
+
+def _ivf_incremental_sql() -> str:
+    """Corpus-only Lloyd chain (the frozen model), then ONE assignment
+    of every vector with its round(·, 9) distance, rolled up per cell
+    by split.  Same CTE conventions as queries/similarity._kmeans_ctes
+    with the training relation filtered to the corpus."""
+    k, iters, mod = _INCV_K, _INCV_ITERS, _INCV_MOD
+    ctes = [
+        f"""emb_c AS (
+      SELECT * FROM embeddings WHERE vec_id % {mod} < {mod - 1}
+    )""",
+        """ex_c AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM emb_c
+    )""",
+        f"""cent0 AS (
+      SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+             i, x AS v
+      FROM ex_c
+      WHERE vec_id IN (SELECT vec_id FROM emb_c ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"""d{it} AS (
+      SELECT e.vec_id, c.c, round(sum((e.x - c.v) * (e.x - c.v)), 9) AS d
+      FROM ex_c e JOIN cent{it} c ON e.i = c.i
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""asg{it} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, c ASC) AS rn
+        FROM d{it}
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""upd{it} AS (
+      SELECT a.c, e.i, avg(e.x) AS v
+      FROM asg{it} a JOIN ex_c e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""cent{it + 1} AS (
+      SELECT p.c, p.i, coalesce(u.v, p.v) AS v
+      FROM cent{it} p
+      LEFT JOIN upd{it} u ON u.c = p.c AND u.i = p.i
+    )"""
+        )
+    ctes.append(
+        f"""ex_all AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    )""",
+    )
+    ctes.append(
+        f"""d_all AS (
+      SELECT e.vec_id, c.c, round(sum((e.x - c.v) * (e.x - c.v)), 9) AS d
+      FROM ex_all e JOIN cent{iters} c ON e.i = c.i
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        """a_all AS (
+      SELECT vec_id, c, d FROM (
+        SELECT vec_id, c, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, c ASC) AS rn
+        FROM d_all
+      ) WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT c AS ccell,
+           CAST(sum(CASE WHEN vec_id % {mod} < {mod - 1} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN vec_id % {mod} = {mod - 1} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_batch,
+           round(CAST(sum(CASE WHEN vec_id % {mod} < {mod - 1}
+                          THEN CAST(round(d * 1e9, 0) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)
+                 / nullif(CAST(sum(CASE WHEN vec_id % {mod} < {mod - 1}
+                               THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+                 / 1e9, 6) AS mean_err_corpus,
+           round(CAST(sum(CASE WHEN vec_id % {mod} = {mod - 1}
+                          THEN CAST(round(d * 1e9, 0) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)
+                 / nullif(CAST(sum(CASE WHEN vec_id % {mod} = {mod - 1}
+                               THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+                 / 1e9, 6) AS mean_err_batch
+    FROM a_all
+    GROUP BY 1"""
+    )
+
+
+@register(
+    "ann_ivf_incremental_newvecs",
+    _ivf_incremental_sql(),
+    tags=["similarity", "incremental", "monitoring"],
+)
+def ann_ivf_incremental_newvecs(spark, sf_dir):
+    """IVF maintenance report for a new ingest batch under the FROZEN
+    coarse quantizer: per cell, corpus vs batch member counts and mean
+    round(·, 9) quantization error (integer nano sums, nullif-guarded
+    means — a cell can be empty on either side).
+
+    The asymmetric scale shape: the model is trained ONCE on the
+    corpus (k·dim floats — in production it is already on disk), the
+    daily job touches the batch rows plus one broadcast-literal
+    assignment projection over the full relation and a single k-group
+    rollup.  Batch-side error spiking above corpus-side error in a
+    cell IS the drift signal that triggers retraining — the monitoring
+    artifact an index team watches, not a one-shot build."""
+    from ffiec_pq_spark.operators.kmeans import _sq_dist, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter((F.col("vec_id") % _INCV_MOD) < _INCV_MOD - 1)
+    cents = kmeans_fit(corpus, k=_INCV_K, dim=64, iters=_INCV_ITERS)
+    entries = [
+        F.struct(
+            _sq_dist(F.col("embedding"), c).alias("d"),
+            F.lit(j).alias("j"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    a = F.array_min(F.array(*entries))
+    is_batch = (F.col("vec_id") % _INCV_MOD) == _INCV_MOD - 1
+    nano = F.round(a["d"] * F.lit(1e9), 0).cast("long")
+    scored = emb.select(
+        a["j"].alias("ccell"),
+        is_batch.cast("int").alias("b"),
+        nano.alias("nano"),
+    )
+    mean_of = lambda flag: F.round(
+        F.sum(F.when(F.col("b") == flag, F.col("nano")).otherwise(F.lit(0)))
+        .cast("double")
+        / F.nullif(
+            F.sum(F.when(F.col("b") == flag, 1).otherwise(0)).cast("double"),
+            F.lit(0.0),
+        )
+        / F.lit(1e9),
+        6,
+    )
+    return scored.groupBy("ccell").agg(
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+        mean_of(0).alias("mean_err_corpus"),
+        mean_of(1).alias("mean_err_batch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_isotropy_datacard — the embedding-quality gate before any
+# ANN/dedup trust: per-dimension variance spread and participation
+# ratio (effective dimensionality).  Collapsed/anisotropic embeddings
+# (a few dims carry all the variance) break cosine-based dedup and
+# IVF partitioning long before recall metrics say so.
+
+def _isotropy_sql() -> str:
+    return """
+    WITH ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT i,
+             round((sum(x * x) - sum(x) * sum(x) / count(*))
+                   / count(*), 6) AS dim_var
+      FROM ex GROUP BY i
+    ),
+    norms AS (
+      SELECT vec_id, round(sum(x * x), 6) AS sq_norm FROM ex GROUP BY vec_id
+    )
+    SELECT (SELECT count(*) FROM norms)::BIGINT AS n_vecs,
+           round((SELECT avg(sq_norm) FROM norms), 6) AS mean_sq_norm,
+           round((SELECT min(dim_var) FROM dims), 6) AS var_min,
+           round((SELECT max(dim_var) FROM dims), 6) AS var_max,
+           round((SELECT sum(dim_var) * sum(dim_var)
+                         / nullif(sum(dim_var * dim_var), 0.0)
+                  FROM dims), 6) AS participation_ratio
+    """
+
+
+@register(
+    "embedding_isotropy_datacard",
+    _isotropy_sql(),
+    tags=["similarity", "quality", "monitoring"],
+)
+def embedding_isotropy_datacard(spark, sf_dir):
+    """One-row embedding datacard: vector count, mean SQUARED norm
+    (libm-free — no sqrt anywhere), per-dimension variance min/max,
+    and the participation ratio (Σvar)²/Σvar² — effective
+    dimensionality out of d; ~d means isotropic, ~1 means collapsed.
+
+    Float discipline: per-dim variance = (Σx² − (Σx)²/n)/n with the
+    identical association on both engines, rounded to 6 dp BEFORE the
+    participation-ratio reduction (so that ratio is a deterministic
+    function of d=64 pinned doubles); sq_norm rounded per vector
+    before the mean.  Scale shape: one explode + one groupBy(dim)
+    (64 groups, map-side combined) + one groupBy(vec) for norms — no
+    join wider than the three scalar combines."""
+    ex = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    dims = ex.groupBy("i").agg(
+        F.round(
+            (
+                F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dim_var")
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sq_norm")
+    )
+    n_row = norms.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("sq_norm"), 6).alias("mean_sq_norm"),
+    )
+    d_row = dims.agg(
+        F.round(F.min("dim_var"), 6).alias("var_min"),
+        F.round(F.max("dim_var"), 6).alias("var_max"),
+        F.round(
+            F.sum("dim_var")
+            * F.sum("dim_var")
+            / F.nullif(
+                F.sum(F.col("dim_var") * F.col("dim_var")), F.lit(0.0)
+            ),
+            6,
+        ).alias("participation_ratio"),
+    )
+    return n_row.crossJoin(F.broadcast(d_row)).select(
+        "n_vecs", "mean_sq_norm", "var_min", "var_max",
+        "participation_ratio",
+    )

@@ -211,6 +211,8 @@ QUERIES = [
     "dedup_pq_semantic_buckets",
     "corpus_heaps_law_curve",
     "stream_pq_encode",
+    "ann_ivf_incremental_newvecs",
+    "embedding_isotropy_datacard",
 ]
 OFFSET = 10**9
 
@@ -232,6 +234,14 @@ NOTES = {
         "path ships for >512 codebook floats; k=4 keeps the JVM "
         "literal path (per-row fused codegen wins once compile "
         "amortizes at scale, and no Python-worker dependency)"
+    ),
+    "embedding_kcenter_coreset": (
+        "round-10: loop state persisted + localCheckpoint every 32 "
+        "rounds (bounded plan depth); A/B at k=64 "
+        "(scripts/kcenter_plan_bench.py, min-of-3): pinned "
+        "21.66/22.19s vs unpinned 32.99/37.27s at 1x/8x — the "
+        "unpinned loser re-reads the scan through t stacked "
+        "projections in round t"
     ),
     "embedding_pq_codebook_k256": (
         "full production geometry (k=256, m=D/8) through the pandas "

@@ -47,6 +47,8 @@ EXPECT_RAISE = {
     "embedding_pq_codebook_k256": ValueError,
     "dedup_pq_semantic_buckets": ValueError,
     "stream_pq_encode": ValueError,
+    # frozen coarse quantizer seeds from the corpus's k lowest ids
+    "ann_ivf_incremental_newvecs": ValueError,
     # rides the k-means trainer (same fail-fast as kmeans_cell_sizes)
     "embedding_knn_outlier_scores": ValueError,
 }

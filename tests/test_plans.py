@@ -863,3 +863,31 @@ def test_heaps_curve_bounded_window(spark, sf_dir):
     assert has_broadcast_join(df), plan
     assert "windowspecdefinition" in plan  # the B-row cumsum
     assert count_exchanges(df) <= 4, plan
+
+
+def test_ivf_incremental_is_projection_plus_rollup(spark, sf_dir):
+    """Frozen-model incremental assignment: the model rides as
+    broadcast literals (no join against a centroid relation), the
+    whole query is scan -> assignment projection -> ONE k-group
+    aggregate — the asymmetric daily-ingest shape."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["ann_ivf_incremental_newvecs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_isotropy_datacard_two_aggregates(spark, sf_dir):
+    """Isotropy datacard: one explode feeding two grouped aggregates
+    (64 dim groups; per-vector norms), two scalar reductions combined
+    by 1-row broadcast crosses — no data-sized join or window."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["embedding_isotropy_datacard"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan  # 1-row combine broadcasts
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
