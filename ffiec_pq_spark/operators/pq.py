@@ -422,11 +422,18 @@ def ivfpq_residuals(
 
 
 def ivfpq_codes(
-    resid: DataFrame, codebooks: list[list[list[float]]]
+    resid: DataFrame,
+    codebooks: list[list[list[float]]],
+    assign: str = "auto",
 ) -> DataFrame:
     """(id, ccell, sub, cell): PQ codes of the residual vectors, the
     coarse cell carried through (it keys the probed-cell filter and, at
-    scale, the partition layout).  Pure projection — no shuffle."""
+    scale, the partition layout).  Pure projection — no shuffle on
+    either assignment path (the pandas path, taken automatically past
+    ``_EXPR_MAX_FLOATS``, adds one ArrowEvalPython map stage; the ADC
+    probe side needs no switch — its per-row work is one O(sub_dim)
+    lambda against the constant-folded codebook literal regardless of
+    k)."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     parts = F.array(
@@ -439,7 +446,7 @@ def ivfpq_codes(
         ]
     )
     sv = resid.select("id", "ccell", F.inline(parts))
-    a = _assign_expr(codebooks)
+    a = _assign_struct(codebooks, assign)
     return sv.select("id", "ccell", "sub", a["cell"].alias("cell"))
 
 

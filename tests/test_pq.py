@@ -198,3 +198,42 @@ def test_assign_auto_switches_on_codebook_size(spark):
     assert "Exchange" not in plan_big, plan_big
     assert count_exchanges(big) == 0
     assert 2 * 2 * 2 <= _EXPR_MAX_FLOATS  # the toy stays on expr
+
+
+def test_ivfpq_codes_dispatches_assign_path(spark, sf_dir):
+    """ivfpq_codes must ride the same size-based assignment switch as
+    pq_codes: identical codes on both paths at a forced small k, and
+    at k=64 the auto path is the single-ArrowEvalPython pandas stage
+    (the full production IVF-PQ composition stays viable past the
+    expression path's compile wall)."""
+    from ffiec_pq_spark.operators.kmeans import kmeans_fit
+    from ffiec_pq_spark.operators.pq import ivfpq_codes, ivfpq_residuals
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse = kmeans_fit(emb, k=2, dim=64, iters=1)
+    resid = ivfpq_residuals(emb, coarse)
+    books8 = pq_fit(
+        resid, vec_col="rv", id_col="id", m=4, sub_dim=16, k=8, iters=1
+    )
+    a = (
+        ivfpq_codes(resid, books8, assign="expr")
+        .orderBy("id", "sub")
+        .collect()
+    )
+    b = (
+        ivfpq_codes(resid, books8, assign="pandas")
+        .orderBy("id", "sub")
+        .collect()
+    )
+    assert a == b
+
+    books64 = pq_fit(
+        resid, vec_col="rv", id_col="id", m=4, sub_dim=16, k=64, iters=1
+    )
+    codes64 = ivfpq_codes(resid, books64)  # auto -> pandas at 4096 floats
+    plan = physical_plan(codes64)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, plan
+    assert codes64.count() == emb.count() * 4
