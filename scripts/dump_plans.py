@@ -93,6 +93,14 @@ NOTES = {
     "dedup_banding_design_curve": "banding design curve: ONE shingle self-join feeds all four (b, r) configs (persisted jx relation); per config a single-row aggregate of the analytic S-curve — no signatures built, no window",
     "embedding_knn_outlier_scores": "cell-bounded kNN outliers: pair join keys on the k-means cell (quadratic only within a cell, SemDeDup's bound); neighbor rank = per-id partition-local window; TakeOrderedAndProject top-N",
     "ann_pq_recall_panel": "recall panel: codebooks fit once, codes persisted; per probe one keyed integer-sum agg + TakeOrdered + a k-row broadcast overlap — probe count multiplies only the cheap final stages",
+    "embedding_pq_codebook_k64": "production assignment path: ONE ArrowEvalPython map stage (vectorized numpy scorer, codebook in the auto-broadcast command) over the subvector generator, then the single m*k-group aggregate — no join, no window",
+    "embedding_pq_codebook_k256": "full production geometry (k=256, m=D/8): same single-Arrow-stage shape as k64 — the expression path stopped compiling two orders of magnitude earlier",
+    "dedup_pq_semantic_buckets": "compressed semantic dedup: encode projection + groupBy(id) tuple assembly + groupBy(code_key) rollup — exactly two keyed exchanges, shuffle carries the m-byte key, never raw floats",
+    "corpus_heaps_law_curve": "one token-keyed exchange (first-occurrence min); scalar max broadcast-crossed; cumulative window over the B bucket rows only",
+    "stream_pq_encode": "drain of the streamed encode state: flat LogicalRDD (foreachBatch ran the pandas scorer per micro-batch; encoding is stateless so the drain is batch-order invariant)",
+    "ann_ivf_incremental_newvecs": "frozen-model incremental assign: broadcast-literal centroids, one scan projection, ONE k-group rollup — daily cost independent of corpus retraining",
+    "embedding_isotropy_datacard": "one explode feeding the 64-group dim-variance agg and the per-vector norm agg; two 1-row reductions broadcast-crossed",
+    "dedup_incremental_newbatch": "asymmetric ingest dedup with the round-10 PAIR-DRIVEN verify: candidates expand by batch-doc shingles keyed on id_b, probe corpus reps keyed on (id_c, shingle) — no shingle-only join key anywhere",
 }
 
 
