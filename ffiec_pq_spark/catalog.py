@@ -81,6 +81,8 @@ _NEVER_SAMPLED_FIRST = [
     "stream_pq_encode",
     "ann_ivf_incremental_newvecs",
     "embedding_isotropy_datacard",
+    "dedup_drop_bias_by_source",
+    "ann_ivfpq_nprobe_recall_curve",
     # --- round-9 third wave (queries/round9c.py, never sampled) ---
     "embedding_pq_codebook",
     "ann_pq_adc_topk",

@@ -697,3 +697,245 @@ def embedding_isotropy_datacard(spark, sf_dir):
         "n_vecs", "mean_sq_norm", "var_min", "var_max",
         "participation_ratio",
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_drop_bias_by_source — the governance artifact for dedup's side
+# effect on the training MIXTURE: exact dedup keeps the lowest-id copy
+# corpus-wide, so a source whose content is mostly mirrored elsewhere
+# loses disproportionally and the post-dedup source mixture silently
+# shifts away from the curated weights.  Per source: volume, dropped
+# count, drop rate.
+
+_DROP_NORM_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def _drop_bias_sql() -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source, {_DROP_NORM_SQL} AS ch FROM documents
+    ),
+    k AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY ch)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_dropped,
+           round(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS drop_pct
+    FROM h JOIN k USING (ch)
+    GROUP BY source
+    """
+
+
+@register(
+    "dedup_drop_bias_by_source",
+    _drop_bias_sql(),
+    tags=["dedup", "governance", "curation"],
+)
+def dedup_drop_bias_by_source(spark, sf_dir):
+    """Per-source drop rate under corpus-wide normalized-exact dedup
+    (keep = lowest doc_id per content hash): (source, n_docs,
+    n_dropped, drop_pct).  A source with an outlier drop_pct is being
+    rewritten out of the mixture by dedup — the check every curation
+    pipeline runs before trusting post-dedup source weights.
+
+    Scale shape: one grouped min on the content hash (map-side
+    combined) + one hash-keyed equi-join back (same key, same
+    partitioning — AQE reuses the exchange) + one source rollup.  The
+    join key is the 32-char hash, never the text."""
+    from ffiec_pq_spark.operators.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", fingerprint_md5("text").alias("ch")
+    )
+    keep = h.groupBy("ch").agg(F.min("doc_id").alias("keep_id"))
+    dropped = (F.col("doc_id") != F.col("keep_id")).cast("int")
+    return (
+        h.join(keep, "ch")
+        .select("source", dropped.alias("dropped"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.round(
+                F.sum("dropped").cast("double") / F.count(F.lit(1)), 6
+            ).alias("drop_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_nprobe_recall_curve — the OTHER index-design knob: recall
+# vs scan cost as nprobe sweeps 1..k_coarse.  dedup_banding_design_curve
+# sizes the LSH config; this sizes the IVF config — the artifact that
+# turns "nprobe=2" from folklore into a measured recall/cost point.
+
+_NPROBE_SWEEP = [1, 2, 3, 4]
+
+
+def _ivfpq_nprobe_curve_sql(top_k: int = 10) -> str:
+    from ffiec_pq_spark.queries.round9c import _ivfpq_chain_ctes
+
+    ctes, T, T2 = _ivfpq_chain_ctes()
+    nps = ", ".join(str(n) for n in _NPROBE_SWEEP)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    pr AS (
+      SELECT c, row_number() OVER (ORDER BY d ASC, c ASC) AS rn FROM qcd
+    ),
+    qres AS (
+      SELECT p.c AS ccell, q.i, round(q.x - c.v, 9) AS x
+      FROM pr p JOIN co_cent{T} c ON c.c = p.c JOIN qx q ON q.i = c.i
+    ),
+    qrsx AS (
+      SELECT ccell, CAST((i - 1) // {_SUB_DIM} AS INTEGER) AS sub,
+             (i - 1) % {_SUB_DIM} AS j, x
+      FROM qres
+    ),
+    lut AS (
+      SELECT r.ccell, pc.sub, pc.c,
+             round(sum((r.x - pc.v) * (r.x - pc.v)), 9) AS d
+      FROM qrsx r JOIN pq_cent{T2} pc ON pc.sub = r.sub AND pc.j = r.j
+      GROUP BY 1, 2, 3
+    ),
+    vec_adc AS (
+      SELECT a.vec_id, p.rn AS cell_rn,
+             sum(CAST(round(l.d * 1e9, 0) AS BIGINT)) AS nano
+      FROM pq_asg{T2} a
+      JOIN co_asg{T} ca ON ca.vec_id = a.vec_id
+      JOIN pr p ON p.c = ca.c
+      JOIN lut l ON l.ccell = ca.c AND l.sub = a.sub AND l.c = a.c
+      GROUP BY 1, 2
+    ),
+    nps AS (SELECT unnest([{nps}]) AS np),
+    ranked AS (
+      SELECT n.np, v.vec_id,
+             row_number() OVER (PARTITION BY n.np
+                                ORDER BY v.nano ASC, v.vec_id ASC) AS rk
+      FROM nps n JOIN vec_adc v ON v.cell_rn <= n.np
+    ),
+    scanned AS (
+      SELECT n.np, count(*) AS n_scanned
+      FROM nps n JOIN vec_adc v ON v.cell_rn <= n.np
+      GROUP BY 1
+    ),
+    exact_d AS (
+      SELECT e.vec_id, round(sum((e.x - q.x) * (e.x - q.x)), 9) AS d
+      FROM ex e JOIN qx q ON q.i = e.i
+      GROUP BY 1
+    ),
+    exact_top AS (
+      SELECT vec_id FROM exact_d
+      ORDER BY CAST(round(d * 1e9, 0) AS BIGINT) ASC, vec_id ASC
+      LIMIT {top_k}
+    )
+    SELECT r.np AS nprobe,
+           CAST(s.n_scanned AS BIGINT) AS n_scanned,
+           round(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / {float(top_k)!r}, 6) AS recall_at_{top_k}
+    FROM ranked r
+    LEFT JOIN exact_top e ON e.vec_id = r.vec_id
+    JOIN scanned s ON s.np = r.np
+    WHERE r.rk <= {top_k}
+    GROUP BY 1, 2"""
+    )
+
+
+@register(
+    "ann_ivfpq_nprobe_recall_curve",
+    _ivfpq_nprobe_curve_sql(),
+    tags=["similarity", "quantize", "evaluation", "design"],
+)
+def ann_ivfpq_nprobe_recall_curve(spark, sf_dir):
+    """Recall@10 and scan cost of the IVF-PQ index at every nprobe in
+    the sweep: (nprobe, n_scanned, recall_at_10).  The IVF analogue of
+    the LSH banding design curve — pick the cheapest nprobe above the
+    recall target instead of guessing.
+
+    Scale shape: the index (coarse fit + residuals + codes) is built
+    ONCE and persisted; each sweep point multiplies only the cheap
+    final stages (one probed-cell filter over the code relation + one
+    keyed integer-sum aggregate + a TakeOrderedAndProject + a k-row
+    broadcast overlap); the exact side is the afford-once brute scan.
+    Same integer nano distance discipline as the whole PQ family.
+
+    The codes/residual persists stay pinned until session GC —
+    ``spark.catalog.clearCache()`` between pipelines (dedup-family
+    convention)."""
+    from ffiec_pq_spark.operators.kmeans import kmeans_fit
+    from ffiec_pq_spark.operators.pq import (
+        ivfpq_adc_topk,
+        ivfpq_codes,
+        ivfpq_probed_cells,
+        ivfpq_residuals,
+        pq_fit,
+    )
+    from ffiec_pq_spark.queries.round9c import (
+        _CO_ITERS,
+        _CO_K,
+        _PQ_ITERS,
+    )
+    from ffiec_pq_spark.queries.similarity import _DIM, _PROBE
+
+    top_k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit(emb, k=_CO_K, dim=_DIM, iters=_CO_ITERS)
+    resid = ivfpq_residuals(emb, coarse).persist()
+    books = pq_fit(
+        resid, vec_col="rv", id_col="id",
+        m=_M, sub_dim=_SUB_DIM, k=_K, iters=_PQ_ITERS,
+    )
+    codes = ivfpq_codes(resid, books).persist()
+
+    q_arr = F.array(*[F.lit(float(x)) for x in _PROBE])
+    d_exact = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                q_arr,
+                lambda x, qv: (x - qv) * (x - qv),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        9,
+    )
+    exact = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.round(d_exact * F.lit(1e9), 0).cast("long").alias("nano"),
+        )
+        .orderBy(F.col("nano").asc(), F.col("id").asc())
+        .limit(top_k)
+        .select("id")
+    )
+
+    rows = []
+    for np_ in _NPROBE_SWEEP:
+        probed = ivfpq_probed_cells(spark, coarse, _PROBE, np_)
+        approx = ivfpq_adc_topk(
+            codes, coarse, books, _PROBE, probed, top_k=top_k
+        ).select("id")
+        scanned = resid.filter(
+            F.col("ccell").isin([int(c) for c in probed])
+        ).agg(F.count(F.lit(1)).alias("n_scanned"))
+        hit = (
+            approx.join(F.broadcast(exact), "id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        rows.append(
+            hit.crossJoin(F.broadcast(scanned)).select(
+                F.lit(np_).alias("nprobe"),
+                F.col("n_scanned").cast("long"),
+                F.round(
+                    F.col("n_hit").cast("double") / F.lit(float(top_k)), 6
+                ).alias(f"recall_at_{top_k}"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

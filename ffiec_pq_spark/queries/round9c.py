@@ -329,11 +329,14 @@ _PQ_ITERS = 2
 _NPROBE = 2
 
 
-def _ivfpq_sql(top_k: int = 10) -> str:
-    """Stage-for-stage replay: coarse Lloyd chain (co_*), per-element
+def _ivfpq_chain_ctes() -> tuple[list[str], int, int]:
+    """The SHARED IVF-PQ replay chain, through ``qcd`` (probe-to-
+    coarse-cell distances): coarse Lloyd chain (co_*), per-element
     round(·, 9) residuals, per-subspace residual Lloyd chain (pq_*),
-    probe cell ranking, per-cell probe residual LUT, probed-cell ADC.
-    Both Lloyd chains follow the certified kmeans/PQ conventions
+    probe explode (qx).  Returned as (ctes, T, T2) where T/T2 are the
+    final coarse/PQ centroid generations — consumed by ``_ivfpq_sql``
+    (single-nprobe search) and round10's nprobe recall curve.  Both
+    Lloyd chains follow the certified kmeans/PQ conventions
     (lowest-id init, round(·, 9) distances, empty-cell carry)."""
     probe_lit = "[" + ", ".join(repr(float(x)) for x in _PROBE) + "]::DOUBLE[]"
     ctes = [
@@ -445,19 +448,31 @@ def _ivfpq_sql(top_k: int = 10) -> str:
     )"""
             )
     T2 = _PQ_ITERS
+    ctes.append(
+        f"""qx AS (
+      SELECT generate_subscripts(q, 1) AS i, unnest(q)::DOUBLE AS x
+      FROM (SELECT {probe_lit} AS q)
+    )"""
+    )
+    ctes.append(
+        f"""qcd AS (
+      SELECT c.c, round(sum((q.x - c.v) * (q.x - c.v)), 9) AS d
+      FROM co_cent{T} c JOIN qx q ON q.i = c.i
+      GROUP BY 1
+    )"""
+    )
+    return ctes, T, T2
+
+
+def _ivfpq_sql(top_k: int = 10) -> str:
+    """Single-nprobe IVF-PQ search over the shared chain (see
+    ``_ivfpq_chain_ctes``): probe cell ranking, per-cell probe
+    residual LUT, probed-cell ADC."""
+    ctes, T, T2 = _ivfpq_chain_ctes()
     return (
         "WITH "
         + ",\n    ".join(ctes)
         + f""",
-    qx AS (
-      SELECT generate_subscripts(q, 1) AS i, unnest(q)::DOUBLE AS x
-      FROM (SELECT {probe_lit} AS q)
-    ),
-    qcd AS (
-      SELECT c.c, round(sum((q.x - c.v) * (q.x - c.v)), 9) AS d
-      FROM co_cent{T} c JOIN qx q ON q.i = c.i
-      GROUP BY 1
-    ),
     probed AS (
       SELECT c FROM (
         SELECT c, row_number() OVER (ORDER BY d ASC, c ASC) AS rn FROM qcd

@@ -213,6 +213,8 @@ QUERIES = [
     "stream_pq_encode",
     "ann_ivf_incremental_newvecs",
     "embedding_isotropy_datacard",
+    "dedup_drop_bias_by_source",
+    "ann_ivfpq_nprobe_recall_curve",
 ]
 OFFSET = 10**9
 

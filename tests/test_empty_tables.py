@@ -49,6 +49,8 @@ EXPECT_RAISE = {
     "stream_pq_encode": ValueError,
     # frozen coarse quantizer seeds from the corpus's k lowest ids
     "ann_ivf_incremental_newvecs": ValueError,
+    # the nprobe sweep builds the IVF-PQ index (coarse seed) first
+    "ann_ivfpq_nprobe_recall_curve": ValueError,
     # rides the k-means trainer (same fail-fast as kmeans_cell_sizes)
     "embedding_knn_outlier_scores": ValueError,
 }

@@ -891,3 +891,32 @@ def test_isotropy_datacard_two_aggregates(spark, sf_dir):
     assert "CartesianProduct" not in plan  # 1-row combine broadcasts
     assert "windowspecdefinition" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_nprobe_curve_index_built_once(spark, sf_dir):
+    """The nprobe sweep must reuse ONE persisted index: the plan reads
+    the codes through InMemoryTableScan (never re-deriving residual
+    codes per sweep point), each arm's top-k is a
+    TakeOrderedAndProject, and no cartesian appears (the 1-row
+    recall/scan combines broadcast)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["ann_ivfpq_nprobe_recall_curve"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drop_bias_single_hash_key_join(spark, sf_dir):
+    """Dedup drop bias: the only data-sized join keys on the content
+    hash (the same key the keeper aggregate groups on); no window, no
+    cartesian, at most three exchanges (hash agg, join side, source
+    rollup — AQE may reuse the first for the second)."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["dedup_drop_bias_by_source"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert count_exchanges(df) <= 3, plan
