@@ -90,7 +90,12 @@ def profile_customer(spark, sf_dir):
     return profile_columns(c, ["c_custkey", "c_nationkey", "c_mktsegment"])
 
 
-def _pipeline_sql() -> str:
+def _scored_exprs() -> dict[str, str]:
+    """The curation pipeline's scoring expressions as SQL snippets
+    (quality formula, language-ID case, tokenizer, normalized-content
+    fingerprint) — ONE definition shared by ``_pipeline_sql`` and the
+    round-10 per-source funnel oracle, so the two can never drift a
+    formula apart (the hash-compare would catch it as a flake)."""
     from ffiec_pq_spark.operators.text import LANG_MARKERS, STOPWORDS
 
     tok = "string_split_regex(trim(text), '\\s+')"
@@ -113,6 +118,19 @@ def _pipeline_sql() -> str:
         + " END"
     )
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return {
+        "tok": tok,
+        "quality": quality,
+        "lang_case": lang_case,
+        "norm": norm,
+    }
+
+
+def _pipeline_sql() -> str:
+    e = _scored_exprs()
+    tok, quality, lang_case, norm = (
+        e["tok"], e["quality"], e["lang_case"], e["norm"],
+    )
     return f"""
     WITH scored AS (
       SELECT doc_id,

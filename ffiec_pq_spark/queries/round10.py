@@ -939,3 +939,147 @@ def ann_ivfpq_nprobe_recall_curve(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus_curation_funnel_by_source — the per-source survival funnel of
+# the exact curation pipeline (lang-ID + quality filter, then exact
+# dedup): how many documents and TOKENS each source actually
+# contributes to training after curation.  The artifact behind every
+# "we trained on N tokens" claim — and the companion to
+# dedup_drop_bias_by_source (which isolates the dedup stage; this
+# composes all stages, formula-shared with curation_pipeline via
+# queries/curation._scored_exprs so the two can never drift apart).
+
+
+def _funnel_sql() -> str:
+    from ffiec_pq_spark.queries.curation import _scored_exprs
+
+    e = _scored_exprs()
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len({e['tok']})   AS n_tokens,
+             {e['quality']}    AS quality,
+             {e['lang_case']}  AS lang_guess,
+             md5({e['norm']})  AS fp
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= 0.3
+    ),
+    reps AS (SELECT fp, min(doc_id) AS keep_id FROM filtered GROUP BY fp),
+    kept AS (
+      SELECT f.source, f.n_tokens
+      FROM filtered f JOIN reps r
+        ON r.fp = f.fp AND r.keep_id = f.doc_id
+    ),
+    raw AS (SELECT source, count(*) AS n_raw FROM scored GROUP BY source),
+    filt AS (
+      SELECT source, count(*) AS n_filtered FROM filtered GROUP BY source
+    ),
+    keptagg AS (
+      SELECT source, count(*) AS n_kept,
+             sum(n_tokens) AS tokens_kept
+      FROM kept GROUP BY source
+    )
+    SELECT r.source,
+           CAST(r.n_raw AS BIGINT) AS n_raw,
+           CAST(coalesce(f.n_filtered, 0) AS BIGINT) AS n_filtered,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / r.n_raw, 6)
+             AS survival_pct
+    FROM raw r
+    LEFT JOIN filt f ON f.source = r.source
+    LEFT JOIN keptagg k ON k.source = r.source
+    """
+
+
+@register(
+    "corpus_curation_funnel_by_source",
+    _funnel_sql(),
+    tags=["curation", "governance", "corpus"],
+)
+def corpus_curation_funnel_by_source(spark, sf_dir):
+    """Per-source curation funnel: raw documents -> lang+quality
+    filtered -> exact-dedup kept, with the surviving TOKEN budget —
+    (source, n_raw, n_filtered, n_kept, tokens_kept, survival_pct).
+
+    Exactly the curation_pipeline stages (the scoring SQL is
+    literally shared — queries/curation._scored_exprs), re-aggregated
+    as the reporting artifact: which sources the pipeline is actually
+    spending, and how many training tokens remain per source.
+
+    Scale shape: one pass computes every per-doc score (Catalyst
+    projects the token array once), the dedup keeper is a grouped min
+    on the content hash + a hash-keyed join (same key partitioning),
+    then three source rollups joined on the tiny source dimension."""
+    from ffiec_pq_spark.operators.text import (
+        LANG_MARKERS,
+        fingerprint_md5,
+        lang_scores_tok,
+        quality_score_tok,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toksdf = d.select(
+        "doc_id", "source", "text", tokens("text").alias("toks")
+    )
+    scores = lang_scores_tok(F.col("toks"))
+    greatest = F.greatest(*scores.values())
+    lang_expr = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] == greatest
+        lang_expr = (
+            F.when(cond, lang)
+            if lang_expr is None
+            else lang_expr.when(cond, lang)
+        )
+    scored = toksdf.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        quality_score_tok(F.col("toks"), "text").alias("quality"),
+        lang_expr.alias("lang_guess"),
+        fingerprint_md5("text").alias("fp"),
+    )
+    filtered = scored.filter(
+        (F.col("lang_guess") == "en") & (F.col("quality") >= 0.3)
+    )
+    reps = filtered.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    kept = filtered.join(
+        reps,
+        (filtered.fp == reps.fp) & (filtered.doc_id == reps.keep_id),
+    ).select("source", "n_tokens")
+    raw = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    filt = filtered.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_filtered")
+    )
+    keptagg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        raw.join(filt, "source", "left")
+        .join(keptagg, "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("long"),
+            F.coalesce(F.col("n_filtered"), F.lit(0))
+            .cast("long")
+            .alias("n_filtered"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+                / F.col("n_raw"),
+                6,
+            ).alias("survival_pct"),
+        )
+    )

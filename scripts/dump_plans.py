@@ -103,6 +103,7 @@ NOTES = {
     "dedup_incremental_newbatch": "asymmetric ingest dedup with the round-10 PAIR-DRIVEN verify: candidates expand by batch-doc shingles keyed on id_b, probe corpus reps keyed on (id_c, shingle) — no shingle-only join key anywhere",
     "ann_ivfpq_nprobe_recall_curve": "one persisted index (InMemoryTableScan), per sweep point a probed-cell filter + keyed integer-sum agg + TakeOrdered + k-row broadcast overlap",
     "dedup_drop_bias_by_source": "keeper min-agg and join share the content-hash key; one source rollup — three keyed exchanges max",
+    "corpus_curation_funnel_by_source": "one scoring pass (token array projected once), hash-keyed dedup keeper join, three source rollups broadcast-joined on the tiny source dim",
 }
 
 

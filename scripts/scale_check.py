@@ -215,6 +215,7 @@ QUERIES = [
     "embedding_isotropy_datacard",
     "dedup_drop_bias_by_source",
     "ann_ivfpq_nprobe_recall_curve",
+    "corpus_curation_funnel_by_source",
 ]
 OFFSET = 10**9
 

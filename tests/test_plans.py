@@ -920,3 +920,16 @@ def test_drop_bias_single_hash_key_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
     assert count_exchanges(df) <= 3, plan
+
+
+def test_curation_funnel_shares_score_pass(spark, sf_dir):
+    """Funnel-by-source: no cartesian, no window; the dedup keeper join
+    keys on the content hash; the three source rollups join on the
+    tiny source dimension (broadcast)."""
+    from ffiec_pq_spark.plans.audit import has_broadcast_join, physical_plan
+
+    df = queries()["corpus_curation_funnel_by_source"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert has_broadcast_join(df), plan
