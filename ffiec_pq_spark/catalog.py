@@ -84,6 +84,7 @@ _NEVER_SAMPLED_FIRST = [
     "dedup_drop_bias_by_source",
     "ann_ivfpq_nprobe_recall_curve",
     "corpus_curation_funnel_by_source",
+    "ann_pq_compression_recall_curve",
     # --- round-9 third wave (queries/round9c.py, never sampled) ---
     "embedding_pq_codebook",
     "ann_pq_adc_topk",

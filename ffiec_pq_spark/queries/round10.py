@@ -1083,3 +1083,157 @@ def corpus_curation_funnel_by_source(spark, sf_dir):
             ).alias("survival_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_compression_recall_curve — the THIRD design curve, on the
+# compression axis: recall@10 of the PQ/ADC index at increasing
+# codebook sizes (k=4 -> 16 -> 64 at fixed m), against one shared
+# brute-force truth.  Together with dedup_banding_design_curve (LSH
+# band/row split) and ann_ivfpq_nprobe_recall_curve (IVF scan width)
+# this closes the index-design loop: bytes-per-vector vs recall is THE
+# sizing decision of a 100 TB embedding store.
+
+_COMP_KS = [4, 16, 64]
+
+from ffiec_pq_spark.queries.similarity import _PROBE  # noqa: E402
+from ffiec_pq_spark.operators.pq import pq_adc_topk  # noqa: E402
+
+
+def _pq_compression_curve_sql(top_k: int = 10) -> str:
+    import math
+
+    ctes: list[str] = []
+    arms = []
+    for kk in _COMP_KS:
+        P = f"g{kk}_"
+        ctes.extend(_pq_ctes(_M, _SUB_DIM, kk, _ITERS, prefix=P))
+        ctes.append(
+            f"""{P}qsub AS (
+      SELECT CAST((i - 1) // {_SUB_DIM} AS INTEGER) AS sub,
+             (i - 1) % {_SUB_DIM} AS j, x
+      FROM qx
+    )"""
+        )
+        ctes.append(
+            f"""{P}lut AS (
+      SELECT c.sub, c.c, round(sum((q.x - c.v) * (q.x - c.v)), 9) AS d
+      FROM {P}cent{_ITERS} c
+      JOIN {P}qsub q ON q.sub = c.sub AND q.j = c.j
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""{P}top AS (
+      SELECT a.vec_id
+      FROM {P}asg{_ITERS} a JOIN {P}lut l ON l.sub = a.sub AND l.c = a.c
+      GROUP BY a.vec_id
+      ORDER BY sum(CAST(round(l.d * 1e9, 0) AS BIGINT)) ASC, a.vec_id ASC
+      LIMIT {top_k}
+    )"""
+        )
+        bits = _M * int(math.log2(kk))
+        arms.append(
+            f"""SELECT {kk} AS k, {bits} AS bits_per_vec,
+           round((SELECT count(*)
+                  FROM {P}top t JOIN exact_top e USING (vec_id))::DOUBLE
+                 / {float(top_k)!r}, 6) AS recall_at_{top_k}"""
+        )
+    probe_lit = (
+        "[" + ", ".join(repr(float(x)) for x in _PROBE) + "]::DOUBLE[]"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    qx AS (
+      SELECT generate_subscripts(q, 1) AS i, unnest(q)::DOUBLE AS x
+      FROM (SELECT {probe_lit} AS q)
+    ),
+    exact_d AS (
+      SELECT e.vec_id, round(sum((e.x - q.x) * (e.x - q.x)), 9) AS d
+      FROM g4_ex e JOIN qx q ON q.i = e.i
+      GROUP BY 1
+    ),
+    exact_top AS (
+      SELECT vec_id FROM exact_d
+      ORDER BY CAST(round(d * 1e9, 0) AS BIGINT) ASC, vec_id ASC
+      LIMIT {top_k}
+    )
+    """
+        + "\n    UNION ALL\n    ".join(arms)
+    )
+
+
+@register(
+    "ann_pq_compression_recall_curve",
+    _pq_compression_curve_sql(),
+    tags=["similarity", "quantize", "evaluation", "design"],
+)
+def ann_pq_compression_recall_curve(spark, sf_dir):
+    """Recall@10 vs code size: (k, bits_per_vec, recall_at_10) for
+    each codebook size in the sweep, fixed m.  The compression-axis
+    design curve — how many bits per vector the corpus actually needs
+    before recall collapses.
+
+    Scale shape: the subvector relation is derived once per geometry
+    from the same scan; each arm is one Lloyd fit (k=64 rides the
+    pandas scorer automatically), one code projection, one keyed
+    integer-sum ADC aggregate and a TakeOrderedAndProject; the exact
+    truth is ONE brute scan shared by every arm (broadcast k-row
+    overlap joins).  Integer nano distances everywhere — no
+    cross-engine ulp surface."""
+    import math
+
+    top_k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    q_arr = F.array(*[F.lit(float(x)) for x in _PROBE])
+    d_exact = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                q_arr,
+                lambda x, qv: (x - qv) * (x - qv),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        9,
+    )
+    exact = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.round(d_exact * F.lit(1e9), 0).cast("long").alias("nano"),
+        )
+        .orderBy(F.col("nano").asc(), F.col("id").asc())
+        .limit(top_k)
+        .select("id")
+    )
+
+    rows = []
+    for kk in _COMP_KS:
+        books = pq_fit(emb, m=_M, sub_dim=_SUB_DIM, k=kk, iters=_ITERS)
+        codes = pq_codes(emb, books)
+        from ffiec_pq_spark.operators.pq import pq_adc_topk
+
+        approx = pq_adc_topk(codes, books, _PROBE, top_k=top_k).select(
+            "id"
+        )
+        hit = approx.join(F.broadcast(exact), "id").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        rows.append(
+            hit.select(
+                F.lit(kk).alias("k"),
+                F.lit(_M * int(math.log2(kk))).alias("bits_per_vec"),
+                F.round(
+                    F.col("n_hit").cast("double") / F.lit(float(top_k)),
+                    6,
+                ).alias(f"recall_at_{top_k}"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -53,65 +53,70 @@ _K = 4
 _ITERS = 3
 
 
-def _pq_ctes(m: int, sub_dim: int, k: int, iters: int) -> list[str]:
+def _pq_ctes(
+    m: int, sub_dim: int, k: int, iters: int, prefix: str = ""
+) -> list[str]:
     """The per-subspace deterministic Lloyd loop as a literal CTE chain
     (the PQ generalization of queries/similarity._kmeans_ctes — the
-    subspace id joins every relation's key).  ``asg{iters}`` is the
-    final (vec_id, sub) -> code assignment with its round(·, 9)
-    squared distance."""
+    subspace id joins every relation's key).  ``{prefix}asg{iters}`` is
+    the final (vec_id, sub) -> code assignment with its round(·, 9)
+    squared distance.  ``prefix`` namespaces every CTE so several
+    geometries' chains can coexist in ONE oracle (the round-10
+    compression design curve)."""
+    P = prefix
     ctes = [
-        """ex AS (
+        f"""{P}ex AS (
       SELECT vec_id,
              generate_subscripts(embedding, 1) AS i,
              unnest(embedding)::DOUBLE AS x
       FROM embeddings
     )""",
-        f"""sx AS (
+        f"""{P}sx AS (
       SELECT vec_id, CAST((i - 1) // {sub_dim} AS INTEGER) AS sub,
              (i - 1) % {sub_dim} AS j, x
-      FROM ex
+      FROM {P}ex
     )""",
-        f"""cent0 AS (
+        f"""{P}cent0 AS (
       SELECT sub,
              CAST(dense_rank() OVER (PARTITION BY sub ORDER BY vec_id) - 1
                   AS INTEGER) AS c,
              j, x AS v
-      FROM sx
+      FROM {P}sx
       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
     )""",
     ]
     for it in range(iters + 1):
         ctes.append(
-            f"""d{it} AS (
+            f"""{P}d{it} AS (
       SELECT s.vec_id, s.sub, c.c,
              round(sum((s.x - c.v) * (s.x - c.v)), 9) AS d
-      FROM sx s JOIN cent{it} c ON c.sub = s.sub AND c.j = s.j
+      FROM {P}sx s JOIN {P}cent{it} c ON c.sub = s.sub AND c.j = s.j
       GROUP BY 1, 2, 3
     )"""
         )
         ctes.append(
-            f"""asg{it} AS (
+            f"""{P}asg{it} AS (
       SELECT vec_id, sub, c, d FROM (
         SELECT vec_id, sub, c, d,
                row_number() OVER (PARTITION BY vec_id, sub
                                   ORDER BY d ASC, c ASC) AS rn
-        FROM d{it}
+        FROM {P}d{it}
       ) WHERE rn = 1
     )"""
         )
         if it < iters:
             ctes.append(
-                f"""upd{it} AS (
+                f"""{P}upd{it} AS (
       SELECT a.sub, a.c, s.j, avg(s.x) AS v
-      FROM asg{it} a JOIN sx s ON s.vec_id = a.vec_id AND s.sub = a.sub
+      FROM {P}asg{it} a JOIN {P}sx s ON s.vec_id = a.vec_id AND s.sub = a.sub
       GROUP BY 1, 2, 3
     )"""
             )
             ctes.append(
-                f"""cent{it + 1} AS (
+                f"""{P}cent{it + 1} AS (
       SELECT p.sub, p.c, p.j, coalesce(u.v, p.v) AS v
-      FROM cent{it} p
-      LEFT JOIN upd{it} u ON u.sub = p.sub AND u.c = p.c AND u.j = p.j
+      FROM {P}cent{it} p
+      LEFT JOIN {P}upd{it} u ON u.sub = p.sub AND u.c = p.c AND u.j = p.j
     )"""
             )
     return ctes

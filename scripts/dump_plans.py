@@ -104,6 +104,7 @@ NOTES = {
     "ann_ivfpq_nprobe_recall_curve": "one persisted index (InMemoryTableScan), per sweep point a probed-cell filter + keyed integer-sum agg + TakeOrdered + k-row broadcast overlap",
     "dedup_drop_bias_by_source": "keeper min-agg and join share the content-hash key; one source rollup — three keyed exchanges max",
     "corpus_curation_funnel_by_source": "one scoring pass (token array projected once), hash-keyed dedup keeper join, three source rollups broadcast-joined on the tiny source dim",
+    "ann_pq_compression_recall_curve": "per arm: keyed integer-sum ADC agg + TakeOrdered + k-row broadcast overlap vs ONE shared brute truth; k=64 arm is the single ArrowEvalPython stage",
 }
 
 

@@ -216,6 +216,7 @@ QUERIES = [
     "dedup_drop_bias_by_source",
     "ann_ivfpq_nprobe_recall_curve",
     "corpus_curation_funnel_by_source",
+    "ann_pq_compression_recall_curve",
 ]
 OFFSET = 10**9
 

@@ -51,6 +51,8 @@ EXPECT_RAISE = {
     "ann_ivf_incremental_newvecs": ValueError,
     # the nprobe sweep builds the IVF-PQ index (coarse seed) first
     "ann_ivfpq_nprobe_recall_curve": ValueError,
+    # the compression sweep fits a codebook per arm (pq_init seed)
+    "ann_pq_compression_recall_curve": ValueError,
     # rides the k-means trainer (same fail-fast as kmeans_cell_sizes)
     "embedding_knn_outlier_scores": ValueError,
 }

@@ -933,3 +933,17 @@ def test_curation_funnel_shares_score_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
     assert has_broadcast_join(df), plan
+
+
+def test_compression_curve_shared_truth_no_cartesian(spark, sf_dir):
+    """Compression curve: every arm's top-k is TakeOrderedAndProject,
+    overlaps broadcast against the one shared truth, the k=64 arm is
+    the single Python (Arrow) stage, and nothing plans a cartesian."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["ann_pq_compression_recall_curve"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan, plan  # the k=64 arm
