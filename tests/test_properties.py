@@ -705,3 +705,36 @@ def test_kcenter_matches_bruteforce(spark, vecs, k):
         for i, v in enumerate(vecs):
             dmin[i] = min(dmin[i], nano(v, vecs[far[0]]))
     assert got == want, (got, want)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=1e3,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_np_round9_matches_spark_round_property(spark, vals):
+    """_np_round9 (the pandas-UDF scorer's rounding) must equal
+    Spark's round(double, 9) on ARBITRARY non-negative doubles in the
+    squared-distance range, not just the hand-picked boundary cases —
+    the cross-engine tie-break discipline of the whole PQ family rests
+    on this equality."""
+    from ffiec_pq_spark.operators.pq import _np_round9
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    expected = [
+        r["r"] for r in df.select(F.round("x", 9).alias("r")).collect()
+    ]
+    got = list(_np_round9([float(v) for v in vals]))
+    assert got == expected, list(zip(vals, got, expected))
