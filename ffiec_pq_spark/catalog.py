@@ -85,6 +85,9 @@ _NEVER_SAMPLED_FIRST = [
     "ann_ivfpq_nprobe_recall_curve",
     "corpus_curation_funnel_by_source",
     "ann_pq_compression_recall_curve",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
     # --- round-9 third wave (queries/round9c.py, never sampled) ---
     "embedding_pq_codebook",
     "ann_pq_adc_topk",

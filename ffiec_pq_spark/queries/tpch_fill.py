@@ -3,10 +3,13 @@ reused as join input AND scalar-subquery max) and Q17 (correlated
 per-part scalar threshold) — completing the suite: Q1/Q3/Q5 in
 ``core_relational.py``, Q7/Q8/Q9/Q13/Q16/Q18/Q21/Q22 in
 ``tpch_extra.py``, Q4/Q6/Q10/Q12/Q14/Q19 shapes in ``extensions.py``.
-Q2, Q11 and Q20 are NOT implementable on the driver's trimmed schema —
-they require the ``partsupp`` table, which does not exist in
-`/root/testdata` — so the suite stops at 19 of 22 by data, not by
-engine capability.
+Q2, Q11 and Q20 need the ``partsupp`` table, which `/root/testdata`
+does not ship.  Round 10 closes the gap with a DERIVED partsupp
+(``_partsupp``): 4 rows per part with suppkey/availqty/supplycost as
+exact integer formulas of (p_partkey, i) — identical relation on both
+engines by construction (the oracle builds it with the same CTE), so
+the three queries certify the QUERY LOGIC end-to-end; the derivation
+is labelled, not smuggled.  The suite is now 22 of 22 shapes.
 
 Adaptations (same policy as tpch_extra.py): Q17 swaps the missing
 ``p_container`` for a ``p_size`` band; the correlated scalar subquery
@@ -131,4 +134,261 @@ def q17_small_quantity(spark, sf_dir):
     return gated.agg(
         F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp (round 10): the one TPC-H table the driver's
+# testdata omits, reconstructed as exact integer formulas so both
+# engines build the identical relation.  4 suppliers per part
+# (17 is coprime to the 100-supplier domain, so the four suppkeys are
+# distinct per part); availqty/supplycost are integer-derived —
+# supplycost's division by 100 produces the same double on both
+# engines from the same integer, so even unrounded values hash equal.
+
+_PS_SQL = """partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * 17) % 100 AS ps_suppkey,
+             (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
+             CAST((p_partkey * 13 + i * 211) % 20000 AS DOUBLE) / 100.0
+               + 1.0 AS ps_supplycost
+      FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    )"""
+
+
+def _partsupp(spark, sf_dir):
+    """The derived partsupp relation (see _PS_SQL — same formulas)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    i = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("i")
+    base = part.select("p_partkey", i)
+    p = F.col("p_partkey")
+    return base.select(
+        p.alias("ps_partkey"),
+        ((p + F.col("i") * 17) % 100).alias("ps_suppkey"),
+        ((p * 7 + F.col("i") * 11) % 9999 + 1).alias("ps_availqty"),
+        (
+            ((p * 13 + F.col("i") * 211) % 20000).cast("double")
+            / F.lit(100.0)
+            + F.lit(1.0)
+        ).alias("ps_supplycost"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PS_SQL},
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    mincost AS (
+      SELECT ps_partkey, min(ps_supplycost) AS mc
+      FROM eligible GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, e.ps_partkey AS p_partkey,
+           e.ps_supplycost
+    FROM eligible e
+    JOIN mincost m ON m.ps_partkey = e.ps_partkey
+                  AND m.mc = e.ps_supplycost
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.ps_partkey
+    LIMIT 100
+    """,
+    tags=["relational", "tpch"],
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape on the derived partsupp: for every qualifying
+    part (size 15, STANDARD), the supplier(s) in EUROPE offering the
+    MINIMUM supply cost — the classic correlated-min over a join
+    (here as a grouped-min + equality join, the Catalyst-friendly
+    decomposition).
+
+    Scale shape: dims broadcast (supplier/nation/region tiny), the
+    grouped min shares the ps_partkey key with the equality join back,
+    and the final ordering is a bounded top-100
+    (TakeOrderedAndProject).  Supply costs derive from integers —
+    min() is order-independent, so no rounding is even needed."""
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    eligible = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost",
+            "s_acctbal", "s_name", "n_name",
+        )
+    )
+    mincost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        eligible.join(
+            mincost,
+            (eligible.ps_partkey == mincost.ps_partkey)
+            & (eligible.ps_supplycost == mincost.mc),
+        )
+        .drop(mincost.ps_partkey)
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"), "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH {_PS_SQL},
+    natps AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    pv AS (
+      SELECT ps_partkey, round(sum(v), 2) AS part_value
+      FROM natps GROUP BY ps_partkey
+    ),
+    tot AS (SELECT round(sum(v), 2) AS t FROM natps)
+    SELECT ps_partkey, part_value
+    FROM pv CROSS JOIN tot
+    WHERE part_value > t * 0.001
+    """,
+    tags=["relational", "tpch"],
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose stock value within one nation
+    exceeds a fraction of that nation's total stock value — the
+    grouped-sum vs global-scalar comparison.
+
+    Float discipline: per-part and total values are both rounded at
+    2 dp BEFORE the comparison (parallel vs sequential summation
+    cannot move a rounded 2-dp sum of 2-dp-scale products here), and
+    the threshold multiplies the ROUNDED total — both engines compare
+    identical doubles.  Scale shape: supplier/nation broadcast, one
+    grouped sum, the scalar total broadcast-crossed in."""
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    natps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    pv = natps.groupBy("ps_partkey").agg(
+        F.round(F.sum("v"), 2).alias("part_value")
+    )
+    tot = natps.agg(F.round(F.sum("v"), 2).alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("t") * 0.001)
+        .select("ps_partkey", "part_value")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    f"""
+    WITH {_PS_SQL},
+    qty AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      JOIN qty ON qty.l_partkey = ps.ps_partkey
+             AND qty.l_suppkey = ps.ps_suppkey
+      WHERE p.p_name LIKE 'small%'
+        AND ps.ps_availqty > 0.5 * qty.q
+    )
+    SELECT s.s_name, n.n_name
+    FROM excess e
+    JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    ORDER BY s.s_name
+    """,
+    tags=["relational", "tpch"],
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation holding EXCESS stock
+    (availqty > half the year's shipped quantity) of the filtered
+    parts — the semi-join-through-aggregate pattern.
+
+    Float discipline: l_quantity is integral, so sum(l_quantity) is an
+    exact order-independent float64 integer and 0.5·q is exact — the
+    comparison cannot split engines.  Scale shape: the lineitem
+    grouped sum is the only data-sized shuffle; partsupp joins it on
+    the same (partkey, suppkey) key; part/supplier/nation broadcast;
+    DISTINCT on the ≤|supplier| key set."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    qty = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= "1996-01-01")
+            & (F.col("l_shipdate").cast("date") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    excess = (
+        ps.join(
+            F.broadcast(part.select("p_partkey")),
+            ps.ps_partkey == F.col("p_partkey"),
+        )
+        .join(
+            qty,
+            (ps.ps_partkey == qty.l_partkey)
+            & (ps.ps_suppkey == qty.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(F.broadcast(s), excess.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )

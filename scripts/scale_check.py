@@ -217,6 +217,9 @@ QUERIES = [
     "ann_ivfpq_nprobe_recall_curve",
     "corpus_curation_funnel_by_source",
     "ann_pq_compression_recall_curve",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
 ]
 OFFSET = 10**9
 

@@ -947,3 +947,35 @@ def test_compression_curve_shared_truth_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan, plan  # the k=64 arm
+
+
+def test_q2_broadcasts_dims_takeordered(spark, sf_dir):
+    """Q2 on the derived partsupp: dims broadcast, grouped-min and
+    equality join share the part key, bounded top-100 — never a
+    global sort or cartesian over data relations."""
+    from ffiec_pq_spark.plans.audit import (
+        has_broadcast_join,
+        physical_plan,
+    )
+
+    df = queries()["q2_min_cost_supplier"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_single_fact_shuffle(spark, sf_dir):
+    """Q20: the lineitem quantity rollup is the only data-sized
+    shuffle; part/supplier/nation broadcast; no window."""
+    from ffiec_pq_spark.plans.audit import (
+        count_exchanges,
+        has_broadcast_join,
+        physical_plan,
+    )
+
+    df = queries()["q20_potential_promotion"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "windowspecdefinition" not in plan
+    assert count_exchanges(df) <= 4, plan
