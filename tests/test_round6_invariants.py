@@ -222,3 +222,33 @@ def test_connected_components_releases_round_storage(spark):
     after = n_cached()
     # final checkpoint (+ possible session-cache noise of 1)
     assert after - before <= 2, (before, after)
+
+
+def test_derived_partsupp_invariants(spark, sf_dir, duck):
+    """The round-10 derived partsupp: exactly 4 rows per part, the 4
+    suppkeys DISTINCT within a part (17 is coprime to the 100-supplier
+    domain), every suppkey inside the supplier key range — and the
+    Spark relation row-for-row equals the oracle's CTE build (the
+    trio's certification rests on the two relations being identical
+    by construction, so pin it directly, not just through Q2/Q11/Q20)."""
+    from ffiec_pq_spark.queries.tpch_fill import _PS_SQL, _partsupp
+    from tests.oracle_compare import compare
+
+    ps = _partsupp(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("ps_suppkey").alias("nd"),
+    )
+    bad = per_part.filter(
+        (F.col("n") != 4) | (F.col("nd") != 4)
+    ).count()
+    assert bad == 0
+    rng = ps.agg(
+        F.min("ps_suppkey").alias("lo"), F.max("ps_suppkey").alias("hi")
+    ).first()
+    assert rng["lo"] >= 0 and rng["hi"] <= 99
+
+    rel = duck.sql(f"WITH {_PS_SQL} SELECT * FROM partsupp")
+    assert not compare(ps, rel)
