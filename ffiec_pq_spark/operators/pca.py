@@ -140,6 +140,27 @@ def power_iteration_int(
     return [v / nrm for v in x]
 
 
+def pca_fit(
+    df: DataFrame, vec_col: str, dim: int, iters: int = 5
+) -> tuple[list[float], list[float]] | None:
+    """Fit the PC1 model driver-side: (means, eigenvector), or None
+    when the sample covariance is undefined (< 2 vectors).  Split out
+    of ``pca_scores`` so a resident pipeline can fit ONCE and project
+    many times — the fit is the iterative cost (count + means +
+    covariance rollup + power iteration), the projection is a narrow
+    stateless expression."""
+    n = df.count()
+    if n < 2:
+        return None
+    means = embedding_means(df, vec_col, dim)
+    cov = covariance_matrix(df, vec_col, dim, means, n)
+    v = power_iteration_int(cov, iters)
+    return (list(means), list(v))
+
+
+_UNFITTED = object()  # pca_fit legitimately returns None (degenerate)
+
+
 def pca_scores(
     df: DataFrame,
     vec_col: str,
@@ -147,21 +168,22 @@ def pca_scores(
     dim: int,
     iters: int = 5,
     ndigits: int = 6,
+    model=_UNFITTED,
 ) -> DataFrame:
     """(id, pc1_score): each vector's projection onto the top principal
-    component — fit driver-side on d x d state, scored cluster-side as
-    one narrow expression over the scan."""
-    n = df.count()
-    if n < 2:
+    component — fit driver-side on d x d state (or reuse a
+    ``pca_fit`` model, including a degenerate None one), scored
+    cluster-side as one narrow expression over the scan."""
+    if model is _UNFITTED:
+        model = pca_fit(df, vec_col, dim, iters)
+    if model is None:
         # no sample covariance from < 2 vectors: empty/undefined scores
         # (the empty-partition edge a 100 TB pipeline hits routinely)
         return df.select(
             F.col(id_col).alias("id"),
             F.lit(None).cast("double").alias("pc1_score"),
         )
-    means = embedding_means(df, vec_col, dim)
-    cov = covariance_matrix(df, vec_col, dim, means, n)
-    v = power_iteration_int(cov, iters)
+    means, v = model
     m_arr = F.array(*[F.lit(float(m)) for m in means])
     v_arr = F.array(*[F.lit(float(c)) for c in v])
     centered = F.zip_with(

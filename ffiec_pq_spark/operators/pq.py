@@ -202,6 +202,15 @@ def _make_assign_udf(codebooks: list[list[list[float]]]):
     @pandas_udf("struct<cell:int,d:double>")
     def assign(sub: pd.Series, v: pd.Series) -> pd.DataFrame:
         subs = sub.to_numpy(dtype=np.int64)
+        if len(subs) == 0:
+            # Spark may hand a zero-row Arrow batch; np.stack on an
+            # empty sequence raises, so short-circuit to an empty frame
+            return pd.DataFrame(
+                {
+                    "cell": pd.array([], dtype="int32"),
+                    "d": pd.array([], dtype="float64"),
+                }
+            )
         X = np.stack(v.to_numpy())  # (n, sub_dim) float64
         n = len(subs)
         cell = np.zeros(n, dtype=np.int64)
