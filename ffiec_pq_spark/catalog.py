@@ -73,6 +73,8 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-11 wave (queries/round11.py, never sampled) ---
+    "stream_minhash_neardup_bounded",
     # --- round-10 wave (queries/round10.py, never sampled) ---
     "embedding_pq_codebook_k64",
     "embedding_pq_codebook_k256",
@@ -233,6 +235,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round11  # noqa: F401
     from ffiec_pq_spark.queries import round10  # noqa: F401
     from ffiec_pq_spark.queries import round9c  # noqa: F401
     from ffiec_pq_spark.queries import round9b  # noqa: F401

@@ -156,3 +156,221 @@ def run_neardup_stream(
         .select(F.col("id").alias("doc_id"), "dup_of")
     )
     return out.localCheckpoint(eager=True)
+
+
+# Epoch base for the synthetic event time (2024-01-01 00:00:00 UTC):
+# event_time = base + doc_id seconds, so id order IS event-time order
+# and a watermark horizon is a doc-id horizon — both engines can
+# derive it, and "smallest doc id" = "earliest arrival".
+_EVENT_EPOCH = 1704067200
+
+
+def run_neardup_bounded_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_ms: int = 3650 * 86400 * 1000,
+) -> DataFrame:
+    """Streaming near-dup with BOUNDED state — the long-lived-deploy
+    shape the parquet-fold variant's docstring promises: the band
+    first-seen relation is a keyed state with a WATERMARK-HORIZON
+    EXPIRY, so state is O(band signatures active within the horizon),
+    not O(corpus history), and the stream can run forever.
+
+    Per micro-batch (documents staged as four doc-id-ordered files,
+    one per trigger; event time = epoch + doc_id seconds):
+
+    - map side, zero shuffle: each arriving doc's MinHash signature as
+      one projection (``minhash_sig_expr``) + its 8 (band, bkey) rows
+      (``lsh_band_structs`` explode);
+    - ONE keyed exchange: groupBy(band, bkey) -> batch-min doc id +
+      last event time, vectorized in ``foreachBatch``;
+    - EMIT: each band row whose id exceeds least(state min, batch min)
+      pairs with that min — under in-order arrival that is exactly the
+      smallest earlier id in the bucket;
+    - STATE FOLD + EXPIRY: state' = min-merge(state, batch mins)
+      FILTERED to entries whose last activity is within ``horizon_ms``
+      of the max event time seen — the watermark eviction.  The new
+      state is pinned with an eager localCheckpoint (at scale: MERGE
+      into a compacted state table, the ``stream_upsert_latest``
+      versioned-state pattern).
+
+    Why foreachBatch and not ``applyInPandasWithState``: the state here
+    is one long per key across tens of thousands of near-singleton
+    keys per trigger, and the per-key Python state protocol pays
+    ~3 socket round-trips per key per trigger — measured 27.6s at
+    sf0.01 / 125.7s at sf0.1 for the stateful-op form vs a vectorized
+    fold that is one groupBy + one join per trigger (the repo-wide
+    rule: keyed per-row state machines with wide key cardinality stay
+    JVM-side).  ``applyInPandasWithState`` remains the right tool for
+    LOW-cardinality rich state (the certified sessionizer).
+
+    Certification contract (same as ``stream_dedup_bounded_state``):
+    with a horizon wider than the finite test stream's timespan no key
+    expires mid-run, so the drained output must equal the batch LSH
+    answer exactly — bounding state must not change results within the
+    lateness horizon.  Files are staged in doc-id ranges with strictly
+    increasing mtimes, so arrival order respects id order (an
+    out-of-order smaller id would make its bucket's state min
+    decrease; the emit rule still pairs every later id against the
+    true min, but the displaced min itself would need a re-emit — the
+    ordered staging makes that path unreachable, matching the batch
+    oracle exactly)."""
+    from ffiec_pq_spark.operators.dedup import lsh_bands, minhash_signatures
+    from ffiec_pq_spark.queries.dedup import _K, _N_BANDS, _N_PERM, _ROWS_PER_BAND
+    from ffiec_pq_spark.session import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        # empty corpus: no stream to run, no pairs to emit
+        return spark.createDataFrame([], "doc_id long, dup_of long")
+
+    workdir = tempfile.mkdtemp(prefix="stream_neardup_bounded_")
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        step = max_id // 4 + 1
+        t0 = 1_700_000_000
+        for i in range(4):
+            chunk_dir = os.path.join(workdir, f"chunk{i}")
+            (
+                docs.filter(F.floor(F.col("doc_id") / step) == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(chunk_dir)
+            )
+            parts = [
+                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+            ]
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            os.rename(os.path.join(chunk_dir, parts[0]), dst)
+            # strictly increasing mtimes pin the file source's
+            # processing order (oldest first) to doc-id order
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        pairs_dir = os.path.join(workdir, "pairs")
+        # closure state: the live (band, bkey) -> (min_id, last_ms)
+        # relation, pinned off its lineage, and the event-time high
+        # water mark the horizon eviction is measured against
+        st = {"state": None, "max_ms": 0}
+
+        def fold(batch_df, epoch_id):
+            # signatures are the expensive stage: compute them ONCE per
+            # batch via the codegen'd explode+groupBy path (the pure
+            # HOF expression ``minhash_sig_expr`` is interpreted, not
+            # codegen'd — measured 30s vs 1.5s per 1250-doc batch) and
+            # pin the band rows: the downstream min/emit/fold plans
+            # would each re-evaluate the signature job otherwise (AQE
+            # is off inside streaming batches, so nothing saves us
+            # there)
+            sig = minhash_signatures(
+                batch_df.filter(F.col("text").isNotNull()),
+                id_col="doc_id",
+                k=_K,
+                n_perm=_N_PERM,
+            )
+            bands = (
+                lsh_bands(sig, _N_BANDS, _ROWS_PER_BAND)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    ((F.lit(_EVENT_EPOCH) + F.col("id")) * 1000).alias(
+                        "ms"
+                    ),
+                    "band",
+                    "bkey",
+                )
+                .localCheckpoint(eager=True)
+            )
+            bmin = bands.groupBy("band", "bkey").agg(
+                F.min("doc_id").alias("bmin_id"),
+                F.max("ms").alias("bmax_ms"),
+            )
+            prev = st["state"]
+            if prev is not None:
+                merged = bmin.join(prev, ["band", "bkey"], "left")
+            else:
+                merged = bmin.select(
+                    "*",
+                    F.lit(None).cast("long").alias("min_id"),
+                    F.lit(None).cast("long").alias("last_ms"),
+                )
+            # least/greatest skip NULLs, so a key new to the state
+            # folds to its batch min directly.  Pinned: used by both
+            # the emit join and the state fold below.
+            folded = merged.select(
+                "band",
+                "bkey",
+                F.least("bmin_id", "min_id").alias("min_id"),
+                F.greatest("bmax_ms", "last_ms").alias("last_ms"),
+            ).localCheckpoint(eager=True)
+            # EMIT while `folded` still holds this batch's keys: every
+            # band row strictly above its bucket's folded min pairs
+            # with that min (= smallest earlier id under ordered
+            # arrival)
+            (
+                bands.join(folded, ["band", "bkey"])
+                .filter(F.col("doc_id") > F.col("min_id"))
+                .select(
+                    F.col("doc_id").alias("id"),
+                    F.col("min_id").alias("partner"),
+                )
+                .write.mode("append")
+                .parquet(pairs_dir)
+            )
+            # STATE FOLD + WATERMARK EVICTION: keys idle for longer
+            # than the horizon behind the event-time high water mark
+            # can never match an in-horizon arrival — drop them.  THIS
+            # bound keeps state finite over an unbounded stream.
+            batch_max = bands.agg(F.max("ms")).first()[0]
+            if batch_max is not None:
+                st["max_ms"] = max(st["max_ms"], int(batch_max))
+            keep = (
+                prev.unionByName(folded).groupBy("band", "bkey").agg(
+                    F.min("min_id").alias("min_id"),
+                    F.max("last_ms").alias("last_ms"),
+                )
+                if prev is not None
+                else folded
+            )
+            nxt = keep.filter(
+                F.col("last_ms") >= F.lit(st["max_ms"] - horizon_ms)
+            ).localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            bands.unpersist()
+            st["state"] = nxt
+
+        # every shuffle in this runner is over at most O(band rows per
+        # batch) — size the partition count to that (AQE cannot: it is
+        # disabled inside streaming batches), restore the session
+        # default afterwards
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                spark.readStream.format("parquet")
+                .schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+                .writeStream.foreachBatch(fold)
+                .option(
+                    "checkpointLocation", os.path.join(workdir, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not os.path.isdir(pairs_dir):
+            return spark.createDataFrame([], "doc_id long, dup_of long")
+        out = (
+            spark.read.parquet(pairs_dir)
+            .groupBy("id")
+            .agg(F.min("partner").alias("dup_of"))
+            .select(F.col("id").alias("doc_id"), "dup_of")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

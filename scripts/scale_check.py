@@ -182,6 +182,8 @@ QUERIES = [
     "docs_exactsubstr_spans",
     "docs_exactsubstr_dup_rate",
     "stream_minhash_neardup",
+    # round-11 addition: bounded-state near-dup (watermark eviction)
+    "stream_minhash_neardup_bounded",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -384,6 +386,14 @@ NOTES = {
         "staging + 4 micro-batch drains dominate at this size; state "
         "fold is n_bands rows/doc appended per batch, decision pass is "
         "one (band,bkey) aggregation + same-keyed join"
+    ),
+    "stream_minhash_neardup_bounded": (
+        "per-trigger signatures for arriving docs only + keyed "
+        "min-merge into the pinned state + horizon eviction filter — "
+        "state is O(band keys within the horizon); the 8x replicas "
+        "multiply duplicate CLUSTER size, so emitted pairs (and the "
+        "emit join's probe side) grow ~8x while state stays "
+        "distinct-content-sized"
     ),
     "stream_neardup_compacted": (
         "same fold as stream_minhash_neardup plus a state compaction "

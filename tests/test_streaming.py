@@ -268,3 +268,52 @@ def test_stream_pq_encode_equals_batch_encode(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_minhash_sig_expr_matches_grouped(spark, sf_dir):
+    """The pure-expression signature (minhash_sig_expr) must be
+    value-identical to the explode+groupBy minhash_signatures on every
+    doc — it is the documented fallback for plans that cannot contain
+    an aggregation, so drift here would silently change LSH buckets."""
+    from ffiec_pq_spark.operators.dedup import (
+        minhash_sig_expr,
+        minhash_signatures,
+    )
+    from ffiec_pq_spark.queries.dedup import _K, _N_PERM
+
+    docs = load_table(spark, sf_dir, "documents")
+    expr_sig = docs.select(
+        F.col("doc_id").alias("id"),
+        minhash_sig_expr("text", _K, _N_PERM).alias("sig"),
+    )
+    grouped_sig = minhash_signatures(docs, id_col="doc_id", k=_K, n_perm=_N_PERM)
+    n_docs = docs.count()
+    joined = expr_sig.join(
+        grouped_sig.withColumnRenamed("sig", "sig2"), "id"
+    )
+    assert joined.count() == n_docs
+    assert joined.filter(F.col("sig") != F.col("sig2")).count() == 0
+
+
+def test_bounded_neardup_matches_unbounded(spark, sf_dir):
+    """The watermark-evicting bounded-state stream must drain the same
+    (doc_id, dup_of) relation as the unbounded parquet-fold stream when
+    the horizon exceeds the stream's timespan (bounding state must not
+    change results within the lateness horizon) — and a ZERO horizon
+    must kill every cross-batch pair (eviction actually evicts)."""
+    from ffiec_pq_spark.streaming.neardup import (
+        run_neardup_bounded_stream,
+        run_neardup_stream,
+    )
+
+    unbounded = run_neardup_stream(spark, sf_dir)
+    bounded = run_neardup_bounded_stream(spark, sf_dir)
+    a = sorted(map(tuple, unbounded.collect()))
+    b = sorted(map(tuple, bounded.collect()))
+    assert a == b
+
+    # horizon 0: every state entry is evicted at the end of its own
+    # trigger, so only same-batch pairs can survive — a strict subset
+    zero = run_neardup_bounded_stream(spark, sf_dir, horizon_ms=0)
+    z = set(map(tuple, zero.collect()))
+    assert z <= set(b)
