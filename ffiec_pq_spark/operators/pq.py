@@ -459,13 +459,16 @@ def ivfpq_codes(
     return sv.select("id", "ccell", "sub", a["cell"].alias("cell"))
 
 
-def ivfpq_probed_cells(
-    spark, coarse: list[list[float]], probe: list[float], nprobe: int
+def ivfpq_cell_ranks(
+    spark, coarse: list[list[float]], probe: list[float]
 ) -> list[int]:
-    """The nprobe coarse cells nearest the probe (ties -> lowest cell),
-    evaluated as a SPARK expression over literals so the round(·, 9)
-    discipline matches the engine's (and the oracle's) — never Python
-    float rounding, whose half-to-even differs from both engines."""
+    """ALL coarse cells in probe-distance rank order (nearest first,
+    ties -> lowest cell), evaluated as a SPARK expression over literals
+    so the round(·, 9) discipline matches the engine's (and the
+    oracle's) — never Python float rounding, whose half-to-even
+    differs from both engines.  The full ranking drives the
+    single-pass nprobe design sweep (``rank <= nprobe`` gates); the
+    probed set for any nprobe is its prefix."""
     q = F.array(*[F.lit(float(x)) for x in probe])
     entries = [
         F.struct(
@@ -487,25 +490,31 @@ def ivfpq_probed_cells(
     ]
     row = (
         spark.range(1)
-        .select(F.slice(F.array_sort(F.array(*entries)), 1, nprobe).alias("p"))
+        .select(F.array_sort(F.array(*entries)).alias("p"))
         .collect()[0]
     )
-    return sorted(s["c"] for s in row["p"])
+    return [s["c"] for s in row["p"]]
 
 
-def ivfpq_adc_topk(
-    codes: DataFrame,
+def ivfpq_probed_cells(
+    spark, coarse: list[list[float]], probe: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe coarse cells nearest the probe (ties -> lowest cell):
+    the rank-order prefix — see :func:`ivfpq_cell_ranks`."""
+    return sorted(ivfpq_cell_ranks(spark, coarse, probe)[:nprobe])
+
+
+def ivfpq_adc_nano_expr(
     coarse: list[list[float]],
     codebooks: list[list[list[float]]],
     probe: list[float],
-    probed: list[int],
-    top_k: int = 10,
-) -> DataFrame:
-    """Probed-cell ADC top-k: scan only codes whose coarse cell is in
-    ``probed`` (at scale this is partition pruning), score each code
-    against the PROBE's residual in that cell (round(·, 9) per element,
-    exactly like the doc residuals), reduce per-id as integer nano
-    sums, TakeOrderedAndProject the top-k."""
+) -> Column:
+    """The per-code-row ADC integer nano distance of ``probe`` against
+    a (ccell, sub, cell) code — the probe's residual in the row's
+    coarse cell (round(·, 9) per element, exactly like the doc
+    residuals) scored against the row's PQ centroid.  Shared by the
+    probed top-k search and the nprobe design sweep (which scores ALL
+    cells once and gates by cell rank)."""
     cc = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
     cb = _codebook_lit(codebooks)
     sub_dim = len(codebooks[0][0])
@@ -529,7 +538,22 @@ def ivfpq_adc_topk(
         ),
         9,
     )
-    nano = F.round(d_q * F.lit(1e9), 0).cast("long")
+    return F.round(d_q * F.lit(1e9), 0).cast("long")
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    probed: list[int],
+    top_k: int = 10,
+) -> DataFrame:
+    """Probed-cell ADC top-k: scan only codes whose coarse cell is in
+    ``probed`` (at scale this is partition pruning), score each code
+    against the probe (``ivfpq_adc_nano_expr``), reduce per-id as
+    integer nano sums, TakeOrderedAndProject the top-k."""
+    nano = ivfpq_adc_nano_expr(coarse, codebooks, probe)
     return (
         codes.filter(F.col("ccell").isin([int(c) for c in probed]))
         .select("id", nano.alias("nano"))

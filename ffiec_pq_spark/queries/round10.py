@@ -855,40 +855,65 @@ def ann_ivfpq_nprobe_recall_curve(spark, sf_dir):
     the LSH banding design curve — pick the cheapest nprobe above the
     recall target instead of guessing.
 
-    Scale shape: the index (coarse fit + residuals + codes) is built
-    ONCE and persisted; each sweep point multiplies only the cheap
-    final stages (one probed-cell filter over the code relation + one
-    keyed integer-sum aggregate + a TakeOrderedAndProject + a k-row
-    broadcast overlap); the exact side is the afford-once brute scan.
-    Same integer nano distance discipline as the whole PQ family.
+    SINGLE-PASS sweep (round 11 — the cutoff-ladder pattern from the
+    vocab coverage curves): the probed sets are NESTED (nprobe=1 is a
+    prefix of nprobe=2 ...), so instead of one probe/agg lineage per
+    sweep point (the round-10 shape, 22.8s), score every code against
+    the probe ONCE, tag each vector with its coarse cell's probe-rank,
+    and read the whole curve out of rank<=nprobe gates:
 
-    The codes/residual persists stay pinned until session GC —
-    ``spark.catalog.clearCache()`` between pipelines (dedup-family
-    convention)."""
-    from ffiec_pq_spark.operators.kmeans import kmeans_fit
+    - scan costs: ONE conditional aggregate over the per-vector ADC
+      relation (sum of each gate);
+    - recalls: an exact top-k membership test without any per-gate
+      sort — vector v is in gate g's ADC top-k iff rank(v) <= g AND
+      fewer than k in-gate vectors order strictly before it, so ONE
+      aggregate over the (per-vector ADC x broadcast 10-row exact
+      top-k) join counts, for each exact id and every gate, its
+      strictly-smaller in-gate rows; aggregate count is independent of
+      sweep length (plan-pinned).
+
+    The index itself (coarse fit + residuals + codebooks) is the
+    process-resident ``_ivfpq_model`` shared with
+    ``ann_ivfpq_residual_topk`` — one deployment, one index, every
+    evaluation runs against it.  Same integer nano distance discipline
+    as the whole PQ family; persists stay pinned until session GC
+    (``spark.catalog.clearCache()`` between pipelines)."""
     from ffiec_pq_spark.operators.pq import (
-        ivfpq_adc_topk,
+        ivfpq_adc_nano_expr,
+        ivfpq_cell_ranks,
         ivfpq_codes,
-        ivfpq_probed_cells,
-        ivfpq_residuals,
-        pq_fit,
     )
-    from ffiec_pq_spark.queries.round9c import (
-        _CO_ITERS,
-        _CO_K,
-        _PQ_ITERS,
-    )
-    from ffiec_pq_spark.queries.similarity import _DIM, _PROBE
+    from ffiec_pq_spark.queries.round9c import _ivfpq_model
+    from ffiec_pq_spark.queries.similarity import _PROBE
 
     top_k = 10
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse = kmeans_fit(emb, k=_CO_K, dim=_DIM, iters=_CO_ITERS)
-    resid = ivfpq_residuals(emb, coarse).persist()
-    books = pq_fit(
-        resid, vec_col="rv", id_col="id",
-        m=_M, sub_dim=_SUB_DIM, k=_K, iters=_PQ_ITERS,
+    coarse, books, resid = _ivfpq_model(spark, sf_dir)
+    codes = ivfpq_codes(resid, books)
+
+    # rank[cell] = 1-based probe-distance rank of the coarse cell
+    order = ivfpq_cell_ranks(spark, coarse, _PROBE)
+    rank_arr = [0] * len(order)
+    for r, c in enumerate(order):
+        rank_arr[c] = r + 1
+    rank = F.element_at(
+        F.array(*[F.lit(r) for r in rank_arr]), F.col("ccell") + 1
     )
-    codes = ivfpq_codes(resid, books).persist()
+
+    # per-vector ADC distance + cell rank, computed ONCE for ALL cells
+    nano = ivfpq_adc_nano_expr(coarse, books, _PROBE)
+    adc = (
+        codes.select("id", "ccell", nano.alias("nano"))
+        .groupBy("id")
+        .agg(
+            F.sum("nano").alias("nano"),
+            # an id lives in exactly one coarse cell; min() just picks
+            # that constant without widening the grouping key
+            F.min("ccell").alias("ccell"),
+        )
+        .select("id", "nano", rank.alias("rk"))
+        .persist()
+    )
 
     q_arr = F.array(*[F.lit(float(x)) for x in _PROBE])
     d_exact = F.round(
@@ -913,32 +938,70 @@ def ann_ivfpq_nprobe_recall_curve(spark, sf_dir):
         .select("id")
     )
 
-    rows = []
-    for np_ in _NPROBE_SWEEP:
-        probed = ivfpq_probed_cells(spark, coarse, _PROBE, np_)
-        approx = ivfpq_adc_topk(
-            codes, coarse, books, _PROBE, probed, top_k=top_k
-        ).select("id")
-        scanned = resid.filter(
-            F.col("ccell").isin([int(c) for c in probed])
-        ).agg(F.count(F.lit(1)).alias("n_scanned"))
-        hit = (
-            approx.join(F.broadcast(exact), "id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
+    # the 10 exact neighbours WITH their ADC stats (broadcast side)
+    ex = adc.join(F.broadcast(exact), "id").select(
+        F.col("id").alias("e_id"),
+        F.col("nano").alias("e_nano"),
+        F.col("rk").alias("e_rk"),
+    )
+
+    # ONE ladder aggregate: for each exact id and every gate, how many
+    # in-gate vectors order strictly before it ((nano, id) total order)
+    smaller = (F.col("nano") < F.col("e_nano")) | (
+        (F.col("nano") == F.col("e_nano")) & (F.col("id") < F.col("e_id"))
+    )
+    ladder = (
+        adc.crossJoin(F.broadcast(ex))
+        .groupBy("e_id", "e_rk")
+        .agg(
+            *[
+                F.sum(
+                    F.when((F.col("rk") <= np_) & smaller, 1).otherwise(0)
+                ).alias(f"sm{np_}")
+                for np_ in _NPROBE_SWEEP
+            ]
         )
-        rows.append(
-            hit.crossJoin(F.broadcast(scanned)).select(
-                F.lit(np_).alias("nprobe"),
-                F.col("n_scanned").cast("long"),
-                F.round(
-                    F.col("n_hit").cast("double") / F.lit(float(top_k)), 6
-                ).alias(f"recall_at_{top_k}"),
-            )
+    )
+    recalls = ladder.agg(
+        *[
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("e_rk") <= np_)
+                        & (F.col(f"sm{np_}") < top_k),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.lit(float(top_k)),
+                6,
+            ).alias(f"r{np_}")
+            for np_ in _NPROBE_SWEEP
+        ]
+    )
+    # ONE conditional aggregate for every gate's scan cost
+    scans = adc.agg(
+        *[
+            F.sum((F.col("rk") <= np_).cast("long")).alias(f"ns{np_}")
+            for np_ in _NPROBE_SWEEP
+        ]
+    )
+    curve = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(np_).alias("nprobe"),
+                    F.col(f"ns{np_}").alias("n_scanned"),
+                    F.col(f"r{np_}").alias(f"recall_at_{top_k}"),
+                )
+                for np_ in _NPROBE_SWEEP
+            ]
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
+    return (
+        recalls.crossJoin(F.broadcast(scans))
+        .select(curve.alias("pt"))
+        .select("pt.nprobe", "pt.n_scanned", f"pt.recall_at_{top_k}")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -101,7 +101,7 @@ NOTES = {
     "ann_ivf_incremental_newvecs": "frozen-model incremental assign: broadcast-literal centroids, one scan projection, ONE k-group rollup — daily cost independent of corpus retraining",
     "embedding_isotropy_datacard": "one explode feeding the 64-group dim-variance agg and the per-vector norm agg; two 1-row reductions broadcast-crossed",
     "dedup_incremental_newbatch": "asymmetric ingest dedup with the round-10 PAIR-DRIVEN verify: candidates expand by batch-doc shingles keyed on id_b, probe corpus reps keyed on (id_c, shingle) — no shingle-only join key anywhere",
-    "ann_ivfpq_nprobe_recall_curve": "one persisted index (InMemoryTableScan), per sweep point a probed-cell filter + keyed integer-sum agg + TakeOrdered + k-row broadcast overlap",
+    "ann_ivfpq_nprobe_recall_curve": "single-pass sweep (r11): one persisted per-vector ADC relation (InMemoryTableScan); scan costs + exact-top-k membership for EVERY nprobe come from shared conditional aggregates gated on cell rank — aggregate count independent of sweep length; only TakeOrdered is the shared exact top-k",
     "dedup_drop_bias_by_source": "keeper min-agg and join share the content-hash key; one source rollup — three keyed exchanges max",
     "corpus_curation_funnel_by_source": "one scoring pass (token array projected once), hash-keyed dedup keeper join, three source rollups broadcast-joined on the tiny source dim",
     "ann_pq_compression_recall_curve": "per arm: keyed integer-sum ADC agg + TakeOrdered + k-row broadcast overlap vs ONE shared brute truth; k=64 arm is the single ArrowEvalPython stage",

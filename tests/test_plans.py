@@ -893,18 +893,23 @@ def test_isotropy_datacard_two_aggregates(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
-def test_nprobe_curve_index_built_once(spark, sf_dir):
-    """The nprobe sweep must reuse ONE persisted index: the plan reads
-    the codes through InMemoryTableScan (never re-deriving residual
-    codes per sweep point), each arm's top-k is a
-    TakeOrderedAndProject, and no cartesian appears (the 1-row
-    recall/scan combines broadcast)."""
+def test_nprobe_curve_single_pass_sweep(spark, sf_dir):
+    """The nprobe sweep must be SINGLE-PASS over one persisted
+    per-vector ADC relation (round 11): the plan reads it through
+    InMemoryTableScan, the only TakeOrderedAndProject is the shared
+    exact top-k (never one per sweep point), every rank<=nprobe gate
+    lives inside shared conditional aggregates so the aggregate count
+    is INDEPENDENT of sweep length (12 = 6 logical aggs x
+    partial/final; the round-10 per-point shape scaled linearly), and
+    no cartesian appears (the 1-row combines are broadcast
+    nested-loop)."""
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["ann_ivfpq_nprobe_recall_curve"](spark, sf_dir)
     plan = physical_plan(df)
     assert "InMemoryTableScan" in plan, plan
-    assert "TakeOrderedAndProject" in plan
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("HashAggregate") <= 12, plan
     assert "CartesianProduct" not in plan
 
 
