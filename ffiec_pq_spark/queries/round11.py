@@ -47,3 +47,145 @@ def stream_minhash_neardup_bounded(spark, sf_dir):
     from ffiec_pq_spark.streaming.neardup import run_neardup_bounded_stream
 
     return run_neardup_bounded_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q2_min_cost_supplier_skew — Q2's min-cost argmax under manufactured
+# TIES and a HOT supplier.  The round-10 derived partsupp is uniform
+# (4 suppliers/part, near-unique formulaic costs), so Q2's grouped-min
+# + equality join never exercised its tie path and its join keys never
+# saw skew.  This variant's relation manufactures both:
+#
+# - supplycost = (13p + 2i) mod 4 + 1: within a part the four slots
+#   take exactly TWO distinct values (i=0/2 collide, i=1/3 collide),
+#   so EVERY part's minimum is shared by two suppliers — the argmax
+#   must resolve ties, pinned here to the LOWEST suppkey (one
+#   deterministic winner row per part);
+# - supplier 7 holds exactly one row of EVERY part (the (p+i)%4==0
+#   slot), i.e. 25% of the relation — a hot join key the supplier
+#   enrich join must absorb (it broadcasts the supplier dim, so the
+#   skew lands on the map side where it is harmless; a shuffled join
+#   keyed on ps_suppkey would hotspot exactly here).
+#
+# The other three slots land in [8, n_supp) so they can never collide
+# with the hot key; greatest(,1)/(n-8 floor) guards keep empty tables
+# raising nothing.
+
+_PS_SKEW_SQL = """partsupp_skew AS (
+      SELECT p_partkey AS ps_partkey,
+             CASE WHEN (p_partkey + i) % 4 = 0 THEN 7
+                  ELSE 8 + (p_partkey + i * 17)
+                           % (SELECT greatest(count(*) - 8, 1) FROM supplier)
+             END AS ps_suppkey,
+             (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
+             CAST((p_partkey * 13 + i * 2) % 4 AS DOUBLE) + 1.0
+               AS ps_supplycost
+      FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    )"""
+
+
+def _partsupp_skew(spark, sf_dir):
+    """The skewed derived partsupp (see _PS_SKEW_SQL — same formulas)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    i = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("i")
+    base = part.select("p_partkey", i)
+    p = F.col("p_partkey")
+    return base.select(
+        p.alias("ps_partkey"),
+        F.when((p + F.col("i")) % 4 == 0, F.lit(7))
+        .otherwise(
+            F.lit(8)
+            + (p + F.col("i") * 17) % F.lit(max(n_supp - 8, 1))
+        )
+        .alias("ps_suppkey"),
+        ((p * 7 + F.col("i") * 11) % 9999 + 1).alias("ps_availqty"),
+        (((p * 13 + F.col("i") * 2) % 4).cast("double") + F.lit(1.0))
+        .alias("ps_supplycost"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier_skew",
+    f"""
+    WITH {_PS_SKEW_SQL},
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost
+      FROM partsupp_skew ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    ),
+    mincost AS (
+      SELECT ps_partkey, min(ps_supplycost) AS mc
+      FROM eligible GROUP BY ps_partkey
+    ),
+    winner AS (
+      SELECT e.ps_partkey, min(e.ps_suppkey) AS win_suppkey, m.mc
+      FROM eligible e
+      JOIN mincost m ON m.ps_partkey = e.ps_partkey
+                    AND e.ps_supplycost = m.mc
+      GROUP BY e.ps_partkey, m.mc
+    )
+    SELECT w.ps_partkey AS p_partkey,
+           w.win_suppkey AS s_suppkey,
+           s.s_name,
+           n.n_name,
+           w.mc AS ps_supplycost
+    FROM winner w
+    JOIN supplier s ON s.s_suppkey = w.win_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE w.ps_partkey % 10 = 5
+    """,
+    tags=["relational", "tpch", "skew"],
+)
+def q2_min_cost_supplier_skew(spark, sf_dir):
+    """TPC-H Q2's min-cost-supplier argmax on the SKEWED derived
+    partsupp (ties + hot supplier — see _PS_SKEW_SQL): one
+    deterministic winner per qualifying part, ties on the 4-value cost
+    domain broken by the LOWEST suppkey (grouped min over the
+    equality-joined min-cost rows — the TPC-H tie discipline made
+    explicit).
+
+    Scale shape: the grouped min and the tie-break min share the
+    ps_partkey key (two aggregations, one exchange under AQE reuse);
+    the supplier/nation enrich joins BROADCAST, so the hot suppkey
+    (supplier 7 on 25% of rows) never keys a shuffle — the plan a
+    shuffled-join would need salting for is simply not built.  Costs
+    are small integers cast to double: min() and equality are exact on
+    both engines."""
+    ps = _partsupp_skew(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    eligible = ps.join(
+        F.broadcast(s.select("s_suppkey")),
+        ps.ps_suppkey == F.col("s_suppkey"),
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    mincost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    winner = (
+        eligible.join(
+            mincost.withColumnRenamed("ps_partkey", "_pk"),
+            (F.col("ps_partkey") == F.col("_pk"))
+            & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .groupBy("ps_partkey", "mc")
+        .agg(F.min("ps_suppkey").alias("win_suppkey"))
+    )
+    return (
+        winner.filter(F.col("ps_partkey") % 10 == 5)
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("win_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.col("mc").alias("ps_supplycost"),
+        )
+    )

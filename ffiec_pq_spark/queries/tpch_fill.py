@@ -138,17 +138,23 @@ def q17_small_quantity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Derived partsupp (round 10): the one TPC-H table the driver's
-# testdata omits, reconstructed as exact integer formulas so both
-# engines build the identical relation.  4 suppliers per part
-# (17 is coprime to the 100-supplier domain, so the four suppkeys are
-# distinct per part); availqty/supplycost are integer-derived —
-# supplycost's division by 100 produces the same double on both
-# engines from the same integer, so even unrounded values hash equal.
+# Derived partsupp (round 10; modulus fixed round 11): the one TPC-H
+# table the driver's testdata omits, reconstructed as exact integer
+# formulas so both engines build the identical relation.  The suppkey
+# modulus is the ACTUAL supplier count (100 at sf0.01, 1000 at sf0.1 —
+# a fixed constant covered only a tenth of the larger domain), read by
+# DuckDB as a scalar subquery and by Spark as a driver-side count
+# (manifest-sized).  17 is coprime to any power-of-ten domain and the
+# four i*17 offsets stay distinct for any modulus > 51, so every part
+# still gets 4 distinct suppliers; availqty/supplycost are
+# integer-derived — supplycost's division by 100 produces the same
+# double on both engines from the same integer, so even unrounded
+# values hash equal.
 
 _PS_SQL = """partsupp AS (
       SELECT p_partkey AS ps_partkey,
-             (p_partkey + i * 17) % 100 AS ps_suppkey,
+             (p_partkey + i * 17) % (SELECT greatest(count(*), 1) FROM supplier)
+               AS ps_suppkey,
              (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
              CAST((p_partkey * 13 + i * 211) % 20000 AS DOUBLE) / 100.0
                + 1.0 AS ps_supplycost
@@ -157,14 +163,18 @@ _PS_SQL = """partsupp AS (
 
 
 def _partsupp(spark, sf_dir):
-    """The derived partsupp relation (see _PS_SQL — same formulas)."""
+    """The derived partsupp relation (see _PS_SQL — same formulas,
+    same supplier-count modulus)."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
+    # greatest(,1): an empty supplier table must yield an empty join,
+    # not a modulo-by-zero (ANSI raises on both engines)
+    n_supp = max(load_table(spark, sf_dir, "supplier").count(), 1)
     i = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("i")
     base = part.select("p_partkey", i)
     p = F.col("p_partkey")
     return base.select(
         p.alias("ps_partkey"),
-        ((p + F.col("i") * 17) % 100).alias("ps_suppkey"),
+        ((p + F.col("i") * 17) % F.lit(n_supp)).alias("ps_suppkey"),
         ((p * 7 + F.col("i") * 11) % 9999 + 1).alias("ps_availqty"),
         (
             ((p * 13 + F.col("i") * 211) % 20000).cast("double")

@@ -106,6 +106,7 @@ NOTES = {
     "corpus_curation_funnel_by_source": "one scoring pass (token array projected once), hash-keyed dedup keeper join, three source rollups broadcast-joined on the tiny source dim",
     "ann_pq_compression_recall_curve": "per arm: keyed integer-sum ADC agg + TakeOrdered + k-row broadcast overlap vs ONE shared brute truth; k=64 arm is the single ArrowEvalPython stage",
     "stream_minhash_neardup_bounded": "drain of the bounded-state stream: flat LogicalRDD (foreachBatch kept one (min id, last event) entry per live band signature, vectorized keyed min-merge + horizon eviction; pairs emitted per trigger, final groupBy(id) min over pairs only)",
+    "q2_min_cost_supplier_skew": "skew variant: generator relation plants a hot suppkey; both argmax aggregations key on ps_partkey (uniform); every suppkey join broadcast — no SortMergeJoin anywhere (plan-pinned)",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

@@ -182,8 +182,10 @@ QUERIES = [
     "docs_exactsubstr_spans",
     "docs_exactsubstr_dup_rate",
     "stream_minhash_neardup",
-    # round-11 addition: bounded-state near-dup (watermark eviction)
+    # round-11 additions: bounded-state near-dup (watermark eviction),
+    # Q2 argmax under manufactured ties + hot supplier
     "stream_minhash_neardup_bounded",
+    "q2_min_cost_supplier_skew",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -386,6 +388,12 @@ NOTES = {
         "staging + 4 micro-batch drains dominate at this size; state "
         "fold is n_bands rows/doc appended per batch, decision pass is "
         "one (band,bkey) aggregation + same-keyed join"
+    ),
+    "q2_min_cost_supplier_skew": (
+        "derived-relation generator over the part scan; grouped min + "
+        "tie-break min share the ps_partkey key; the hot suppkey "
+        "(supplier 7, 25% of rows) only ever meets BROADCAST joins, so "
+        "the skew never keys an exchange"
     ),
     "stream_minhash_neardup_bounded": (
         "per-trigger signatures for arriving docs only + keyed "

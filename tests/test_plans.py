@@ -984,3 +984,20 @@ def test_q20_single_fact_shuffle(spark, sf_dir):
     assert has_broadcast_join(df)
     assert "windowspecdefinition" not in plan
     assert count_exchanges(df) <= 4, plan
+
+
+def test_q2_skew_hot_key_never_shuffled(spark, sf_dir):
+    """Q2 skew variant: the relation plants a hot ps_suppkey (supplier
+    7 on 25% of rows), so the plan must keep every suppkey-keyed join
+    BROADCAST — a shuffled join there would hotspot one partition.
+    The only data-sized exchanges key on ps_partkey (grouped min +
+    tie-break min), which the skew variant leaves uniform."""
+    from ffiec_pq_spark.plans.audit import has_broadcast_join, physical_plan
+
+    df = queries()["q2_min_cost_supplier_skew"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # no shuffled (SortMergeJoin) join anywhere: the only SMJ candidate
+    # keys would be ps_suppkey (hot) — broadcast keeps it map-side
+    assert "SortMergeJoin" not in plan, plan

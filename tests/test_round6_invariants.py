@@ -225,13 +225,17 @@ def test_connected_components_releases_round_storage(spark):
 
 
 def test_derived_partsupp_invariants(spark, sf_dir, duck):
-    """The round-10 derived partsupp: exactly 4 rows per part, the 4
-    suppkeys DISTINCT within a part (17 is coprime to the 100-supplier
-    domain), every suppkey inside the supplier key range — and the
-    Spark relation row-for-row equals the oracle's CTE build (the
-    trio's certification rests on the two relations being identical
-    by construction, so pin it directly, not just through Q2/Q11/Q20)."""
+    """The derived partsupp (round-11 modulus = actual supplier
+    count): exactly 4 rows per part, the 4 suppkeys DISTINCT within a
+    part (17 stays coprime to the power-of-ten domains and the i*17
+    offsets are distinct for any modulus > 51), every suppkey inside
+    the REAL supplier key range so no partsupp row drops out of the
+    supplier join — and the Spark relation row-for-row equals the
+    oracle's CTE build (the trio's certification rests on the two
+    relations being identical by construction, so pin it directly,
+    not just through Q2/Q11/Q20)."""
     from ffiec_pq_spark.queries.tpch_fill import _PS_SQL, _partsupp
+    from ffiec_pq_spark.session import load_table
     from tests.oracle_compare import compare
 
     ps = _partsupp(spark, sf_dir)
@@ -245,10 +249,52 @@ def test_derived_partsupp_invariants(spark, sf_dir, duck):
         (F.col("n") != 4) | (F.col("nd") != 4)
     ).count()
     assert bad == 0
+    n_supp = load_table(spark, sf_dir, "supplier").count()
     rng = ps.agg(
         F.min("ps_suppkey").alias("lo"), F.max("ps_suppkey").alias("hi")
     ).first()
-    assert rng["lo"] >= 0 and rng["hi"] <= 99
+    assert rng["lo"] >= 0 and rng["hi"] <= n_supp - 1
+    # full-domain coverage (the round-10 fixed %100 left 90% of the
+    # sf0.1 suppliers with zero partsupp rows)
+    n_parts = ps.select("ps_partkey").distinct().count()
+    if n_parts * 4 >= n_supp * 8:  # enough rows to expect coverage
+        used = ps.select("ps_suppkey").distinct().count()
+        assert used == n_supp, (used, n_supp)
 
     rel = duck.sql(f"WITH {_PS_SQL} SELECT * FROM partsupp")
     assert not compare(ps, rel)
+
+
+def test_skewed_partsupp_manufactures_ties_and_heat(spark, sf_dir):
+    """The skew variant is only a meaningful Q2 test if its relation
+    actually manufactures what the uniform one lacks: (a) parts whose
+    minimum supply cost is SHARED by several suppliers (the argmax tie
+    path), (b) one supplier holding ~25% of all rows (the hot join
+    key), and (c) one deterministic winner row per qualifying part."""
+    from ffiec_pq_spark.queries.round11 import (
+        _partsupp_skew,
+        q2_min_cost_supplier_skew,
+    )
+
+    ps = _partsupp_skew(spark, sf_dir)
+    mc = ps.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("mc"))
+    tied = (
+        ps.join(mc.withColumnRenamed("ps_partkey", "_pk"),
+                (F.col("ps_partkey") == F.col("_pk"))
+                & (F.col("ps_supplycost") == F.col("mc")))
+        .groupBy("ps_partkey")
+        .agg(F.countDistinct("ps_suppkey").alias("n_min"))
+        .filter(F.col("n_min") >= 2)
+        .count()
+    )
+    assert tied > 0, "no part has a tied minimum — the tie path is dead"
+
+    total = ps.count()
+    hot = ps.filter(F.col("ps_suppkey") == 7).count()
+    assert abs(hot / total - 0.25) < 0.05, (hot, total)
+
+    out = q2_min_cost_supplier_skew(spark, sf_dir)
+    dup_winners = (
+        out.groupBy("p_partkey").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_winners == 0
