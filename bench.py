@@ -150,17 +150,28 @@ def main() -> None:
         out["duckdb_total"] = round(sum(duck.values()), 3)
         if out["duckdb_total"] > 0:
             out["vs_duckdb"] = round(total / out["duckdb_total"], 2)
-    delta = delta_vs_prev(timings, total)
+    delta = delta_vs_prev(timings, total, sf=out["sf"] and str(out["sf"]))
     if delta:
         out["delta_vs_prev"] = delta
     print(json.dumps(out))
     spark.stop()
 
 
-def delta_vs_prev(timings: dict[str, float], total: float) -> dict:
-    """Per-query fractional drift vs the most recent BENCH_r*.json, so a
-    +23%-style regression is flagged in-round instead of by the next
-    judge pass.  Positive = slower than last round."""
+def delta_vs_prev(
+    timings: dict[str, float], total: float, sf: str = ""
+) -> dict:
+    """Per-query drift vs the most recent committed BENCH_r*.json
+    DRIVER artifact (the number of record — never a builder-side run),
+    so a +23%-style regression is flagged in-round instead of by the
+    next judge pass.
+
+    UNITS: every value is a FRACTION of the previous round's seconds
+    (0.23 = 23% slower, -0.5 = twice as fast), declared in ``_unit`` —
+    round 10's +1.02 on a query that went 5.32s -> 10.76s was read as
+    "+1.02 seconds" by a human; fractions are now labelled.  Each
+    delta reproduces as ``this_round[q] / prev_round[q] - 1`` from the
+    two committed files.  Skipped entirely when the previous artifact
+    ran at a different scale factor (cross-SF drift is meaningless)."""
     import glob
     import re
 
@@ -179,6 +190,8 @@ def delta_vs_prev(timings: dict[str, float], total: float) -> dict:
     # the driver wraps our JSON line under "parsed"
     if "queries" not in prev and isinstance(prev.get("parsed"), dict):
         prev = prev["parsed"]
+    if sf and str(prev.get("sf")) != str(sf):
+        return {}
     prev_q = prev.get("queries", {})
     delta = {
         name: round(sec / prev_q[name] - 1.0, 3)
@@ -188,6 +201,7 @@ def delta_vs_prev(timings: dict[str, float], total: float) -> dict:
     if prev.get("value"):
         delta["_total"] = round(total / prev["value"] - 1.0, 3)
     delta["_prev"] = os.path.basename(benches[-1])
+    delta["_unit"] = "fraction_of_prev (sec_this/sec_prev - 1)"
     return delta
 
 
