@@ -33,8 +33,11 @@ def combine_parts(
 ) -> DataFrame:
     """Fold ``parts`` with FULL OUTER join on ``keys`` + coalesce-merge.
 
-    Column order of the result: keys, then non-key columns in first-seen
-    order across parts (matching the reference's left-to-right fold).
+    Column order of the result: FIRST-SEEN order across parts — each
+    merge keeps the left frame's columns at their positions (keys where
+    they sat, overlap columns coalesced IN PLACE) and appends the right
+    frame's new columns, exactly the reference's dplyr full_join +
+    in-place coalesce (R/ffiec_process.R:14-33).
     """
     if not parts:
         raise ValueError("combine_parts: need at least one part")
@@ -43,20 +46,26 @@ def combine_parts(
         parts = [p.repartition(pre_partition, *keys) for p in parts]
 
     def merge(left: DataFrame, right: DataFrame) -> DataFrame:
-        overlap = [
-            c for c in left.columns if c in set(right.columns) and c not in keys
+        key_set = set(keys)
+        overlap = {
+            c for c in left.columns if c in set(right.columns) and c not in key_set
+        }
+        right_only = [
+            c for c in right.columns if c not in key_set and c not in overlap
         ]
-        left_only = [c for c in left.columns if c not in keys and c not in overlap]
-        right_only = [c for c in right.columns if c not in keys and c not in overlap]
         l, r = left.alias("l"), right.alias("r")
         joined = l.join(r, on=keys, how="full")
         # `on=keys` already coalesces the key columns in Spark's USING-join.
-        cols = (
-            [F.col(k) for k in keys]
-            + [F.col(f"l.{c}") for c in left_only]
-            + [F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c) for c in overlap]
-            + [F.col(f"r.{c}") for c in right_only]
-        )
+        cols = [
+            F.col(c)
+            if c in key_set
+            else (
+                F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c)
+                if c in overlap
+                else F.col(f"l.{c}")
+            )
+            for c in left.columns
+        ] + [F.col(f"r.{c}") for c in right_only]
         return joined.select(*cols)
 
     return reduce(merge, parts)

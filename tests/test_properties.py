@@ -72,6 +72,10 @@ def test_combine_parts_reconstructs(spark, rows, split):
     left = wide.select("id", *cols[: split + 1])       # overlap col included
     right = wide.select("id", *cols[split:])
     combined = combine_parts([left, right], keys=["id"])
+    # reference column-order contract (dplyr full_join + in-place
+    # coalesce): left's columns at their positions, right-only appended
+    want_cols = ["id"] + cols[: split + 1] + cols[split + 1:]
+    assert combined.columns == want_cols, combined.columns
     got = {r["id"]: tuple(r[c] for c in cols) for r in combined.collect()}
     want = {i: t for i, t in enumerate(rows)}
     assert got == want
@@ -738,3 +742,18 @@ def test_np_round9_matches_spark_round_property(spark, vals):
     ]
     got = list(_np_round9([float(v) for v in vals]))
     assert got == expected, list(zip(vals, got, expected))
+
+
+def test_combine_parts_interleaves_first_seen_order(spark):
+    """The reference keeps the LEFT frame's column positions (keys and
+    coalesced overlap columns stay where they sat) and appends only the
+    right's new columns — a three-part fold with the key mid-frame and
+    interleaved overlaps pins the exact order."""
+    a = spark.createDataFrame([(1.0, 1, None)], "x double, id int, y double")
+    b = spark.createDataFrame([(1, 2.0, 3.0)], "id int, y double, z double")
+    c = spark.createDataFrame([(9.0, 1, 4.0)], "x double, id int, w double")
+    out = combine_parts([a, b, c], keys=["id"])
+    assert out.columns == ["x", "id", "y", "z", "w"], out.columns
+    row = out.collect()[0]
+    # left wins on overlap (x from part a; y coalesces a's NULL to b's)
+    assert (row["x"], row["y"], row["z"], row["w"]) == (1.0, 2.0, 3.0, 4.0)
