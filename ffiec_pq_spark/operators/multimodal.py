@@ -80,27 +80,46 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(meta, schema=META_SCHEMA)
 
 
-def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def stub_decoder(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """The environment's default decoder: a deterministic hash-derived
+    vector in [-1, 1) (no media libs here — a real deployment injects
+    PIL/torchaudio/ffmpeg + an encoder via ``extract_features``'s
+    ``decoder=``)."""
+    digest = hashlib.md5(payload).digest()
+    return [
+        (int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 32768.0) - 1.0
+        for i in range(dim)
+    ]
+
+
+def extract_features(
+    df: DataFrame, dim: int = FEATURE_DIM, decoder=None
+) -> DataFrame:
     """(id, payload) -> (id, feature array<double>).
 
-    STUB: a real implementation decodes pixels/samples (PIL, torchaudio,
-    ffmpeg) and runs an encoder.  Here the feature is a deterministic
-    hash-derived vector so the distributed plumbing (Arrow batching,
-    schema, downstream ANN compatibility) is exercised end-to-end."""
+    ``decoder`` is the pluggable implementation point: any callable
+    ``bytes -> list[float] (length dim)`` — a real deployment passes a
+    decode+encode closure (PIL/torchaudio/ffmpeg + model); it is
+    closure-captured into the ``mapInPandas`` stage, so PySpark ships
+    it (and anything it pickles in) to executors like any other UDF
+    body.  Default: :func:`stub_decoder` (deterministic hash vector —
+    no media libs in this environment), so the distributed plumbing
+    (Arrow batching, schema, downstream ANN compatibility) is
+    exercised end-to-end either way; injection is parity-tested in
+    tests/test_multimodal.py."""
+    if decoder is None:
+        decode = lambda p: stub_decoder(p, dim)  # noqa: E731
+    else:
+        decode = decoder
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                digest = hashlib.md5(bytes(p)).digest()
-                # deterministic fake embedding in [-1, 1)
-                out.append(
-                    [
-                        (int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 32768.0)
-                        - 1.0
-                        for i in range(dim)
-                    ]
-                )
+            out = [list(map(float, decode(bytes(p)))) for p in pdf["payload"]]
+            for v in out:
+                if len(v) != dim:
+                    raise ValueError(
+                        f"decoder returned {len(v)} dims, expected {dim}"
+                    )
             yield pd.DataFrame({"id": pdf["id"], "feature": out})
 
     return df.mapInPandas(feats, schema=FEATURE_SCHEMA)

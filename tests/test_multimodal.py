@@ -78,3 +78,39 @@ def test_frame_sampling(spark, sf_dir):
     for r in per_doc:
         expected = (lens[r["id"]] + 63) // 64
         assert r["n"] == expected
+
+
+def test_decoder_injection_parity(spark, sf_dir):
+    """The decode step is PLUGGABLE: a callable decoder injected into
+    extract_features must flow through the same mapInPandas stage —
+    (a) a fake 'real' decoder's values come back exactly (computed
+    driver-side for comparison), (b) default == stub_decoder, (c) a
+    wrong-dim decoder fails fast inside the stage."""
+    import pytest
+
+    from ffiec_pq_spark.operators.multimodal import stub_decoder
+
+    pay = _payloads(spark, sf_dir)
+    raw = {r["id"]: bytes(r["payload"]) for r in pay.collect()}
+
+    def fake_decoder(b: bytes) -> list[float]:
+        # stands in for decode+encode: depends on every byte, not on md5
+        s = sum(b) or 1
+        return [((x % 251) / 251.0) * (s % 7 + 1) for x in b[:FEATURE_DIM]] + [
+            0.0
+        ] * max(0, FEATURE_DIM - len(b))
+
+    got = {
+        r["id"]: r["feature"]
+        for r in extract_features(pay, decoder=fake_decoder).collect()
+    }
+    assert got == {i: fake_decoder(b) for i, b in raw.items()}
+
+    default = {
+        r["id"]: r["feature"] for r in extract_features(pay).collect()
+    }
+    assert default == {i: stub_decoder(b) for i, b in raw.items()}
+
+    bad = extract_features(pay, decoder=lambda b: [0.0])  # wrong dim
+    with pytest.raises(Exception, match="dims"):
+        bad.collect()
