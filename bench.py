@@ -65,6 +65,14 @@ HEAVY = [
     "embedding_pca_scores",
 ]
 
+# NOT in the headline set by design: ffiec_etl_end_to_end / the bulk
+# ETL ingest.  Every BENCH headline reads the same $SPARK_GRAFT_SF_DIR
+# parquet tables and replays its oracle SQL on them, so Spark and
+# DuckDB race on identical input; the ETL path's input is a GENERATED
+# bulk zip (scripts/etl_bench.py), so its trend line lives in
+# SCALECHECK.json ("etl_ingest_bulk_zip": 10k-bank zip vs 8x) where the
+# input is parameterized, not in this file's per-round comparison.
+
 # Queries whose BUILDER executes the work (streaming drains: the
 # foreachBatch fold runs during construction and the returned frame is
 # already materialized; iterative trainers: the Lloyd driver loop runs
