@@ -76,6 +76,8 @@ _NEVER_SAMPLED_FIRST = [
     # --- round-11 wave (queries/round11.py, never sampled) ---
     "stream_minhash_neardup_bounded",
     "q2_min_cost_supplier_skew",
+    "ann_ivf_topk_deletes",
+    "docs_leakage_safe_split",
     # --- round-10 wave (queries/round10.py, never sampled) ---
     "embedding_pq_codebook_k64",
     "embedding_pq_codebook_k256",

@@ -340,6 +340,7 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned top-k: assign every vector to its nearest coarse
     centroid, scan only the ``nprobe`` cells nearest the probe, exact
@@ -350,14 +351,24 @@ def ann_topk_ivf(
     of the data; here the assignment is computed on the fly (one
     narrow projection, no shuffle — top-k is TakeOrderedAndProject).
     Pass ``centroids=kmeans_fit(df, ...)`` for the trained quantizer
-    (recall bound pinned in tests/test_ann_recall.py)."""
+    (recall bound pinned in tests/test_ann_recall.py).
+
+    ``exclude_ids``: a DataFrame of tombstoned ids (column ``id_col``)
+    removed from the shortlist with a BROADCAST ANTI-JOIN before the
+    re-rank — index maintenance without a rebuild: at 100 TB the cell
+    layout stays put, deletes accumulate in a small tombstone table,
+    and every search anti-joins it (compaction rewrites the cells on
+    its own schedule)."""
     cells = probe_cells(probe, dim, n_cells, nprobe, centroids)
     assigned = df.withColumn(
         "cell", ivf_cell(F.col(vec_col), dim, n_cells, centroids)
     )
-    return ann_topk_bruteforce(
-        assigned.filter(F.col("cell").isin(cells)), probe, k, vec_col, id_col
-    )
+    shortlist = assigned.filter(F.col("cell").isin(cells))
+    if exclude_ids is not None:
+        shortlist = shortlist.join(
+            F.broadcast(exclude_ids.select(id_col)), id_col, "left_anti"
+        )
+    return ann_topk_bruteforce(shortlist, probe, k, vec_col, id_col)
 
 
 def knn_exact_topk(

@@ -209,12 +209,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _clusters_oracle() -> str:
-    """Recursive-CTE connected components over the SAME minhash pair
-    pipeline: cluster = min reachable id, summarized per cluster."""
+def _reach_ctes() -> str:
+    """The recursive-CTE connected-components chain over the minhash
+    pair pipeline (final CTE ``reach``: id -> cluster = min reachable
+    id) — shared by the cluster summary and the leakage-safe split
+    oracles."""
     pair_sql = _minhash_oracle().strip()
-    return f"""
-    WITH pairs AS (
+    return f"""pairs AS (
       {pair_sql}
     ),
     edges AS (
@@ -230,7 +231,14 @@ def _clusters_oracle() -> str:
         SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id
       )
       SELECT id, min(root) AS cluster FROM r GROUP BY id
-    )
+    )"""
+
+
+def _clusters_oracle() -> str:
+    """Recursive-CTE connected components over the SAME minhash pair
+    pipeline: cluster = min reachable id, summarized per cluster."""
+    return f"""
+    WITH {_reach_ctes()}
     SELECT cluster AS cluster_rep,
            count(*) AS n_members,
            array_to_string(list_sort(list(id)), ',') AS member_ids

@@ -189,3 +189,147 @@ def q2_min_cost_supplier_skew(spark, sf_dir):
             F.col("mc").alias("ps_supplycost"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_topk_deletes — index maintenance without a rebuild.  At
+# 100 TB an IVF layout is a partitioned table you do NOT rewrite per
+# delete: removals accumulate in a small tombstone table and every
+# search ANTI-JOINS it after the cell-pruned shortlist, before the
+# exact re-rank; compaction folds tombstones into the cells on its own
+# schedule.  The tombstone set here is deterministic (vec_id % 7 == 3,
+# ~14% of vectors) so the oracle replays it as a predicate; in
+# production it is a keyed delta table and the broadcast anti-join is
+# the identical plan.
+
+_TOMB_PRED = " AND vec_id % 7 <> 3"
+
+
+from ffiec_pq_spark.queries.similarity import _ivf_sql as _ivf_sql_base
+
+
+@register(
+    "ann_ivf_topk_deletes",
+    _ivf_sql_base(_TOMB_PRED),
+    tags=["similarity", "approx", "maintenance"],
+)
+def ann_ivf_topk_deletes(spark, sf_dir):
+    """IVF-pruned ANN over an index with TOMBSTONED deletes: cell
+    assignment and probe shortlist untouched (the index is not
+    rebuilt), deleted ids removed by a broadcast anti-join before the
+    exact cosine re-rank — a deleted vector can never surface, and the
+    top-k backfills from the surviving shortlist.
+
+    Scale shape: identical to ``ann_ivf_topk`` (cell filter =
+    partition pruning, top-k = TakeOrderedAndProject) plus ONE
+    broadcast anti-join against the manifest-sized tombstone
+    relation."""
+    from ffiec_pq_spark.operators.similarity import ann_topk_ivf
+    from ffiec_pq_spark.queries.similarity import (
+        _DIM,
+        _N_CELLS,
+        _NPROBE,
+        _PROBE,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tombstones = emb.select("vec_id").filter(F.col("vec_id") % 7 == 3)
+    return ann_topk_ivf(
+        emb,
+        _PROBE,
+        dim=_DIM,
+        k=10,
+        n_cells=_N_CELLS,
+        nprobe=_NPROBE,
+        exclude_ids=tombstones,
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_leakage_safe_split — GROUP-AWARE train/heldout split.  Splitting
+# a corpus doc-by-doc leaks: a near-duplicate of a heldout document in
+# the training set is memorization dressed as generalization.  The
+# production rule is to split by DUPLICATE CLUSTER — every member of a
+# connected near-dup component lands on the same side — so the split
+# key is the cluster representative (min reachable id over the
+# MinHash-LSH pair graph, the certified ``dedup_clusters`` labeling),
+# hashed into 100 buckets (90 train / 10 heldout).  Singletons (unique
+# content) are their own cluster.
+
+_SPLIT_SEED = 11
+_TRAIN_BUCKETS = 90
+
+
+def _leakage_split_sql() -> str:
+    from ffiec_pq_spark.functions.hashing import hash60_sql
+    from ffiec_pq_spark.queries.dedup import _reach_ctes
+
+    h = hash60_sql("CAST(cluster_rep AS VARCHAR)", seed=_SPLIT_SEED)
+    return f"""
+    WITH {_reach_ctes()},
+    labels AS (
+      SELECT d.doc_id, coalesce(r.cluster, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN {h} % 100 < {_TRAIN_BUCKETS} THEN 'train'
+                ELSE 'heldout' END AS split
+    FROM labels
+    """
+
+
+@register(
+    "docs_leakage_safe_split",
+    _leakage_split_sql(),
+    tags=["dedup", "sampling", "graph"],
+)
+def docs_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe split: (doc_id, cluster_rep, split) where split is
+    a pure function of the near-dup CLUSTER representative — no near-dup
+    pair (and no exact copy) can ever straddle train/heldout, the
+    invariant eval-set contamination audits exist to catch after the
+    fact (``eval_exactsubstr_contamination``) and this split prevents
+    by construction.
+
+    Components run on the collapsed rep-level graph
+    (``dup_components_collapsed`` — duplication-invariant, the
+    certified dedup_clusters machinery); docs outside the component
+    relation (unique content) are their own cluster via a null-safe
+    coalesce.  The split hash is the portable ``hash60`` over the
+    representative id, so re-running on a grown corpus keeps every OLD
+    cluster's side stable — the property that lets a heldout set
+    survive corpus refreshes.
+
+    Scale shape: the expensive part IS dedup_clusters (O(log d)
+    pointer-jumping rounds); the split itself adds one LEFT broadcast-
+    or key-join of the manifest-sized component relation onto the doc
+    scan and a stateless hash projection."""
+    from ffiec_pq_spark.functions.hashing import hash60
+    from ffiec_pq_spark.operators.dedup import dup_components_collapsed
+    from ffiec_pq_spark.queries.dedup import (
+        _K,
+        _N_BANDS,
+        _N_PERM,
+        _THRESHOLD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dup_components_collapsed(
+        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
+    )
+    labels = docs.select("doc_id").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_rep"),
+    )
+    bucket = hash60(
+        F.col("cluster_rep").cast("string"), seed=_SPLIT_SEED
+    ) % 100
+    return labels.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(bucket < _TRAIN_BUCKETS, F.lit("train"))
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )

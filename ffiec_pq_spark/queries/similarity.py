@@ -95,7 +95,7 @@ def embedding_near_dup_pairs(spark, sf_dir):
 _N_CELLS, _NPROBE = 4, 2
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(extra_pred: str = "") -> str:
     from ffiec_pq_spark.operators.similarity import ivf_centroid, probe_cells
 
     cent_rows = ", ".join(
@@ -129,7 +129,7 @@ def _ivf_sql() -> str:
       SELECT vec_id,
              unnest(embedding)::DOUBLE AS x,
              unnest({_PROBE_SQL}) AS p
-      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM probed)
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM probed){extra_pred}
     ),
     scored AS (
       SELECT vec_id, sum(x * p) / (sqrt(sum(x * x)) * sqrt(sum(p * p))) AS raw

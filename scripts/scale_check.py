@@ -186,6 +186,8 @@ QUERIES = [
     # Q2 argmax under manufactured ties + hot supplier
     "stream_minhash_neardup_bounded",
     "q2_min_cost_supplier_skew",
+    "ann_ivf_topk_deletes",
+    "docs_leakage_safe_split",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -388,6 +390,17 @@ NOTES = {
         "staging + 4 micro-batch drains dominate at this size; state "
         "fold is n_bands rows/doc appended per batch, decision pass is "
         "one (band,bkey) aggregation + same-keyed join"
+    ),
+    "ann_ivf_topk_deletes": (
+        "identical to ann_ivf_topk (cell-pruned scan + TakeOrdered) "
+        "plus one broadcast anti-join against the tombstone relation — "
+        "delete volume never keys a shuffle"
+    ),
+    "docs_leakage_safe_split": (
+        "cost IS dedup_clusters (rep-level pointer-jumping CC, "
+        "duplication-invariant); the split adds one left join of the "
+        "component relation onto the doc scan + a stateless hash — 8x "
+        "replicas only grow the expand-back membership join"
     ),
     "q2_min_cost_supplier_skew": (
         "derived-relation generator over the part scan; grouped min + "

@@ -166,3 +166,24 @@ def test_knn_spill_tempdir_registered_for_cleanup(
     similarity.knn_discard_spill(spill_dir)
     assert spill_dir not in similarity._PENDING_SPILL_DIRS
     assert not os.path.isdir(spill_dir)
+
+
+def test_ivf_deletes_exclude_and_backfill(spark, sf_dir):
+    """Tombstoned ids must never surface, the top-k must backfill from
+    the surviving shortlist (still k rows), and the anti-join must be
+    broadcast (the plan the tombstone pattern is FOR)."""
+    from ffiec_pq_spark.catalog import queries
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["ann_ivf_topk_deletes"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] % 7 != 3 for r in rows)
+    base = {r["vec_id"] for r in queries()["ann_ivf_topk"](spark, sf_dir).collect()}
+    deleted_in_base = {v for v in base if v % 7 == 3}
+    got = {r["vec_id"] for r in rows}
+    # every surviving base hit is still there; deleted ones are gone
+    assert (base - deleted_in_base) <= got
+    assert got.isdisjoint(deleted_in_base)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -298,3 +298,26 @@ def test_skewed_partsupp_manufactures_ties_and_heat(spark, sf_dir):
         out.groupBy("p_partkey").count().filter(F.col("count") > 1).count()
     )
     assert dup_winners == 0
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    """The split's whole point: no near-dup PAIR (and no exact copy)
+    may straddle train/heldout, every doc gets exactly one side, and
+    both sides are non-empty on the fixture corpus."""
+    from ffiec_pq_spark.operators.dedup import minhash_near_dups
+    from ffiec_pq_spark.queries.dedup import _K, _N_BANDS, _N_PERM, _THRESHOLD
+    from ffiec_pq_spark.session import load_table
+
+    out = queries()["docs_leakage_safe_split"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert out.count() == docs.count()
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "heldout"}
+
+    side = {r["doc_id"]: r["split"] for r in out.collect()}
+    pairs = minhash_near_dups(
+        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
+    ).collect()
+    assert pairs, "fixture corpus has near-dup pairs by design"
+    for r in pairs:
+        assert side[r["id_a"]] == side[r["id_b"]], (r["id_a"], r["id_b"])
