@@ -78,6 +78,7 @@ _NEVER_SAMPLED_FIRST = [
     "q2_min_cost_supplier_skew",
     "ann_ivf_topk_deletes",
     "docs_leakage_safe_split",
+    "users_scd2_history",
     # --- round-10 wave (queries/round10.py, never sampled) ---
     "embedding_pq_codebook_k64",
     "embedding_pq_codebook_k256",

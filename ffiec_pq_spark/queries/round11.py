@@ -333,3 +333,76 @@ def docs_leakage_safe_split(spark, sf_dir):
         .otherwise(F.lit("heldout"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# users_scd2_history — slowly-changing-dimension (type 2) history
+# build: collapse each user's event stream into validity INTERVALS of
+# their event_type (a new interval opens only when the type CHANGES),
+# the standard way a warehouse materializes "what was attribute X at
+# time T" so as-of joins become range lookups.  The reference's domain
+# has exactly this shape (a bank's attributes restated across filing
+# quarters); the events table is the driver-provided stand-in.
+
+
+def _scd2_sql() -> str:
+    return """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    """
+
+
+@register("users_scd2_history", _scd2_sql(), tags=["relational", "temporal"])
+def users_scd2_history(spark, sf_dir):
+    """SCD type-2 history: one validity interval per RUN of equal
+    event_type values in each user's timeline — (user_id, event_type,
+    valid_from, valid_to, is_current), half-open intervals chained by
+    lead(), the open tail marked current.  Change detection is lag()
+    over the same key window; ties on ts break by event_id so both
+    engines order identically.
+
+    Scale shape: both windows partition on user_id (keyed, millions of
+    independent partitions — never a single global window), and AQE
+    reuses one exchange for the pair; an as-of enrich against this
+    table is then a range join instead of a per-event window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("is_current"),
+    )

@@ -188,6 +188,7 @@ QUERIES = [
     "q2_min_cost_supplier_skew",
     "ann_ivf_topk_deletes",
     "docs_leakage_safe_split",
+    "users_scd2_history",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -390,6 +391,11 @@ NOTES = {
         "staging + 4 micro-batch drains dominate at this size; state "
         "fold is n_bands rows/doc appended per batch, decision pass is "
         "one (band,bkey) aggregation + same-keyed join"
+    ),
+    "users_scd2_history": (
+        "two lag/lead windows sharing the user_id key partitioning "
+        "(one exchange under AQE reuse); output rows = number of "
+        "type-change runs, which grows with the fact table"
     ),
     "ann_ivf_topk_deletes": (
         "identical to ann_ivf_topk (cell-pruned scan + TakeOrdered) "

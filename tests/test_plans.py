@@ -1001,3 +1001,16 @@ def test_q2_skew_hot_key_never_shuffled(spark, sf_dir):
     # no shuffled (SortMergeJoin) join anywhere: the only SMJ candidate
     # keys would be ps_suppkey (hot) — broadcast keeps it map-side
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_scd2_windows_share_key_exchange(spark, sf_dir):
+    """SCD2 history: both windows partition on user_id, so the plan
+    needs at most 2 exchanges (key shuffle + AQE artifacts) and never
+    a global (empty-partition-spec) window."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["users_scd2_history"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 2
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, plan
