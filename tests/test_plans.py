@@ -903,13 +903,25 @@ def test_nprobe_curve_single_pass_sweep(spark, sf_dir):
     partial/final; the round-10 per-point shape scaled linearly), and
     no cartesian appears (the 1-row combines are broadcast
     nested-loop)."""
+    import re
+
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["ann_ivfpq_nprobe_recall_curve"](spark, sf_dir)
     plan = physical_plan(df)
     assert "InMemoryTableScan" in plan, plan
     assert plan.count("TakeOrderedAndProject") == 1, plan
-    assert plan.count("HashAggregate") <= 12, plan
+    # ONE ladder aggregate (partial+final) carries every gate's
+    # strictly-smaller count — a per-sweep-point implementation would
+    # plan one keyed aggregate per nprobe.  (Total HashAggregate count
+    # is NOT pinned: cached-relation lineage blocks repeat a variable
+    # number of times depending on session cache state.)
+    assert plan.count("HashAggregate(keys=[e_id") == 2, plan
+    # the only other gate-conditional aggregates are the two global
+    # rollups (scan counts; recall hits), partial+final each
+    glob_aggs = re.findall(r"HashAggregate\(keys=\[\], functions=\[[^\n]*", plan)
+    gate_aggs = [g for g in glob_aggs if "rk#" in g]
+    assert len(gate_aggs) == 4, plan
     assert "CartesianProduct" not in plan
 
 
