@@ -79,6 +79,7 @@ _NEVER_SAMPLED_FIRST = [
     "ann_ivf_topk_deletes",
     "docs_leakage_safe_split",
     "users_scd2_history",
+    "docs_ccnet_lm_partition",
     # --- round-10 wave (queries/round10.py, never sampled) ---
     "embedding_pq_codebook_k64",
     "embedding_pq_codebook_k256",

@@ -12,9 +12,9 @@ from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.session import load_table
 
 
-@register(
-    "doc_bigram_logprob",
-    r"""
+# Shared with docs_ccnet_lm_partition (queries/round11.py), which
+# buckets the corpus by exactly these scores.
+_BIGRAM_LOGPROB_SQL = r"""
     WITH tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       FROM documents
@@ -30,7 +30,12 @@ from ffiec_pq_spark.session import load_table
            round(avg(ln(n2 / n1)), 6) AS avg_logprob
     FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
     GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "doc_bigram_logprob",
+    _BIGRAM_LOGPROB_SQL,
     tags=["lm", "quality", "text"],
 )
 def doc_bigram_logprob(spark, sf_dir):

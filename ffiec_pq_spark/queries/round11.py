@@ -406,3 +406,112 @@ def users_scd2_history(spark, sf_dir):
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long")
         .alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_ccnet_lm_partition — the CCNet head/middle/tail partition: score
+# every document under the corpus's own LM (the certified
+# doc_bigram_logprob signal), then split EACH SOURCE into equal-count
+# terciles by score.  Per-source quantiles — not one global threshold —
+# are the published CCNet design: a quality bar that one source's
+# distribution cannot set for another, and the knob mixture tuning
+# turns ("train on head+middle of web, all of books").
+
+
+def _ccnet_partition_sql() -> str:
+    from ffiec_pq_spark.queries.lm import _BIGRAM_LOGPROB_SQL
+
+    scores = _BIGRAM_LOGPROB_SQL.strip()
+    return rf"""
+    WITH scores AS (
+      {scores}
+    ),
+    src AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    j AS (
+      SELECT s.doc_id, d.source, d.n_tok, s.avg_logprob
+      FROM scores s JOIN src d USING (doc_id)
+    ),
+    b AS (
+      SELECT *,
+             ntile(3) OVER (
+               PARTITION BY source ORDER BY avg_logprob DESC, doc_id
+             ) AS bkt
+      FROM j
+    )
+    SELECT source,
+           CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(avg(avg_logprob), 6) AS avg_doc_logprob
+    FROM b GROUP BY 1, 2
+    """
+
+
+@register(
+    "docs_ccnet_lm_partition",
+    _ccnet_partition_sql(),
+    tags=["lm", "quality", "curation"],
+)
+def docs_ccnet_lm_partition(spark, sf_dir):
+    """Per-source head/middle/tail LM-quality partition (CCNet):
+    (source, bucket, n_docs, n_tokens, avg_doc_logprob) where bucket =
+    per-source tercile by mean bigram log-probability (best scores =
+    head; ties broken by doc_id so both engines cut identically).
+    Documents too short to score (< 2 tokens) carry no LM evidence and
+    stay out on both engines (the scores join is inner).
+
+    Scale shape: the scoring pass is the duplicate-collapsed
+    ``doc_bigram_logprob`` plan; the tercile comes from
+    ``distributed_rank`` + ``ntile_from_rank`` (range-partitioned
+    parallel sort — a per-source ntile window would total-sort each
+    source on ONE reducer, the exact skew a 3-source 100 TB corpus
+    maximizes), then one (source, bucket) rollup."""
+    from ffiec_pq_spark.operators.text import tokens
+    from ffiec_pq_spark.operators.windows import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+    from ffiec_pq_spark.queries.lm import doc_bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = doc_bigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    src = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+    )
+    j = scores.join(src, "doc_id")
+    ranked = distributed_rank(
+        j,
+        order_cols=[F.col("avg_logprob").desc(), F.col("doc_id")],
+        part_cols=["source"],
+    )
+    counts = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("nt"))
+    bkt = ntile_from_rank(F.col("r"), F.col("nt"), 3).cast("int")
+    return (
+        ranked.join(F.broadcast(counts), "source")
+        .select(
+            "source", "n_tok", "avg_logprob", bkt.alias("bkt")
+        )
+        .groupBy("source", "bkt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.avg("avg_logprob"), 6).alias("avg_doc_logprob"),
+        )
+        .select(
+            "source",
+            F.when(F.col("bkt") == 1, F.lit("head"))
+            .when(F.col("bkt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "avg_doc_logprob",
+        )
+    )

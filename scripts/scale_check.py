@@ -189,6 +189,7 @@ QUERIES = [
     "ann_ivf_topk_deletes",
     "docs_leakage_safe_split",
     "users_scd2_history",
+    "docs_ccnet_lm_partition",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -391,6 +392,12 @@ NOTES = {
         "staging + 4 micro-batch drains dominate at this size; state "
         "fold is n_bands rows/doc appended per batch, decision pass is "
         "one (band,bkey) aggregation + same-keyed join"
+    ),
+    "docs_ccnet_lm_partition": (
+        "scoring = duplicate-collapsed bigram LM (rep-level, weighted "
+        "counts); tercile via distributed_rank (range-partitioned "
+        "parallel sort, never a one-reducer per-source window); output "
+        "is |sources| x 3 rows regardless of corpus size"
     ),
     "users_scd2_history": (
         "two lag/lead windows sharing the user_id key partitioning "
