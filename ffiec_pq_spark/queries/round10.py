@@ -877,7 +877,15 @@ def ann_ivfpq_nprobe_recall_curve(spark, sf_dir):
     ``ann_ivfpq_residual_topk`` — one deployment, one index, every
     evaluation runs against it.  Same integer nano distance discipline
     as the whole PQ family; persists stay pinned until session GC
-    (``spark.catalog.clearCache()`` between pipelines)."""
+    (``spark.catalog.clearCache()`` between pipelines).
+
+    Ledger-seconds caveat: the certification time for this entry is
+    ORACLE-dominated — DuckDB's replay of the two unrolled Lloyd
+    chains costs 13.6-25 s alone at sf0.01 (measured round 11), while
+    the Spark side is 12.2 s cold (shared index training, paid once
+    per session) and 3.4 s warm.  The round-10 per-point shape was
+    22.8 s of which the sweep itself multiplied full probe/agg
+    lineages; that multiplication is what this rewrite removed."""
     from ffiec_pq_spark.operators.pq import (
         ivfpq_adc_nano_expr,
         ivfpq_cell_ranks,
