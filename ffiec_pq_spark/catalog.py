@@ -80,6 +80,7 @@ _NEVER_SAMPLED_FIRST = [
     "docs_leakage_safe_split",
     "users_scd2_history",
     "docs_ccnet_lm_partition",
+    "stream_ivf_delete_log",
     # --- round-10 wave (queries/round10.py, never sampled) ---
     "embedding_pq_codebook_k64",
     "embedding_pq_codebook_k256",

@@ -515,3 +515,92 @@ def docs_ccnet_lm_partition(spark, sf_dir):
             "avg_doc_logprob",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_ivf_delete_log — the tombstone table of ann_ivf_topk_deletes
+# maintained OFF A STREAM: delete requests arrive in micro-batches
+# (CDC / GDPR erasure queue), each trigger folds the new ids into the
+# accumulating tombstone state (pure set union — the
+# stream_minhash_neardup fold contract), and the post-drain search
+# anti-joins the maintained state.  Certified against the SAME oracle
+# as the batch tombstone search: after the stream drains, the
+# maintained set equals the batch predicate, so the search must return
+# the identical top-k — streaming the delete log must not change what
+# a search can see (beyond timing).
+
+
+@register(
+    "stream_ivf_delete_log",
+    _ivf_sql_base(_TOMB_PRED),
+    tags=["streaming", "similarity", "maintenance"],
+)
+def stream_ivf_delete_log(spark, sf_dir):
+    """Streaming index-delete maintenance: stage the tombstone ids
+    (vec_id % 7 == 3) as four files, fold each micro-batch into the
+    parquet tombstone state via ``foreachBatch`` append (set union —
+    batch-order invariant), then run the delete-aware IVF search
+    against the drained state.  Output: the same (vec_id, score)
+    top-10 as ``ann_ivf_topk_deletes`` — a deleted vector is invisible
+    no matter whether its erasure arrived in batch 1 or batch 4.
+
+    At 100 TB the state is a keyed delta table and the fold is MERGE
+    INTO; the search-side plan is untouched (broadcast anti-join of a
+    manifest-sized relation)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.operators.similarity import ann_topk_ivf
+    from ffiec_pq_spark.queries.similarity import (
+        _DIM,
+        _N_CELLS,
+        _NPROBE,
+        _PROBE,
+    )
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    deletes = emb.select("vec_id").filter(F.col("vec_id") % 7 == 3)
+    workdir = tempfile.mkdtemp(prefix="stream_ivf_deletes_")
+    try:
+        src = os.path.join(workdir, "src")
+        (
+            deletes.repartition(4, F.col("vec_id") % 4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        state_dir = os.path.join(workdir, "tombstones")
+
+        def fold(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(state_dir)
+
+        q = (
+            spark.readStream.format("parquet")
+            .schema(deletes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        tombstones = (
+            spark.read.parquet(state_dir)
+            if os.path.isdir(state_dir)
+            else spark.createDataFrame([], "vec_id long")
+        )
+        out = ann_topk_ivf(
+            emb,
+            _PROBE,
+            dim=_DIM,
+            k=10,
+            n_cells=_N_CELLS,
+            nprobe=_NPROBE,
+            exclude_ids=tombstones,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -190,6 +190,7 @@ QUERIES = [
     "docs_leakage_safe_split",
     "users_scd2_history",
     "docs_ccnet_lm_partition",
+    "stream_ivf_delete_log",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -392,6 +393,12 @@ NOTES = {
         "staging + 4 micro-batch drains dominate at this size; state "
         "fold is n_bands rows/doc appended per batch, decision pass is "
         "one (band,bkey) aggregation + same-keyed join"
+    ),
+    "stream_ivf_delete_log": (
+        "4 trivial append triggers (delete ids only) + one delete-aware "
+        "IVF search; the fold is a set union so state scales with the "
+        "delete log, not the corpus; search plan identical to "
+        "ann_ivf_topk_deletes"
     ),
     "docs_ccnet_lm_partition": (
         "scoring = duplicate-collapsed bigram LM (rep-level, weighted "
