@@ -81,6 +81,7 @@ _NEVER_SAMPLED_FIRST = [
     "users_scd2_history",
     "docs_ccnet_lm_partition",
     "stream_ivf_delete_log",
+    "corpus_token_budget_greedy",
     # --- round-10 wave (queries/round10.py, never sampled) ---
     "embedding_pq_codebook_k64",
     "embedding_pq_codebook_k256",

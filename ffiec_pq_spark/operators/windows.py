@@ -229,3 +229,68 @@ def ntile_from_rank(rank: F.Column, n_rows: F.Column, n_tiles: int) -> F.Column:
     return F.when(
         rank <= thresh, ((rank - 1) / (base + 1)).cast("long") + 1
     ).otherwise(rem + ((rank - thresh - 1) / small).cast("long") + 1)
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence,
+    part_cols: Sequence[str] = (),
+    n_ranges: int = 32,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``value_col`` over
+    ``(part_cols..., order_cols...)`` WITHOUT a single-partition
+    window — the same offset construction as :func:`distributed_rank`
+    with per-range SUMS instead of counts: range-partition on the full
+    sort key, cumulative-sum locally per range in parallel, then add
+    the preceding ranges' totals (an at-most ``n_ranges x |groups|``
+    relation, provably tiny).
+
+    Bit-identical to ``sum(value).over(Window.partitionBy(part_cols)
+    .orderBy(order_cols).rowsBetween(unboundedPreceding, 0))`` for
+    unique composite sort keys (append a unique id as the last order
+    column) and EXACT for integer values; float values inherit the
+    usual association caveat (a running float sum is order-defined, so
+    prefer integer-scaled units — the repo-wide discipline).  This is
+    the primitive behind greedy budget cuts ("take documents in
+    quality order until N tokens"): the global sorted prefix decides
+    membership, and no reducer ever sees more than 1/n_ranges of the
+    data."""
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    by_range = df.repartitionByRange(
+        n_ranges, *[F.col(c) for c in part_cols], *order_exprs
+    ).withColumn("_pid", F.spark_partition_id())
+    wl = (
+        Window.partitionBy("_pid", *part_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = by_range.withColumn("_lcs", F.sum(value_col).over(wl))
+    sizes = local.groupBy("_pid", *part_cols).agg(
+        F.sum(value_col).alias("_sz")
+    )
+    wo = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        *part_cols,
+        F.coalesce(F.sum("_sz").over(wo), F.lit(0)).alias("_off"),
+    )
+    off = offsets
+    renames = {c: f"_o_{c}" for c in part_cols}
+    for c, rc in renames.items():
+        off = off.withColumnRenamed(c, rc)
+    cond = local["_pid"] == off["_pid"]
+    for c, rc in renames.items():
+        cond = cond & local[c].eqNullSafe(off[rc])
+    return (
+        local.join(F.broadcast(off), cond)
+        .drop(off["_pid"])
+        .drop(*renames.values())
+        .withColumn(out_col, F.col("_lcs") + F.col("_off"))
+        .drop("_pid", "_lcs", "_off")
+    )

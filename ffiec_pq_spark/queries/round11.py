@@ -604,3 +604,107 @@ def stream_ivf_delete_log(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_budget_greedy — the budget cut every training run makes:
+# "we can afford B tokens; take documents in quality order until the
+# budget is spent", reported per source.  The hard part at 100 TB is
+# the GLOBAL sorted prefix sum deciding membership — a naive
+# sum() OVER (ORDER BY quality) is one reducer sorting the corpus, so
+# the cut runs on ``distributed_prefix_sum`` (range-partitioned
+# parallel cumulative sums + a tiny preceding-range offset relation,
+# the distributed_rank construction applied to sums).  Token counts
+# are integers, so the running sum is order-exact cross-engine.
+
+_BUDGET_NUM, _BUDGET_DEN = 2, 5  # budget = 40% of corpus tokens
+
+
+def _budget_greedy_sql() -> str:
+    from ffiec_pq_spark.operators.text import quality_score_sql
+
+    return rf"""
+    WITH q AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             {quality_score_sql('text')} AS q
+      FROM documents
+    ),
+    tot AS (
+      SELECT (sum(n_tok) * {_BUDGET_NUM}) // {_BUDGET_DEN} AS budget FROM q
+    ),
+    c AS (
+      SELECT *, sum(n_tok) OVER (ORDER BY q DESC, doc_id) AS cum FROM q
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(sum(CASE WHEN cum <= budget THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           round(sum(CASE WHEN cum <= budget THEN n_tok ELSE 0 END)
+                 / CAST(sum(n_tok) AS DOUBLE), 6) AS kept_token_share
+    FROM c CROSS JOIN tot
+    GROUP BY source
+    """
+
+
+@register(
+    "corpus_token_budget_greedy",
+    _budget_greedy_sql(),
+    tags=["curation", "sampling", "quality"],
+)
+def corpus_token_budget_greedy(spark, sf_dir):
+    """Greedy token-budget cut (budget = 40% of corpus tokens): rank
+    every document by the certified composite quality score (ties ->
+    doc_id), keep the maximal quality-ordered prefix whose token total
+    fits the budget, and report per source what survived — the
+    per-source composition of the affordable corpus, which is what the
+    budget debate is actually about.
+
+    Scale shape: ``distributed_prefix_sum`` supplies the exact global
+    running token total with range-partitioned parallel sorts (no
+    single-reducer window); the budget is one integer scalar
+    broadcast-crossed; one (source) rollup ends the plan.  The running
+    sum is over INTEGER token counts — order-exact on both engines —
+    and the quality ordering uses the oracle-mirrored score values
+    bit-for-bit."""
+    from ffiec_pq_spark.operators.text import quality_score, tokens
+    from ffiec_pq_spark.operators.windows import distributed_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        quality_score("text").alias("q"),
+    )
+    budget = q.agg(
+        F.expr(
+            f"CAST((sum(n_tok) * {_BUDGET_NUM}) DIV {_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget")
+    )
+    c = distributed_prefix_sum(
+        q,
+        "n_tok",
+        order_cols=[F.col("q").desc(), F.col("doc_id")],
+    )
+    kept = F.col("cum") <= F.col("budget")
+    return (
+        c.crossJoin(F.broadcast(budget))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(kept.cast("long")).cast("long").alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0)))
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("kept_token_share"),
+        )
+    )

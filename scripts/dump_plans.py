@@ -105,6 +105,7 @@ NOTES = {
     "dedup_drop_bias_by_source": "keeper min-agg and join share the content-hash key; one source rollup — three keyed exchanges max",
     "corpus_curation_funnel_by_source": "one scoring pass (token array projected once), hash-keyed dedup keeper join, three source rollups broadcast-joined on the tiny source dim",
     "ann_pq_compression_recall_curve": "per arm: keyed integer-sum ADC agg + TakeOrdered + k-row broadcast overlap vs ONE shared brute truth; k=64 arm is the single ArrowEvalPython stage",
+    "corpus_token_budget_greedy": "global quality-ordered running token sum via distributed_prefix_sum (range repartition + local window + tiny broadcast offset join); budget = 1-row broadcast cross; one (source) rollup",
     "stream_ivf_delete_log": "drain of the streamed tombstone fold: flat LogicalRDD (foreachBatch appended delete ids per trigger); search = cell-pruned scan + broadcast LeftAnti + TakeOrdered, identical to the batch tombstone query",
     "docs_ccnet_lm_partition": "duplicate-collapsed LM scoring feeds distributed_rank (range repartition + local row_number + tiny offset join) and an arithmetic ntile; one (source,bucket) rollup — no SinglePartition window",
     "users_scd2_history": "two keyed windows (lag change-detect, lead interval-chain) sharing the user_id exchange; never a SinglePartition window (plan-pinned)",

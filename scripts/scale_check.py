@@ -191,6 +191,7 @@ QUERIES = [
     "users_scd2_history",
     "docs_ccnet_lm_partition",
     "stream_ivf_delete_log",
+    "corpus_token_budget_greedy",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -393,6 +394,12 @@ NOTES = {
         "staging + 4 micro-batch drains dominate at this size; state "
         "fold is n_bands rows/doc appended per batch, decision pass is "
         "one (band,bkey) aggregation + same-keyed join"
+    ),
+    "corpus_token_budget_greedy": (
+        "one scoring projection + distributed_prefix_sum (range-"
+        "partitioned parallel cumulative sums, offset relation <= "
+        "n_ranges rows) + a 1-row budget broadcast + one source rollup "
+        "— no single-reducer sort at any size"
     ),
     "stream_ivf_delete_log": (
         "4 trivial append triggers (delete ids only) + one delete-aware "

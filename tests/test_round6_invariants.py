@@ -321,3 +321,67 @@ def test_leakage_safe_split_never_straddles(spark, sf_dir):
     assert pairs, "fixture corpus has near-dup pairs by design"
     for r in pairs:
         assert side[r["id_a"]] == side[r["id_b"]], (r["id_a"], r["id_b"])
+
+
+def test_distributed_prefix_sum_matches_window(spark):
+    """distributed_prefix_sum must be bit-identical to the
+    single-reducer running-sum window, including NULL partition groups
+    and values landing across range boundaries."""
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.windows import distributed_prefix_sum
+
+    df = spark.createDataFrame(
+        [(None, 3, 1, 10), (None, 1, 2, 5), ("a", 2, 3, 7),
+         ("a", 5, 4, 1), (None, 2, 5, 2), ("a", 2, 6, 4)],
+        "grp string, v int, id int, tok long",
+    )
+    got = {
+        (r["grp"], r["id"]): r["cum"]
+        for r in distributed_prefix_sum(
+            df, "tok", ["v", "id"], part_cols=["grp"], n_ranges=4
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["grp"], r["id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("tok").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_token_budget_greedy_is_a_maximal_prefix(spark, sf_dir):
+    """The kept set must be exactly the maximal quality-ordered prefix
+    fitting the budget: total kept tokens <= 40% of corpus tokens, and
+    adding the single next-best document would overshoot."""
+    from ffiec_pq_spark.operators.text import quality_score, tokens
+    from ffiec_pq_spark.operators.windows import distributed_prefix_sum
+    from ffiec_pq_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = queries()["corpus_token_budget_greedy"](spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in out)
+    kept = sum(r["tokens_kept"] for r in out)
+    budget = total * 2 // 5
+    assert kept <= budget
+    # maximality: the first not-kept doc in quality order overshoots
+    q = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        quality_score("text").alias("q"),
+    )
+    c = distributed_prefix_sum(
+        q, "n_tok", order_cols=[F.col("q").desc(), F.col("doc_id")]
+    )
+    first_out = (
+        c.filter(F.col("cum") > budget)
+        .orderBy("cum")
+        .limit(1)
+        .collect()
+    )
+    if first_out:
+        assert kept + first_out[0]["n_tok"] > budget
