@@ -400,7 +400,21 @@ def minhash_sig_expr(
     batches (30s vs 1.5s per 1250 docs, single scan split).  Hot batch
     paths — including ``foreachBatch`` bodies, which are batch plans —
     should use the grouped form; reach for this only where the plan
-    genuinely cannot contain an aggregation."""
+    genuinely cannot contain an aggregation.
+
+    Shingle-less docs return NULL — the grouped form DROPS such docs
+    (no rows to aggregate), and a non-null fallback here would be the
+    untouched init accumulator ``[P]*n_perm``, a sentinel signature
+    that would band-hash every such doc into the same LSH buckets and
+    emit spurious near-dup pairs.  With :func:`shingles`' whole-text
+    fallback the reachable case is NULL text (``aggregate`` over a
+    NULL array is NULL); the explicit n==0 guard in the finish lambda
+    additionally covers any EMPTY shingle array a future tokenizer
+    could produce.  The count rides in the fold accumulator (a
+    ``(n, sig)`` struct) so the shingle array is still evaluated
+    exactly once — a ``F.when(size(...) > 0, ...)`` guard would
+    duplicate the whole shingle subtree (HOF expressions get no
+    CSE)."""
     perms = perm_params(n_perm, seed)
     p = F.lit(MINHASH_PRIME)
     ab = F.array(
@@ -413,14 +427,22 @@ def minhash_sig_expr(
         F.array_distinct(shingles(text_col, k)),
         lambda s: hash_fn(s) % p,
     )
-    # accumulator type must match the merge lambda's ARRAY<BIGINT>
-    init = F.array_repeat(p.cast("long"), n_perm)
+    # accumulator: (n shingles folded, per-permutation running mins) —
+    # the sig slot's type must match the merge lambda's ARRAY<BIGINT>
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.array_repeat(p.cast("long"), n_perm).alias("sig"),
+    )
     return F.aggregate(
         hm,
         init,
-        lambda acc, h: F.zip_with(
-            acc, ab, lambda c, t: F.least(c, (t["a"] * h + t["b"]) % p)
+        lambda acc, h: F.struct(
+            (acc["n"] + F.lit(1).cast("long")).alias("n"),
+            F.zip_with(
+                acc["sig"], ab, lambda c, t: F.least(c, (t["a"] * h + t["b"]) % p)
+            ).alias("sig"),
         ),
+        lambda acc: F.when(acc["n"] > 0, acc["sig"]),
     )
 
 

@@ -36,6 +36,8 @@ identically on both sides after aggregation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
@@ -515,8 +517,18 @@ def _ivfpq_sql(top_k: int = 10) -> str:
     )
 
 
-# Trained IVF-PQ models per sf_dir: (coarse centroids, PQ codebooks).
+# Trained IVF-PQ models per os.path.abspath(sf_dir): (coarse
+# centroids, PQ codebooks).  Keys are NORMALIZED so two spellings of
+# the same dataset can't train twice; rewriting the parquet in place
+# mid-process requires an explicit ``clear_ivfpq_models()`` — no
+# mtime-based invalidation, same contract as ``clearCache()``.
 _IVFPQ_MODELS: dict[str, tuple[list, list]] = {}
+
+
+def clear_ivfpq_models() -> None:
+    """Invalidate every resident IVF-PQ model (call after rewriting a
+    dataset in place)."""
+    _IVFPQ_MODELS.clear()
 
 
 def _ivfpq_model(spark, sf_dir):
@@ -530,7 +542,8 @@ def _ivfpq_model(spark, sf_dir):
     from ffiec_pq_spark.operators.pq import ivfpq_residuals, pq_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    model = _IVFPQ_MODELS.get(sf_dir)
+    key = os.path.abspath(sf_dir)
+    model = _IVFPQ_MODELS.get(key)
     if model is None:
         coarse = kmeans_fit(emb, k=_CO_K, dim=_DIM, iters=_CO_ITERS)
         resid = ivfpq_residuals(emb, coarse).persist()
@@ -538,7 +551,7 @@ def _ivfpq_model(spark, sf_dir):
             resid, vec_col="rv", id_col="id",
             m=_M, sub_dim=_SUB_DIM, k=_K, iters=_PQ_ITERS,
         )
-        _IVFPQ_MODELS[sf_dir] = (coarse, books)
+        _IVFPQ_MODELS[key] = (coarse, books)
     else:
         coarse, books = model
         resid = ivfpq_residuals(emb, coarse).persist()

@@ -4,6 +4,8 @@ label-pruned near-dup pairs, and hyperplane-LSH bucketing."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
@@ -491,9 +493,20 @@ def _pca_sql(iters: int = 5) -> str:
     )
 
 
-# Fitted PC1 models per sf_dir (value may be None for a degenerate
-# < 2-vector corpus — still a valid, memoized fit).
+# Fitted PC1 models per os.path.abspath(sf_dir) (value may be None
+# for a degenerate < 2-vector corpus — still a valid, memoized fit).
+# Keys are NORMALIZED so two spellings of the same dataset (relative
+# vs absolute, trailing slash) can't train twice; regenerating the
+# parquet in place mid-process requires an explicit
+# ``clear_pca_models()`` — there is no mtime-based invalidation, same
+# contract as Spark's own ``spark.catalog.clearCache()``.
 _PCA_MODELS: dict[str, tuple[list[float], list[float]] | None] = {}
+
+
+def clear_pca_models() -> None:
+    """Invalidate every resident PCA model (call after rewriting a
+    dataset in place)."""
+    _PCA_MODELS.clear()
 
 
 @register("embedding_pca_scores", _pca_sql(iters=5), tags=["similarity", "iterative"])
@@ -515,11 +528,12 @@ def embedding_pca_scores(spark, sf_dir):
     from ffiec_pq_spark.operators.pca import pca_fit, pca_scores
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _PCA_MODELS:
-        _PCA_MODELS[sf_dir] = pca_fit(emb, "embedding", _DIM, iters=5)
+    key = os.path.abspath(sf_dir)
+    if key not in _PCA_MODELS:
+        _PCA_MODELS[key] = pca_fit(emb, "embedding", _DIM, iters=5)
     return pca_scores(
         emb, "embedding", "vec_id", _DIM, iters=5,
-        model=_PCA_MODELS[sf_dir],
+        model=_PCA_MODELS[key],
     )
 
 

@@ -29,6 +29,16 @@ from pyspark.sql import functions as F
 _LIVE_RUNS: dict[tuple[str, int | None], str] = {}
 
 
+def clear_live_runs() -> None:
+    """Drop every resident stream's checkpoint + state (call after
+    rewriting a dataset in place — the next attach starts from zero).
+    Same explicit-invalidation contract as ``clear_pca_models()`` /
+    ``clear_ivfpq_models()`` and Spark's own ``clearCache()``."""
+    for workdir in _LIVE_RUNS.values():
+        shutil.rmtree(workdir, ignore_errors=True)
+    _LIVE_RUNS.clear()
+
+
 def _recover_state_swap(state_dir: str) -> None:
     """Close the compaction swap's one crash window: between
     ``os.rename(state_dir, old_dir)`` and ``os.rename(compact_dir,
@@ -144,6 +154,13 @@ def run_neardup_stream(
         .start()
     )
     q.awaitTermination()
+    # heal the compaction swap window on the DRAIN path too: a
+    # re-attach with zero new files never enters fold_batch (the only
+    # other caller of the recovery hook), so a prior process that died
+    # between the two compaction renames would otherwise leave only
+    # band_state.old and fail the read below even though the full
+    # state survived on disk
+    _recover_state_swap(state_dir)
     state = spark.read.parquet(state_dir)
     first_seen = state.groupBy("band", "bkey").agg(
         F.min("id").alias("first_id")

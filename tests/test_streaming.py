@@ -295,6 +295,57 @@ def test_minhash_sig_expr_matches_grouped(spark, sf_dir):
     assert joined.filter(F.col("sig") != F.col("sig2")).count() == 0
 
 
+def test_minhash_sig_expr_null_on_shingleless(spark):
+    """Docs the grouped form DROPS (no shingle rows reach the groupBy)
+    must signature to NULL in the expression form, never to a non-null
+    sentinel — the old risk was the untouched init accumulator
+    [P]*n_perm, which would band-hash every such doc into the SAME LSH
+    buckets and emit spurious near-dup pairs (round-11 ADVICE).
+
+    With the repo's ``shingles`` whole-text fallback (< k tokens ->
+    one whole-text shingle, so even "" has one shingle) the reachable
+    shingle-less input is NULL text; the n==0 guard in the fold's
+    finish lambda additionally covers any empty shingle array a future
+    ``shingles`` change could produce.  Short docs must keep exact
+    parity with the grouped form."""
+    from ffiec_pq_spark.operators.dedup import (
+        minhash_sig_expr,
+        minhash_signatures,
+    )
+    from ffiec_pq_spark.queries.dedup import _K, _N_PERM
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),  # NULL text: grouped drops it -> expr NULL
+            (2, ""),  # whole-text fallback: one "" shingle
+            (3, "one two"),  # < k tokens: one "one two" shingle
+            (4, "alpha beta gamma delta"),  # 2 proper shingles
+            (5, "alpha beta gamma delta"),  # exact copy of 4
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", minhash_sig_expr("text", _K, _N_PERM).alias("sig")
+        ).collect()
+    }
+    assert got[1] is None
+    assert got[4] is not None and got[4] == got[5]
+    # grouped form drops exactly the NULL-text doc; every survivor
+    # (including the short-doc whole-text-shingle cases) must match
+    # the expression form value-for-value
+    grouped = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(
+            docs, id_col="doc_id", k=_K, n_perm=_N_PERM
+        ).collect()
+    }
+    assert set(grouped) == {2, 3, 4, 5}
+    for i in (2, 3, 4, 5):
+        assert grouped[i] == got[i]
+
+
 def test_bounded_neardup_matches_unbounded(spark, sf_dir):
     """The watermark-evicting bounded-state stream must drain the same
     (doc_id, dup_of) relation as the unbounded parquet-fold stream when
@@ -317,3 +368,30 @@ def test_bounded_neardup_matches_unbounded(spark, sf_dir):
     zero = run_neardup_bounded_stream(spark, sf_dir, horizon_ms=0)
     z = set(map(tuple, zero.collect()))
     assert z <= set(b)
+
+
+def test_neardup_reattach_heals_compaction_crash(spark, sf_dir):
+    """Re-attach must heal the compaction swap's crash window even
+    when NO new files arrive: a prior process that died between the
+    two compaction renames leaves only ``band_state.old`` on disk, and
+    a zero-new-file re-attach never enters fold_batch (the other
+    caller of the recovery hook) — the drain path has to re-adopt the
+    ``.old`` copy itself (round-11 ADVICE)."""
+    import os
+
+    from ffiec_pq_spark.streaming import neardup
+
+    baseline = sorted(
+        map(tuple, neardup.run_neardup_stream(spark, sf_dir).collect())
+    )
+    workdir = neardup._LIVE_RUNS[(os.path.abspath(sf_dir), None)]
+    state_dir = os.path.join(workdir, "band_state")
+    # simulate the crash landing between the two renames: only the
+    # .old sibling exists when the next attach starts
+    os.rename(state_dir, state_dir + ".old")
+    healed = sorted(
+        map(tuple, neardup.run_neardup_stream(spark, sf_dir).collect())
+    )
+    assert healed == baseline
+    assert os.path.isdir(state_dir)
+    assert not os.path.exists(state_dir + ".old")
