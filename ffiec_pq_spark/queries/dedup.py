@@ -6,6 +6,8 @@ cross-engine bit-for-bit)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
@@ -36,6 +38,47 @@ _SHINGLE_CTE = f"""
     )"""
 
 _SIZES_CTE = "sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id)"
+
+
+# Resident duplicate-component labellings, keyed on (applicationId,
+# os.path.abspath(sf_dir)): the (id, cluster) relation is the shared
+# substrate of every cluster consumer (cluster summary, keep-best
+# selection, leakage-safe split), and rebuilding the O(log d)
+# pointer-jumping propagation per consumer paid the most expensive
+# dedup stage twice per session (round-11 verdict).  The applicationId
+# in the key drops entries from a stopped session — a localCheckpoint
+# is session-bound state, unlike the driver-side model memos.
+_CC_LABELS: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def clear_component_labels() -> None:
+    """Invalidate every resident component labelling (call after
+    rewriting a dataset in place).  Same explicit-invalidation
+    contract as ``clear_pca_models()`` / ``clear_ivfpq_models()``."""
+    _CC_LABELS.clear()
+
+
+def component_labels(spark, sf_dir):
+    """Build-or-fetch the near-dup component labelling ``(id,
+    cluster)`` for ``sf_dir`` at the registry's LSH parameters — ONE
+    labelling per (session, dataset), pinned off its lineage with an
+    eager ``localCheckpoint`` so later consumers add only their own
+    plan on top (a join, an aggregate) instead of replaying the
+    pointer-jumping rounds.  RDD checkpoint blocks survive
+    ``spark.catalog.clearCache()`` (they are not InMemoryRelations),
+    matching the other resident builders' isolation behavior."""
+    from ffiec_pq_spark.operators.dedup import dup_components_collapsed
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    comp = _CC_LABELS.get(key)
+    if comp is None:
+        docs = load_table(spark, sf_dir, "documents")
+        comp = dup_components_collapsed(
+            docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS,
+            threshold=_THRESHOLD,
+        ).localCheckpoint(eager=True)
+        _CC_LABELS[key] = comp
+    return comp
 
 
 _DECON_MAX_DF = 50
@@ -251,19 +294,16 @@ def dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> duplicate CLUSTERS via connected components
     (iterative min-label propagation; the oracle replays it with a
     recursive CTE): one row per cluster with the min-id representative
-    and sorted members — the keep-one step of a real dedup pipeline."""
-    from ffiec_pq_spark.operators.dedup import (
-        dedup_cluster_summary,
-        dup_components_collapsed,
-    )
+    and sorted members — the keep-one step of a real dedup pipeline.
 
-    docs = load_table(spark, sf_dir, "documents")
-    # components run on the rep-level graph (duplication-invariant edge
-    # count) and expand membership to copies — the recursive-CTE oracle
-    # replays the naive expanded graph, proving the collapse
-    comp = dup_components_collapsed(
-        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
-    )
+    The labelling comes from the shared per-(session, dataset)
+    resident relation (``component_labels``): components run on the
+    rep-level graph (duplication-invariant edge count) and expand
+    membership to copies — the recursive-CTE oracle replays the naive
+    expanded graph, proving the collapse."""
+    from ffiec_pq_spark.operators.dedup import dedup_cluster_summary
+
+    comp = component_labels(spark, sf_dir)
     out = dedup_cluster_summary(comp)
     # comma-join the member list: the driver's canonicalizer can't sort
     # array-typed columns
@@ -498,15 +538,15 @@ def dedup_keep_best(spark, sf_dir):
     components over the MinHash pairs) + keep the highest-quality
     member per cluster — quality = n_chars here, min-doc_id tie-break,
     so the kept set is deterministic on any engine.  The deletion list
-    a production dedup actually ships is `members - keep_id`."""
+    a production dedup actually ships is `members - keep_id`.
+
+    Shares the resident ``component_labels`` relation with
+    dedup_clusters / docs_leakage_safe_split — this query adds one
+    join + one keyed window + one aggregate over it."""
     from pyspark.sql import Window
 
-    from ffiec_pq_spark.operators.dedup import dup_components_collapsed
-
     docs = load_table(spark, sf_dir, "documents")
-    comp = dup_components_collapsed(
-        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
-    )
+    comp = component_labels(spark, sf_dir)
     members = comp.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     ).withColumn(

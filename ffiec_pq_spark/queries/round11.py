@@ -300,23 +300,18 @@ def docs_leakage_safe_split(spark, sf_dir):
     cluster's side stable — the property that lets a heldout set
     survive corpus refreshes.
 
-    Scale shape: the expensive part IS dedup_clusters (O(log d)
-    pointer-jumping rounds); the split itself adds one LEFT broadcast-
-    or key-join of the manifest-sized component relation onto the doc
-    scan and a stateless hash projection."""
+    Scale shape: the expensive part IS the component labelling
+    (O(log d) pointer-jumping rounds) — fetched from the shared
+    per-(session, dataset) resident relation (``component_labels``,
+    built once and reused by dedup_clusters / dedup_keep_best); the
+    split itself adds ONLY one LEFT broadcast- or key-join of the
+    manifest-sized component relation onto the doc scan and a
+    stateless hash projection (pinned in tests/test_plans.py)."""
     from ffiec_pq_spark.functions.hashing import hash60
-    from ffiec_pq_spark.operators.dedup import dup_components_collapsed
-    from ffiec_pq_spark.queries.dedup import (
-        _K,
-        _N_BANDS,
-        _N_PERM,
-        _THRESHOLD,
-    )
+    from ffiec_pq_spark.queries.dedup import component_labels
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = dup_components_collapsed(
-        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
-    )
+    comp = component_labels(spark, sf_dir)
     labels = docs.select("doc_id").join(
         comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
     ).select(

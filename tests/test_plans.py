@@ -1026,3 +1026,24 @@ def test_scd2_windows_share_key_exchange(spark, sf_dir):
     assert count_exchanges(df) <= 2
     plan = physical_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_leakage_split_is_join_plus_projection_over_labels(spark, sf_dir):
+    """With the component labelling resident (``component_labels``
+    memo), docs_leakage_safe_split must add ONLY a join of the
+    checkpointed label relation onto the doc scan plus a stateless
+    hash projection — no aggregate anywhere (the CC machinery is all
+    HashAggregates, so one leaking in means the labelling was
+    rebuilt), and the label side must read from the checkpoint RDD,
+    not a re-derived plan."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+    from ffiec_pq_spark.queries.dedup import component_labels
+
+    component_labels(spark, sf_dir)  # ensure resident
+    df = queries()["docs_leakage_safe_split"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "HashAggregate" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    # exactly the one outer join that attaches the labels
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
