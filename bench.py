@@ -2,18 +2,29 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "queries_cold": {...}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full execution, no
-driver collect).  A warmup query amortizes JVM startup, and each query
-runs $SPARK_GRAFT_BENCH_RUNS times (default 3) reporting the fastest
-run — steady-state plan execution, excluding the one-time whole-stage
-codegen compilation a resident engine pays once.
+driver collect).  A warmup query amortizes JVM startup, then every
+query reports TWO numbers per engine:
 
-The same headline workload also runs as its DuckDB oracle SQL on the
-same parquet files (min-of-N, all cores), so the JSON line carries its
-own denominator: ``duckdb_total`` and ``vs_duckdb`` (the bar is 2x).
-Set SPARK_GRAFT_BENCH_DUCKDB=0 to skip the comparison run.
+- COLD (``queries_cold`` / ``duckdb_queries_cold``): the first
+  execution in the process — for Spark that is builder + first sink
+  write together, so it INCLUDES whole-stage-codegen compilation and,
+  for the resident-builder queries (IVF-PQ / PCA model training,
+  stream checkpoint build, component labelling), the full index/model
+  build a user pays the first time they touch new data.  A training-
+  path regression shows up here and only here.
+- WARM (``queries`` / ``duckdb_queries``, and the headline ``value`` /
+  ``vs_duckdb``): min of $SPARK_GRAFT_BENCH_RUNS (default 3)
+  subsequent runs — steady-state plan execution against any resident
+  state, the per-query cost of a deployed long-lived engine, and the
+  number trended round-over-round (``delta_vs_prev``).
+
+Both columns carry their own DuckDB denominator (``vs_duckdb`` /
+``vs_duckdb_cold``); DuckDB cold is likewise its first execution
+(plan + buffer-cache fill), warm its min-of-N.  Set
+SPARK_GRAFT_BENCH_DUCKDB=0 to skip the comparison run.
 """
 
 from __future__ import annotations
@@ -63,6 +74,13 @@ HEAVY = [
     # + driver power iteration), both builder-executed -> BUILD_TIMED
     "dedup_clusters",
     "embedding_pca_scores",
+    # round-12: the bounded-state near-dup is the shape a 1000-trigger
+    # deploy actually runs (watermark-horizon eviction) — benched IN
+    # ADDITION to the parquet-fold variant so both trend lines
+    # continue; its builder re-runs the full stream every rep (fresh
+    # workdir by design: eviction state is per-run), so cold == warm
+    # up to noise for this one
+    "stream_minhash_neardup_bounded",
 ]
 
 # NOT in the headline set by design: ffiec_etl_end_to_end / the bulk
@@ -88,6 +106,7 @@ BUILD_TIMED = {
     # BUILD_TIMED the timer would miss both (the round-9 lesson)
     "dedup_clusters",
     "embedding_pca_scores",
+    "stream_minhash_neardup_bounded",
 }
 
 
@@ -104,12 +123,23 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names + heavy:
         heavy_runs = max(
             1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2"))
         )
         q_runs = heavy_runs if name in HEAVY else runs
         if name in BUILD_TIMED:
+            # rep 1 is the COLD number: the builder trains the model /
+            # replays the stream / labels the components from zero
+            # (process-fresh memos), plus codegen.  Warm = min of the
+            # subsequent reps, which hit the resident state — the
+            # steady-state cost of the deployed shape.
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cold[name] = round(time.perf_counter() - t0, 3)
             best = float("inf")
             for _ in range(q_runs):
                 t0 = time.perf_counter()
@@ -120,14 +150,17 @@ def main() -> None:
             timings[name] = round(best, 3)
             spark.catalog.clearCache()
             continue
+        # COLD: builder + first sink write together — pays whole-stage
+        # codegen compilation and the JIT/GC transient a resident
+        # engine pays once (this used to be an untimed warmup; it is
+        # now the recorded cold column).  Without separating it the
+        # min-of-N is measurably noisy (q1 swung 0.30-0.68s run-to-run
+        # at 3 timed reps; the round-3 "TPC-H trio creep" was this,
+        # not a plan change).
+        t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
-        # per-query untimed warmup, mirroring the DuckDB side: the
-        # first execution pays whole-stage codegen compilation + the
-        # JIT/GC transient, which a resident engine pays once — without
-        # it the min-of-N is measurably noisy (q1 swung 0.30-0.68s
-        # run-to-run at 3 timed reps; the round-3 "TPC-H trio creep"
-        # was this, not a plan change)
         df.write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
         for _ in range(q_runs):
             t0 = time.perf_counter()
@@ -145,19 +178,28 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "cold_total": cold_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
-        duck = duckdb_timings(sf_dir, names + heavy, runs)
+        duck, duck_cold = duckdb_timings(sf_dir, names + heavy, runs)
         out["duckdb_queries"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 3)
+        out["duckdb_queries_cold"] = duck_cold
+        out["duckdb_cold_total"] = round(sum(duck_cold.values()), 3)
         if out["duckdb_total"] > 0:
             out["vs_duckdb"] = round(total / out["duckdb_total"], 2)
+        if out["duckdb_cold_total"] > 0:
+            out["vs_duckdb_cold"] = round(
+                cold_total / out["duckdb_cold_total"], 2
+            )
     delta = delta_vs_prev(timings, total, sf=out["sf"] and str(out["sf"]))
     if delta:
         out["delta_vs_prev"] = delta
@@ -213,9 +255,15 @@ def delta_vs_prev(
     return delta
 
 
-def duckdb_timings(sf_dir: str, names: list[str], runs: int) -> dict[str, float]:
-    """Min-of-N wall time of each headline query's ORACLE SQL in DuckDB
-    over the same parquet files (materialized via fetchall, no pandas)."""
+def duckdb_timings(
+    sf_dir: str, names: list[str], runs: int
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(warm, cold) wall times of each headline query's ORACLE SQL in
+    DuckDB over the same parquet files (materialized via fetchall, no
+    pandas).  Cold = the first execution (plan + buffer-cache fill —
+    and, for the iterative-trainer oracles, the full unrolled-CTE
+    training replay DuckDB pays EVERY run); warm = min-of-N
+    subsequent runs."""
     import duckdb
 
     oracles = catalog.oracles()
@@ -229,11 +277,14 @@ def duckdb_timings(sf_dir: str, names: list[str], runs: int) -> dict[str, float]
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         if name not in oracles:
             continue
         sql = oracles[name]
-        con.execute(sql).fetchall()  # warmup (buffer cache, plan)
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        cold[name] = round(time.perf_counter() - t0, 3)
         heavy_runs = max(
             1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2"))
         )
@@ -244,7 +295,7 @@ def duckdb_timings(sf_dir: str, names: list[str], runs: int) -> dict[str, float]
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     con.close()
-    return timings
+    return timings, cold
 
 
 if __name__ == "__main__":
