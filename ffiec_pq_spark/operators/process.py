@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import os
 import re
+import threading
+import time
+from contextlib import contextmanager
 from datetime import date as _date
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +61,45 @@ _LOG_SCHEMA = T.StructType(
         T.StructField("inner_files", T.ArrayType(T.StringType())),
     ]
 )
+
+
+class StageClock:
+    """Opt-in per-stage wall-time accumulator for the ETL pipeline
+    (``scripts/etl_bench.py`` threads one through ``ffiec_process`` to
+    break the ingest's fixed cost down by stage).  Thread-safe: the
+    per-group parse/combine work runs on the FIFO-scheduler thread
+    pool, so a stage's accumulated seconds are summed THREAD-seconds —
+    they can exceed the ingest wall clock when groups overlap, which
+    is the point (they show where the work is, the wall shows how well
+    it overlaps)."""
+
+    def __init__(self) -> None:
+        self.seconds: dict[str, float] = {}
+        self._lock = threading.Lock()
+
+    @contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.seconds[name] = self.seconds.get(name, 0.0) + dt
+
+    def rounded(self) -> dict[str, float]:
+        return {k: round(v, 3) for k, v in sorted(self.seconds.items())}
+
+
+class _NullClock:
+    """No-op StageClock (default: zero overhead when not benching)."""
+
+    @contextmanager
+    def stage(self, name: str):
+        yield
+
+
+_NULL_CLOCK = _NullClock()
 
 
 def fix_pure_columns(df: DataFrame, pure_cols: list[str]):
@@ -101,23 +143,26 @@ def process_zip_schedules(
     out_dir: str,
     pure_cols: list[str] | None = None,
     strict: bool = False,
+    clock: StageClock | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Stage 2: all schedules of one zip -> wide parquet files.
 
     Returns (wide_outputs, log_rows); each wide output dict carries the
     schedule, date, path, and part files that fed it."""
-    manifest = zip_member_manifest(spark, [zip_path])
-    validation = {
-        (r["schedule"], r["date"]): r.asDict()
-        for r in resolve_n_parts(manifest).collect()
-    }
-    sched_files = (
-        manifest.filter(
-            F.col("schedule").isNotNull() & (F.col("schedule") != "por")
+    clock = clock or _NULL_CLOCK
+    with clock.stage("manifest_validate"):
+        manifest = zip_member_manifest(spark, [zip_path])
+        validation = {
+            (r["schedule"], r["date"]): r.asDict()
+            for r in resolve_n_parts(manifest).collect()
+        }
+        sched_files = (
+            manifest.filter(
+                F.col("schedule").isNotNull() & (F.col("schedule") != "por")
+            )
+            .orderBy("schedule", "date", "part", "file")
+            .collect()
         )
-        .orderBy("schedule", "date", "part", "file")
-        .collect()
-    )
     groups: dict[tuple, list] = {}
     for r in sched_files:
         groups.setdefault((r["schedule"], r["date"]), []).append(r)
@@ -129,13 +174,16 @@ def process_zip_schedules(
     # read driver-side (first-block decompression only).
     from ffiec_pq_spark.sources.tsv import make_colspec, read_zip_member_header, zip_stats_batch
 
-    colspecs = {
-        r["file"]: make_colspec(
-            read_zip_member_header(zip_path, r["file"]), type_dict
+    with clock.stage("audit_batch"):
+        colspecs = {
+            r["file"]: make_colspec(
+                read_zip_member_header(zip_path, r["file"]), type_dict
+            )
+            for r in sched_files
+        }
+        batch_stats = (
+            zip_stats_batch(spark, zip_path, colspecs) if colspecs else {}
         )
-        for r in sched_files
-    }
-    batch_stats = zip_stats_batch(spark, zip_path, colspecs) if colspecs else {}
 
     def run_group(schedule: str, d, rows) -> tuple[dict | None, dict]:
         """One (schedule, date) group -> (wide output | None, log row)."""
@@ -152,16 +200,17 @@ def process_zip_schedules(
             }
         parts, repairs, all_ok, releases = [], [], True, []
         n_problems = 0
-        for r in rows:
-            df, audit = read_call_schedule(
-                spark, zip_path, r["file"], type_dict,
-                precomputed_stats=batch_stats.get(r["file"]),
-            )
-            parts.append(df)
-            repairs.extend(audit["repairs"])
-            all_ok = all_ok and audit["ok"]
-            n_problems += audit["n_problems"]
-            releases.append(audit["unpersist"])
+        with clock.stage("parse_repair"):
+            for r in rows:
+                df, audit = read_call_schedule(
+                    spark, zip_path, r["file"], type_dict,
+                    precomputed_stats=batch_stats.get(r["file"]),
+                )
+                parts.append(df)
+                repairs.extend(audit["repairs"])
+                all_ok = all_ok and audit["ok"]
+                n_problems += audit["n_problems"]
+                releases.append(audit["unpersist"])
         if strict and not all_ok:
             # clean-read gate (reference ffiec_finalize_if_clean,
             # R/ffeic_read.R:654-685): an unrepairable member blocks the
@@ -179,24 +228,26 @@ def process_zip_schedules(
                 "n_problems": n_problems,
                 "inner_files": [r["file"] for r in rows],
             }
-        wide = combine_parts(parts, keys=["IDRSSD"])
-        wide = wide.withColumn("date", F.lit(d).cast("date"))
-        wide, pure_check = fix_pure_columns(wide, pure_cols or [])
-        out_path = os.path.join(
-            out_dir, f"{schedule}_{d.strftime('%Y%m%d')}.parquet"
-        )
-        write_single_parquet(wide, out_path)
-        try:
-            # the violation count rode the write job (observe); enforce
-            # the hard guard now, removing the tainted deliverable
-            pure_check()
-        except ValueError:
-            if os.path.exists(out_path):
-                os.remove(out_path)
-            raise
-        finally:
-            for release in releases:
-                release()
+        with clock.stage("combine_write_wide"):
+            wide = combine_parts(parts, keys=["IDRSSD"])
+            wide = wide.withColumn("date", F.lit(d).cast("date"))
+            wide, pure_check = fix_pure_columns(wide, pure_cols or [])
+            out_path = os.path.join(
+                out_dir, f"{schedule}_{d.strftime('%Y%m%d')}.parquet"
+            )
+            write_single_parquet(wide, out_path)
+            try:
+                # the violation count rode the write job (observe);
+                # enforce the hard guard now, removing the tainted
+                # deliverable
+                pure_check()
+            except ValueError:
+                if os.path.exists(out_path):
+                    os.remove(out_path)
+                raise
+            finally:
+                for release in releases:
+                    release()
         output = {
             "schedule": schedule, "date": d, "path": out_path,
             "inner_files": [r["file"] for r in rows],
@@ -253,33 +304,65 @@ def make_long_pqs(
         longs = make_long_by_type(wide, ids=["IDRSSD", "date"])
         for t, df in longs.items():
             by_type.setdefault(t, []).append(df)
-    results = {}
-    for t, dfs in sorted(by_type.items()):
+
+    def build_type(t: str, dfs: list[DataFrame]) -> tuple[str, str]:
         from functools import reduce
 
         merged = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs
         )
-        # ONE shuffle does all three steps: group by the PK, collect the
-        # distinct values (cross-file repeats of the same fact collapse),
-        # assert every set is a singleton (the reference's fail-fast
-        # assert_no_dups), and take that value.  distinct() + a separate
-        # dup-check aggregation would shuffle twice; the second job here
-        # reuses the first's exchange.
+        # ONE shuffle AND one job do all four steps: group by the PK,
+        # collect the distinct values (cross-file repeats of the same
+        # fact collapse), count PK violations, take the value, write.
+        # The violation count rides the write job via observe() (the
+        # fix_pure_columns pattern) — the old separate
+        # ``filter(size>1).limit(1).count()`` probe cost one extra job
+        # per type, half the stage's job count; on violation the
+        # tainted deliverable is removed before the fail-fast raise
+        # (the reference's assert_no_dups aborts before writing — the
+        # end state, no file + an exception, is identical).
+        from pyspark.sql import Observation
+
         grouped = merged.groupBy("IDRSSD", "date", "item").agg(
             F.collect_set("value").alias("vals")
         )
-        dups = grouped.filter(F.size("vals") > 1).limit(1).count()
-        if dups:
-            raise ValueError(
-                f"duplicate keys found for ['IDRSSD', 'date', 'item'] in {t}"
-            )
-        deduped = grouped.select(
+        obs = Observation()
+        deduped = grouped.observe(
+            obs, F.sum((F.size("vals") > 1).cast("long")).alias("n_dup")
+        ).select(
             "IDRSSD", "date", "item", F.element_at("vals", 1).alias("value")
         )
         name = LONG_TYPE_NAMES.get(t, re.sub(r"\W+", "_", t))
         path = os.path.join(out_dir, f"ffiec_{name}.parquet")
         write_single_parquet(deduped, path)
+        if obs.get["n_dup"]:
+            if os.path.exists(path):
+                os.remove(path)
+            raise ValueError(
+                f"duplicate keys found for ['IDRSSD', 'date', 'item'] in {t}"
+            )
+        return name, path
+
+    # the per-type builds are independent (distinct output files), so
+    # submit them from the same bounded thread pool the per-group wide
+    # builds use and let the FIFO scheduler interleave their stages —
+    # the round-12 stage breakdown had long_build as the warm ingest's
+    # top stage (4.3 s) running its types strictly serially
+    ordered = sorted(by_type.items())
+    results: dict[str, str] = {}
+    n_workers = min(
+        int(os.environ.get("FFIEC_ETL_PARALLELISM", "4")),
+        max(len(ordered), 1),
+    )
+    if n_workers <= 1 or len(ordered) <= 1:
+        pairs = [build_type(t, dfs) for t, dfs in ordered]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            futures = [pool.submit(build_type, t, dfs) for t, dfs in ordered]
+            pairs = [f.result() for f in futures]
+    for name, path in pairs:
         results[name] = path
     return results
 
@@ -386,32 +469,47 @@ def ffiec_process(
     out_dir: str,
     pure_cols: list[str] | None = None,
     strict: bool = False,
+    clock: StageClock | None = None,
 ) -> dict:
     """Full pipeline over N bulk zips; returns paths + the process log
     DataFrame (also written to ``ffiec_process_data.parquet``).
 
     ``strict=True`` enables the clean-read gate: schedule groups with an
-    unrepairable member are logged and skipped instead of written."""
+    unrepairable member are logged and skipped instead of written.
+    ``clock``: optional :class:`StageClock` accumulating per-stage
+    seconds (manifest/validate, audit, parse, combine+wide-write, POR,
+    long build, schedule coverage, log write) for the ETL bench."""
+    clock = clock or _NULL_CLOCK
     os.makedirs(out_dir, exist_ok=True)
     all_wide, all_logs, all_long, por_paths = [], [], {}, []
     for zp in zip_paths:
         wide, logs = process_zip_schedules(
-            spark, zp, type_dict, out_dir, pure_cols, strict=strict
+            spark, zp, type_dict, out_dir, pure_cols, strict=strict,
+            clock=clock,
         )
         all_wide.extend(wide)
         all_logs.extend(logs)
-        por_path, por_logs = process_zip_por(spark, zp, out_dir)
+        with clock.stage("por"):
+            por_path, por_logs = process_zip_por(spark, zp, out_dir)
         if por_path:
             por_paths.append(por_path)
         all_logs.extend(por_logs)
     if all_wide:
-        all_long = make_long_pqs(spark, all_wide, out_dir)
-        make_schedule_pq(spark, all_wide, out_dir)
-    log_df = spark.createDataFrame(
-        [tuple(r.get(f.name) for f in _LOG_SCHEMA.fields) for r in all_logs],
-        _LOG_SCHEMA,
-    ).orderBy("date", "schedule")
-    write_single_parquet(log_df, os.path.join(out_dir, "ffiec_process_data.parquet"))
+        with clock.stage("long_build"):
+            all_long = make_long_pqs(spark, all_wide, out_dir)
+        with clock.stage("schedule_pq"):
+            make_schedule_pq(spark, all_wide, out_dir)
+    with clock.stage("log_write"):
+        log_df = spark.createDataFrame(
+            [
+                tuple(r.get(f.name) for f in _LOG_SCHEMA.fields)
+                for r in all_logs
+            ],
+            _LOG_SCHEMA,
+        ).orderBy("date", "schedule")
+        write_single_parquet(
+            log_df, os.path.join(out_dir, "ffiec_process_data.parquet")
+        )
     return {
         "wide": all_wide,
         "long": all_long,
