@@ -462,6 +462,67 @@ def process_zip_por(
     return path, log
 
 
+POR_HISTORY_ATTRS = (
+    "financial_institution_name",
+    "financial_institution_state",
+)
+
+
+def por_institution_history(
+    spark: SparkSession,
+    por_paths: list[str],
+    attrs: tuple[str, ...] = POR_HISTORY_ATTRS,
+) -> DataFrame:
+    """SCD type-2 institution history from the quarterly POR parquet
+    snapshots ``ffiec_process`` writes (one full restatement of every
+    institution's attributes per quarter — the reference re-reads the
+    latest POR and OVERWRITES, R/ffeic_read.R:434-493 +
+    R/ffiec_process.R, keeping no history; this keeps the restatements
+    and collapses them into validity intervals).
+
+    Returns (IDRSSD, *attrs, valid_from, valid_to, is_current): a new
+    interval opens only where a tracked attribute (default: name,
+    state) CHANGES between consecutive quarters.  ``valid_from`` /
+    ``valid_to`` are report dates (half-open, NULL-tailed), so
+    "what was this bank called when it filed X" becomes an as-of
+    lookup (:func:`institution_asof`) instead of a manual
+    latest-snapshot join."""
+    from functools import reduce
+
+    from ffiec_pq_spark.operators.windows import scd2_from_snapshots
+
+    snaps = [
+        spark.read.parquet(p).select("IDRSSD", "date", *attrs)
+        for p in por_paths
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), snaps)
+    return scd2_from_snapshots(merged, "IDRSSD", list(attrs), "date")
+
+
+def institution_asof(
+    facts: DataFrame,
+    history: DataFrame,
+    fact_date: str = "date",
+    attrs: tuple[str, ...] = POR_HISTORY_ATTRS,
+) -> DataFrame:
+    """Serve an as-of lookup from the SCD2 institution history: each
+    fact row (keyed ``IDRSSD``, dated ``fact_date``) gains the
+    attribute values valid AT its date — the most recent interval with
+    ``valid_from <= fact_date``, which for snapshot-derived contiguous
+    intervals is exactly the containing one.  One shuffle on the key
+    (the ``asof_join`` union-interleave), no range-join explosion."""
+    from ffiec_pq_spark.operators.windows import asof_join
+
+    return asof_join(
+        facts,
+        history.select("IDRSSD", "valid_from", *attrs),
+        key="IDRSSD",
+        left_ts=fact_date,
+        right_ts="valid_from",
+        right_vals=list(attrs),
+    )
+
+
 def ffiec_process(
     spark: SparkSession,
     zip_paths: list[str],

@@ -137,6 +137,46 @@ def asof_join(
     return out
 
 
+def scd2_from_snapshots(
+    df: DataFrame,
+    key: str,
+    attr_cols: Sequence[str],
+    snap_col: str,
+) -> DataFrame:
+    """SCD type-2 history from PERIODIC FULL SNAPSHOTS: one validity
+    interval per run of equal attribute values per key — (key, attrs,
+    valid_from, valid_to, is_current), half-open intervals chained by
+    lead(), the open tail marked current.
+
+    The snapshot-diff twin of the event-stream SCD2
+    (``users_scd2_history``): the input restates EVERY key's
+    attributes at each snapshot date (the reference's POR institution
+    table is exactly this shape, one full restatement per quarter —
+    R/ffeic_read.R:434-493), and an interval opens only where the
+    tracked attribute tuple CHANGES between consecutive snapshots.
+    Change detection is a null-safe struct comparison (``<=>``) so a
+    NULL attribute value neither equals nor silently swallows a real
+    change.  Both windows partition on the key — millions of
+    independent partitions, never a global window — and share one
+    exchange."""
+    w = Window.partitionBy(key).orderBy(snap_col)
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    changes = (
+        df.withColumn("_prev", F.lag(cur).over(w))
+        .filter(~F.col("_prev").eqNullSafe(cur))
+        .drop("_prev")
+    )
+    nxt = F.lead(F.col(snap_col)).over(w)
+    return changes.select(
+        key,
+        *attr_cols,
+        F.col(snap_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("is_current"),
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     keys: Sequence[str],

@@ -79,7 +79,15 @@ def _schedule_rc_lines() -> list[str]:
     return lines
 
 
-def _por_lines() -> list[str]:
+def _por_lines(
+    renames: dict[int, str] | None = None,
+    restates: dict[int, str] | None = None,
+) -> list[str]:
+    """POR member lines; ``renames``/``restates`` override bank i's
+    name/state (the quarter-over-quarter attribute drift the SCD2
+    history fixture needs)."""
+    renames = renames or {}
+    restates = restates or {}
     header = [
         "IDRSSD",
         "Financial Institution Name",
@@ -97,8 +105,10 @@ def _por_lines() -> list[str]:
         # 2024-03-10 02:30 doesn't exist in America/New_York (DST gap);
         # use values either side of the spring-forward boundary
         ts = "2024-03-10T01:59:00" if i % 2 else "2024-07-01T12:00:00"
+        name = renames.get(i, f"Bank {i}")
+        state = restates.get(i, "IA")
         lines.append(
-            _row([1000 + i, f"Bank {i}", "IA", fdic, occ, f"{100000 + i}", ts])
+            _row([1000 + i, name, state, fdic, occ, f"{100000 + i}", ts])
         )
     return lines
 
@@ -143,6 +153,30 @@ def make_call_zip_q2(dir_: str) -> str:
         zf.writestr(
             f"FFIEC CDR Call Schedule RC {date_token}.txt",
             "\n".join(lines) + "\n",
+        )
+    return path
+
+
+def make_por_zip_q2(dir_: str) -> str:
+    """Q2 bulk zip carrying ONLY the POR member, with bank 1's name
+    and bank 2's state changed vs Q1 and every other attribute
+    restated identically — the quarterly-restatement shape the SCD2
+    institution history collapses (only the two changed banks may
+    open new intervals)."""
+    date_token = "06302024"
+    path = os.path.join(
+        dir_, f"FFIEC CDR Call Bulk All Schedules {date_token}.zip"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            f"FFIEC CDR Call Bulk POR {date_token}.txt",
+            "\n".join(
+                _por_lines(
+                    renames={1: "First Bank of Ames"},
+                    restates={2: "NE"},
+                )
+            )
+            + "\n",
         )
     return path
 

@@ -169,6 +169,87 @@ def test_multi_quarter_long_build_and_coverage(spark, tmp_path_factory):
     assert by_item["RCFD3210"]["dates"] == [q2d]
 
 
+def test_por_scd2_history_and_asof(spark, tmp_path_factory):
+    """The reference's own SCD2 shape: the POR institution table is
+    restated in full every quarter (R/ffeic_read.R:434-493) and the
+    reference keeps only the latest copy; por_institution_history
+    collapses the restatements into validity intervals — only banks
+    whose tracked attributes CHANGED open a new interval — and
+    institution_asof serves 'what was this bank called when it filed
+    X' from them via the as-of join."""
+    import datetime as dt
+
+    from ffiec_pq_spark.operators.process import (
+        institution_asof,
+        por_institution_history,
+        process_zip_por,
+    )
+    from tests.ffiec_fixtures import make_por_zip_q2
+
+    d = tmp_path_factory.mktemp("ffiec_por_scd2")
+    out = tmp_path_factory.mktemp("ffiec_por_scd2_out")
+    zp_q1 = make_call_zip(str(d))
+    zp_q2 = make_por_zip_q2(str(d))
+    p1, _ = process_zip_por(spark, zp_q1, str(out))
+    p2, _ = process_zip_por(spark, zp_q2, str(out))
+
+    hist = por_institution_history(spark, [p1, p2])
+    q1d, q2d = dt.date(2024, 3, 31), dt.date(2024, 6, 30)
+    by_bank: dict[int, list] = {}
+    for r in hist.collect():
+        by_bank.setdefault(r["IDRSSD"], []).append(r)
+
+    # every bank appears; only the renamed (1001) and restated (1002)
+    # banks carry two intervals, everyone else exactly one
+    assert set(by_bank) == {1000 + i for i in range(1, N_BANKS + 1)}
+    assert {b for b, rows in by_bank.items() if len(rows) > 1} == {1001, 1002}
+
+    r1 = sorted(by_bank[1001], key=lambda r: r["valid_from"])
+    assert [x["financial_institution_name"] for x in r1] == [
+        "Bank 1", "First Bank of Ames",
+    ]
+    assert (r1[0]["valid_from"], r1[0]["valid_to"]) == (q1d, q2d)
+    assert r1[0]["is_current"] == 0
+    assert (r1[1]["valid_from"], r1[1]["valid_to"]) == (q2d, None)
+    assert r1[1]["is_current"] == 1
+
+    r2 = sorted(by_bank[1002], key=lambda r: r["valid_from"])
+    assert [x["financial_institution_state"] for x in r2] == ["IA", "NE"]
+
+    solo = by_bank[1003][0]
+    assert (solo["valid_from"], solo["valid_to"], solo["is_current"]) == (
+        q1d, None, 1,
+    )
+
+    # as-of serve: a fact dated between the quarters sees the Q1
+    # attributes, one on/after the restatement sees Q2's
+    facts = spark.createDataFrame(
+        [
+            (1001, dt.date(2024, 5, 15), 10.0),
+            (1001, dt.date(2024, 6, 30), 20.0),
+            (1002, dt.date(2024, 8, 1), 30.0),
+            (1003, dt.date(2024, 5, 15), 40.0),
+        ],
+        "IDRSSD int, date date, value double",
+    )
+    got = {
+        (r["IDRSSD"], r["date"]): r
+        for r in institution_asof(facts, hist).collect()
+    }
+    assert got[(1001, dt.date(2024, 5, 15))][
+        "financial_institution_name"
+    ] == "Bank 1"
+    assert got[(1001, dt.date(2024, 6, 30))][
+        "financial_institution_name"
+    ] == "First Bank of Ames"
+    assert got[(1002, dt.date(2024, 8, 1))][
+        "financial_institution_state"
+    ] == "NE"
+    assert got[(1003, dt.date(2024, 5, 15))][
+        "financial_institution_name"
+    ] == "Bank 3"
+
+
 def test_incremental_long_merge(spark, tmp_path_factory):
     """Folding a new quarter into an existing long table equals the
     full two-quarter rebuild; re-merging the same increment is a no-op;
