@@ -73,6 +73,11 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-12 wave (queries/round12.py, never sampled) ---
+    "users_weekly_snapshot_scd2",
+    "stream_scd2_snapshot_fold",
+    "docs_bm25_topk",
+    "retrieval_mrr_by_source",
     # --- round-11 wave (queries/round11.py, never sampled) ---
     "stream_minhash_neardup_bounded",
     "q2_min_cost_supplier_skew",
@@ -242,6 +247,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round12  # noqa: F401
     from ffiec_pq_spark.queries import round11  # noqa: F401
     from ffiec_pq_spark.queries import round10  # noqa: F401
     from ffiec_pq_spark.queries import round9c  # noqa: F401

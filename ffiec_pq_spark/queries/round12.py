@@ -1,0 +1,514 @@
+"""Round-12 additions.
+
+- ``users_weekly_snapshot_scd2`` — the snapshot-diff SCD2 certified
+  against a strict oracle: weekly per-user attribute snapshots derived
+  from the event stream, collapsed into validity intervals by the new
+  generic :func:`~ffiec_pq_spark.operators.windows.scd2_from_snapshots`
+  (the same operator that builds the POR institution history in the
+  FFIEC pipeline, where the reference keeps only the latest quarterly
+  restatement — R/ffeic_read.R:434-493).
+- ``stream_scd2_snapshot_fold`` — STREAMING maintenance of that same
+  SCD2 history: weekly snapshots arrive as ordered micro-batches and a
+  ``foreachBatch`` fold stitches each batch's intervals onto the open
+  tail of the accumulated history (the warehouse MERGE-into-dimension
+  pattern), draining to the identical oracle as the batch query.
+- ``docs_bm25_topk`` — BM25 lexical retrieval: the eval slice of the
+  corpus queries the rest through an inverted-index join, scored with
+  the log-free rational idf (the ``corpus_tfidf_top_terms`` precedent)
+  and integer-scaled per-term contributions so the cross-engine sum is
+  order-independent.
+- ``retrieval_mrr_by_source`` — retrieval quality eval over the BM25
+  ranking (shared scoring pass): per-source hit@3 and integer-scaled
+  reciprocal-rank sums against a deterministic same-source relevance
+  label.
+
+Float discipline (see the certified-family conventions): no logs, no
+cross-row double sums — every ranking/summed quantity is either pure
+per-row rational arithmetic (bit-identical IEEE on both engines) or an
+integer after an explicit ``floor(x*1e6 + 0.5)`` scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# users_weekly_snapshot_scd2
+
+
+_SNAPSHOT_SCD2_SQL = """
+    WITH ordered AS (
+      SELECT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+             event_type,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('week', CAST(ts AS TIMESTAMP))
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    snap AS (SELECT user_id, week, event_type FROM ordered WHERE rn = 1),
+    chg AS (
+      SELECT user_id, week, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY week) AS prev
+      FROM snap
+    ),
+    iv AS (
+      SELECT user_id, week, event_type FROM chg
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           week AS valid_from,
+           lead(week) OVER (PARTITION BY user_id ORDER BY week) AS valid_to,
+           CAST(CASE WHEN lead(week) OVER (
+                  PARTITION BY user_id ORDER BY week) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM iv
+    """
+
+
+def _weekly_snapshots(spark, sf_dir):
+    """(user_id, week, event_type): each user's LAST event type per ISO
+    week — the sparse periodic-snapshot relation both SCD2 variants
+    consume.  One grouped ``max(struct(ts, event_id, event_type))``
+    (associative, tie-broken by the unique event_id) — never a per-user
+    window over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        ev.groupBy("user_id", week.alias("week"))
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("s"))
+        .select("user_id", "week", F.col("s.event_type").alias("event_type"))
+    )
+
+
+@register(
+    "users_weekly_snapshot_scd2",
+    _SNAPSHOT_SCD2_SQL,
+    tags=["relational", "temporal"],
+)
+def users_weekly_snapshot_scd2(spark, sf_dir):
+    """SCD type-2 history from PERIODIC SNAPSHOTS: weekly per-user
+    attribute restatements (last event_type per user-week) collapsed
+    into validity intervals — an interval opens only where the value
+    CHANGES between the user's consecutive snapshots.
+
+    This certifies ``scd2_from_snapshots`` (the operator behind the
+    FFIEC POR institution history) against a strict oracle, and is the
+    snapshot-shaped twin of ``users_scd2_history`` (event runs): a
+    warehouse ingesting quarterly/weekly full restatements has exactly
+    this input, and the reference's own POR table is the quarterly
+    case.
+
+    Scale shape: one keyed aggregate builds the snapshots (map-side
+    combine into |user x week| rows), then both SCD2 windows partition
+    on user_id and share one exchange — no global window anywhere."""
+    from ffiec_pq_spark.operators.windows import scd2_from_snapshots
+
+    snap = _weekly_snapshots(spark, sf_dir)
+    return scd2_from_snapshots(snap, "user_id", ["event_type"], "week")
+
+
+# --------------------------------------------------------------------------
+# stream_scd2_snapshot_fold
+
+
+@register(
+    "stream_scd2_snapshot_fold",
+    _SNAPSHOT_SCD2_SQL,
+    tags=["streaming", "temporal", "merge"],
+)
+def stream_scd2_snapshot_fold(spark, sf_dir):
+    """STREAMING SCD2 maintenance: the weekly snapshots arrive as
+    week-ordered micro-batches and each ``foreachBatch`` fold MERGES
+    them into the accumulated dimension history — the warehouse
+    "merge into SCD2 dimension" pattern, here as a pure-DataFrame fold.
+
+    Per batch: (1) collapse the batch's own weeks with the SAME
+    ``scd2_from_snapshots`` operator (a batch is a contiguous week
+    range, so intra-batch runs chain correctly); (2) stitch onto the
+    state's OPEN intervals with one keyed outer join — an open interval
+    ABSORBS the batch's first run when the value is unchanged (its
+    ``valid_from`` survives), is CLOSED at the batch run's start week
+    when the value changed, and passes through untouched when the user
+    has no new snapshots.  Versioned-parquet state (the
+    ``stream_upsert_latest`` pattern; MERGE INTO a partitioned
+    Delta/Iceberg table at 100 TB).
+
+    Week-ordered arrival (mtime-pinned staging, the FileStreamSource
+    oldest-first contract) makes the fold exactly reproduce the batch
+    recursion, so the drained history certifies against the IDENTICAL
+    oracle as ``users_weekly_snapshot_scd2`` — bounding the work per
+    trigger must not change the history."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ffiec_pq_spark.operators.windows import scd2_from_snapshots
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    snap = _weekly_snapshots(spark, sf_dir)
+    weeks = [r["week"] for r in snap.select("week").distinct().collect()]
+    out_schema = (
+        "user_id long, event_type string, valid_from date, "
+        "valid_to date, is_current long"
+    )
+    if not weeks:
+        return spark.createDataFrame([], out_schema)
+    weeks = sorted(weeks)
+    n_chunks = min(4, len(weeks))
+    per = (len(weeks) + n_chunks - 1) // n_chunks
+    chunks = [weeks[i * per:(i + 1) * per] for i in range(n_chunks)]
+
+    workdir = tempfile.mkdtemp(prefix="stream_scd2_")
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        t0 = 1_700_000_000
+        for i, chunk in enumerate(chunks):
+            chunk_dir = os.path.join(workdir, f"chunk{i}")
+            (
+                snap.filter(F.col("week").isin(chunk))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(chunk_dir)
+            )
+            part = next(
+                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            os.rename(os.path.join(chunk_dir, part), dst)
+            # strictly increasing mtimes pin arrival order to week order
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        state = {"path": None, "version": 0}
+
+        def fold(batch_df, epoch_id):
+            b = scd2_from_snapshots(
+                batch_df, "user_id", ["event_type"], "week"
+            )
+            if state["path"] is None:
+                merged = b
+            else:
+                prev = spark.read.parquet(state["path"])
+                closed = prev.filter(F.col("is_current") == 0)
+                open_ = prev.filter(F.col("is_current") == 1).select(
+                    "user_id",
+                    F.col("event_type").alias("o_type"),
+                    F.col("valid_from").alias("o_from"),
+                )
+                # the batch's FIRST run per user is the only stitch
+                # point; later runs pass through untouched
+                firsts = b.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy("valid_from")
+                    ),
+                )
+                first = firsts.filter(F.col("_rn") == 1).drop("_rn")
+                rest = firsts.filter(F.col("_rn") > 1).drop("_rn")
+                j = first.join(open_, "user_id", "full_outer")
+                same = F.col("o_type").eqNullSafe(F.col("event_type"))
+                # per user: batch run absent -> the open interval
+                # passes through; value unchanged -> the open interval
+                # ABSORBS the run (keeps o_from, inherits the run's
+                # close/current status); value changed or no prior
+                # open -> the run enters as-is
+                stitched = j.select(
+                    "user_id",
+                    F.coalesce("event_type", "o_type").alias("event_type"),
+                    F.when(
+                        F.col("valid_from").isNull() | same, F.col("o_from")
+                    ).otherwise(F.col("valid_from")).alias("valid_from"),
+                    F.col("valid_to"),
+                    F.coalesce("is_current", F.lit(1)).cast("long")
+                    .alias("is_current"),
+                )
+                # a CHANGED value additionally closes the old open
+                # interval at the run's start week
+                closed_by_batch = j.filter(
+                    F.col("o_type").isNotNull()
+                    & F.col("event_type").isNotNull()
+                    & ~same
+                ).select(
+                    "user_id",
+                    F.col("o_type").alias("event_type"),
+                    F.col("o_from").alias("valid_from"),
+                    F.col("valid_from").alias("valid_to"),
+                    F.lit(0).cast("long").alias("is_current"),
+                )
+                merged = closed.unionByName(closed_by_batch).unionByName(
+                    stitched
+                ).unionByName(rest)
+            state["version"] += 1
+            out = os.path.join(workdir, f"state_v{state['version']}")
+            merged.write.parquet(out)
+            state["path"] = out
+
+        q = (
+            spark.readStream.format("parquet")
+            .schema(snap.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state["path"]).select(
+            "user_id", "event_type", "valid_from", "valid_to", "is_current"
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# docs_bm25_topk / retrieval_mrr_by_source
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 3
+_BM25_DF_CAP = 50  # query-term stopword prune (decontaminate precedent)
+
+_BM25_TOK = "string_split_regex(trim(text), '\\s+')"
+
+_BM25_TOPK_SQL = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    tok AS (
+      SELECT doc_id, unnest({_BM25_TOK}) AS term FROM corpus
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(dl.dl), 0) AS DOUBLE)
+               / nullif(count(*), 0) AS avdl
+      FROM corpus LEFT JOIN dl USING (doc_id)
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterm AS (
+      SELECT DISTINCT doc_id AS q_id, term
+      FROM (
+        SELECT doc_id, unnest({_BM25_TOK}) AS term
+        FROM documents WHERE doc_id % 10 = 0
+      ) WHERE term <> ''
+    ),
+    qkeep AS (
+      SELECT q.q_id, q.term, df.df FROM qterm q
+      JOIN df ON df.term = q.term AND df.df <= {_BM25_DF_CAP}
+    ),
+    scored AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(floor(
+               ((s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * ((tf.tf * ({_BM25_K1} + 1.0))
+                  / (tf.tf + {_BM25_K1} * ((1.0 - {_BM25_B})
+                     + {_BM25_B} * dl.dl / nullif(s.avdl, 0.0))))
+               * 1e6 + 0.5) AS BIGINT) AS term_score_micro
+      FROM qkeep q
+      JOIN tf ON tf.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT q_id, doc_id,
+             CAST(sum(term_score_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, score_micro,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC
+             ) AS rank
+      FROM agg
+    )
+    SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+    FROM ranked WHERE rank <= {_BM25_TOPK}
+    """
+
+
+def _bm25_topk_frame(spark, sf_dir):
+    """Shared BM25 scoring pass: (q_id, rank, doc_id, score_micro) —
+    top-{k} corpus docs per eval-slice query doc.
+
+    Inverted-index shape, no pairwise blowup: query terms equi-join the
+    corpus posting list (tf) ON TERM after a df-cap prune (stopword-like
+    terms with df > cap are dropped from the QUERY side, the standard
+    retrieval pruning and the same bound the decontamination query
+    uses), so fan-out per term is bounded by the cap.  All per-term
+    arithmetic is log-free rational (the ``corpus_tfidf_top_terms``
+    idf precedent — bit-identical IEEE on both engines), scaled to
+    integer micros BEFORE the per-(query, doc) sum so summation order
+    cannot move the hash; ranks break ties on doc_id."""
+    from ffiec_pq_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    queries = d.filter(F.col("doc_id") % 10 == 0)
+
+    tok = corpus.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = corpus.join(dl, "doc_id", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0))
+        ).alias("avdl"),
+    )
+
+    qterm = (
+        queries.select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(tokens("text"))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    qkeep = qterm.join(
+        df_t.filter(F.col("df") <= _BM25_DF_CAP), "term"
+    )
+
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tf_part = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * F.col("dl") / F.nullif(F.col("avdl"), F.lit(0.0))
+        )
+    )
+    scored = (
+        qkeep.join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            "doc_id",
+            F.floor(idf * tf_part * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("term_score_micro"),
+        )
+    )
+    agg = scored.groupBy("q_id", "doc_id").agg(
+        F.sum("term_score_micro").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("q_id", "rank", "doc_id", "score_micro")
+    )
+
+
+@register("docs_bm25_topk", _BM25_TOPK_SQL, tags=["text", "retrieval"])
+def docs_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval, top-3 corpus docs per eval-slice query
+    (k1=1.2, b=0.75): the retrieval baseline every RAG / hard-negative
+    pipeline starts from, as an inverted-index equi-join — never a
+    query x corpus cartesian.  See :func:`_bm25_topk_frame` for the
+    cross-engine float discipline (rational idf, integer-micro sums)."""
+    return _bm25_topk_frame(spark, sf_dir)
+
+
+_RETRIEVAL_MRR_SQL = f"""
+    WITH topk AS (
+      {_BM25_TOPK_SQL}
+    ),
+    labeled AS (
+      SELECT t.q_id, t.rank,
+             CASE WHEN qd.source = cd.source THEN 1 ELSE 0 END AS rel
+      FROM topk t
+      JOIN documents qd ON qd.doc_id = t.q_id
+      JOIN documents cd ON cd.doc_id = t.doc_id
+    ),
+    per_q AS (
+      SELECT q_id, min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+      FROM labeled GROUP BY q_id
+    ),
+    qdocs AS (
+      SELECT doc_id AS q_id, source FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN p.first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(coalesce(sum(CAST(floor(1e6 / p.first_rel) AS BIGINT)), 0)
+                AS BIGINT) AS sum_rr_micro
+    FROM qdocs q LEFT JOIN per_q p ON p.q_id = q.q_id
+    GROUP BY q.source
+    """
+
+
+@register(
+    "retrieval_mrr_by_source",
+    _RETRIEVAL_MRR_SQL,
+    tags=["text", "retrieval", "eval"],
+)
+def retrieval_mrr_by_source(spark, sf_dir):
+    """Retrieval-quality eval over the shared BM25 pass: per query
+    source, hit@3 and the reciprocal-rank mass against a deterministic
+    relevance label (candidate is relevant iff it shares the query
+    doc's ``source`` — the standard weak-supervision proxy when no
+    judgments exist).  Reciprocal ranks are integer micros
+    (``floor(1e6 / first_rel_rank)`` is exact for ranks 1..3), so the
+    per-source sums are order-independent; queries with no retrievable
+    candidates still count in ``n_queries`` via the left join."""
+    topk = _bm25_topk_frame(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    qd = d.select(F.col("doc_id").alias("q_id"), F.col("source").alias("q_source"))
+    cd = d.select(F.col("doc_id").alias("doc_id"), F.col("source").alias("c_source"))
+    labeled = (
+        topk.join(qd, "q_id")
+        .join(cd, "doc_id")
+        .select(
+            "q_id",
+            "rank",
+            F.when(F.col("q_source") == F.col("c_source"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+    )
+    per_q = labeled.groupBy("q_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel")
+    )
+    qdocs = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"), "source"
+    )
+    return (
+        qdocs.join(per_q, "q_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("first_rel").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hits"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.lit(1e6) / F.col("first_rel")).cast("long")
+                ),
+                F.lit(0),
+            ).cast("long").alias("sum_rr_micro"),
+        )
+    )

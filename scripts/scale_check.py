@@ -192,6 +192,12 @@ QUERIES = [
     "docs_ccnet_lm_partition",
     "stream_ivf_delete_log",
     "corpus_token_budget_greedy",
+    # round-12 additions: snapshot SCD2 (batch + streaming merge),
+    # BM25 retrieval + its eval
+    "users_weekly_snapshot_scd2",
+    "stream_scd2_snapshot_fold",
+    "docs_bm25_topk",
+    "retrieval_mrr_by_source",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

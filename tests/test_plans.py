@@ -1047,3 +1047,36 @@ def test_leakage_split_is_join_plus_projection_over_labels(spark, sf_dir):
     # exactly the one outer join that attaches the labels
     n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert n_joins == 1, plan
+
+
+def test_snapshot_scd2_keyed_windows_only(spark, sf_dir):
+    """users_weekly_snapshot_scd2: the snapshot aggregate plus both
+    SCD2 windows all key on user_id — no global (SinglePartition)
+    window may appear, and the whole plan needs at most 3 exchanges
+    (snapshot groupBy + the shared window exchange + AQE artifacts)."""
+    from ffiec_pq_spark.plans.audit import count_exchanges, physical_plan
+
+    df = queries()["users_weekly_snapshot_scd2"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) <= 3
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_bm25_inverted_index_no_cartesian(spark, sf_dir):
+    """docs_bm25_topk: query terms meet the corpus posting list through
+    keyed equi-joins only — a query x corpus cartesian (the naive
+    all-pairs scorer) must never appear, the only nested-loop join
+    allowed is the broadcast of the one-row stats relation, and the
+    final top-k window keys on q_id (never global)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["docs_bm25_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the one-row stats broadcast is the only nested-loop join, and
+    # the only SinglePartition exchange is that scalar aggregate's
+    # final rollup (a handful of partial-agg rows, not fact data)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    # the top-k window keys on q_id, never a global sort
+    assert "windowspecdefinition(q_id" in plan, plan

@@ -395,3 +395,47 @@ def test_neardup_reattach_heals_compaction_crash(spark, sf_dir):
     assert healed == baseline
     assert os.path.isdir(state_dir)
     assert not os.path.exists(state_dir + ".old")
+
+
+def test_stream_scd2_fold_matches_batch(spark, sf_dir):
+    """The foreachBatch SCD2 merge must drain the exact history the
+    batch operator computes — stitching per-batch runs onto the open
+    tail (absorb on unchanged value, close on change, pass through on
+    absence) cannot alter intervals when snapshots arrive in week
+    order."""
+    from ffiec_pq_spark.catalog import queries
+
+    batch = queries()["users_weekly_snapshot_scd2"](spark, sf_dir)
+    stream = queries()["stream_scd2_snapshot_fold"](spark, sf_dir)
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, stream.collect()))
+    assert a and a == b
+
+
+def test_scd2_from_snapshots_nullsafe_change_detect(spark):
+    """NULL attribute values must neither swallow a real change nor
+    merge across a NULL gap: NULL->X and X->NULL both open intervals
+    (the null-safe struct comparison), and equal runs collapse."""
+    import datetime as dt
+
+    from ffiec_pq_spark.operators.windows import scd2_from_snapshots
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (1, d0, None),
+        (1, dt.date(2024, 1, 8), "a"),
+        (1, dt.date(2024, 1, 15), "a"),
+        (1, dt.date(2024, 1, 22), None),
+        (2, d0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k long, snap date, v string")
+    got = sorted(
+        map(tuple, scd2_from_snapshots(df, "k", ["v"], "snap").collect()),
+        key=lambda t: (t[0], t[2]),  # (key, valid_from) is unique
+    )
+    assert got == [
+        (1, None, d0, dt.date(2024, 1, 8), 0),
+        (1, "a", dt.date(2024, 1, 8), dt.date(2024, 1, 22), 0),
+        (1, None, dt.date(2024, 1, 22), None, 1),
+        (2, "b", d0, None, 1),
+    ]
