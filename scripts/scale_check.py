@@ -198,6 +198,7 @@ QUERIES = [
     "stream_scd2_snapshot_fold",
     "docs_bm25_topk",
     "retrieval_mrr_by_source",
+    "dedup_clusters_incremental",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

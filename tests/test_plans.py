@@ -1080,3 +1080,26 @@ def test_bm25_inverted_index_no_cartesian(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     # the top-k window keys on q_id, never a global sort
     assert "windowspecdefinition(q_id" in plan, plan
+
+
+def test_incremental_clusters_asymmetric_over_stored_state(spark, sf_dir):
+    """dedup_clusters_incremental must never pair the corpus with
+    itself: no cartesian over data relations, shingles join only
+    alongside a doc id already pruned to candidates (the pair-driven
+    verify), and with the corpus state resident the plan consumes the
+    checkpointed tables (Scan ExistingRDD) instead of re-deriving the
+    corpus labelling (whose propagation is all joins over the corpus
+    scan)."""
+    import re
+
+    from ffiec_pq_spark.plans.audit import physical_plan
+    from ffiec_pq_spark.queries.round12 import _inc_corpus_state
+
+    _inc_corpus_state(spark, sf_dir)  # ensure resident
+    df = queries()["dedup_clusters_incremental"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert not re.search(
+        r"Join \[shingle#\d+L?\], \[shingle#\d+L?\]", plan
+    ), "shingle-only equi-join precedes the candidate prune:\n" + plan
