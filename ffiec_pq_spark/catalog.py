@@ -79,6 +79,7 @@ _NEVER_SAMPLED_FIRST = [
     "docs_bm25_topk",
     "retrieval_mrr_by_source",
     "dedup_clusters_incremental",
+    "corpus_source_interleave_order",
     # --- round-11 wave (queries/round11.py, never sampled) ---
     "stream_minhash_neardup_bounded",
     "q2_min_cost_supplier_skew",

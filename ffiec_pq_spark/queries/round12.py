@@ -829,3 +829,82 @@ def dedup_clusters_incremental(spark, sf_dir):
             F.col("label").alias("cluster_rep"), "n_members", "member_ids"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_source_interleave_order — source-balanced curriculum ordering
+
+
+_INTERLEAVE_SQL = r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    within AS (
+      SELECT doc_id, source, n_tok,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_tok DESC, doc_id ASC
+             ) AS BIGINT) AS src_rank
+      FROM scored
+    )
+    SELECT doc_id, source, n_tok, src_rank,
+           CAST(row_number() OVER (
+             ORDER BY src_rank ASC, source ASC, doc_id ASC
+           ) AS BIGINT) AS global_pos
+    FROM within
+    """
+
+
+@register(
+    "corpus_source_interleave_order",
+    _INTERLEAVE_SQL,
+    tags=["curation", "ordering"],
+)
+def corpus_source_interleave_order(spark, sf_dir):
+    """Source-balanced training order: documents are quality-ordered
+    WITHIN each source (token count descending here — an all-integer
+    stand-in for any per-doc score), then the sources are ROUND-ROBIN
+    interleaved by taking every source's rank-1 docs first, then every
+    rank-2, and so on — the standard interleave that stops one
+    dominant source from monopolizing any window of the training
+    stream (the mixture analog of the CCNet per-source cut).
+
+    Both ranks are EXACT global row_numbers computed with
+    ``distributed_rank`` — the within-source rank partitions by
+    source, and the global interleave position range-partitions on
+    (src_rank, source, doc_id) — so no single-reducer window appears
+    anywhere even though the output is a total order over the corpus
+    (plan-pinned).  Every ordered quantity is an integer: the hash
+    compare cannot move."""
+    from ffiec_pq_spark.operators.text import tokens
+    from ffiec_pq_spark.operators.windows import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+    )
+    within = distributed_rank(
+        scored,
+        order_cols=[F.col("n_tok").desc(), F.col("doc_id").asc()],
+        part_cols=["source"],
+        rank_col="src_rank",
+    ).select("doc_id", "source", "n_tok", "src_rank")
+    return distributed_rank(
+        within,
+        order_cols=[
+            F.col("src_rank").asc(),
+            F.col("source").asc(),
+            F.col("doc_id").asc(),
+        ],
+        rank_col="global_pos",
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.col("src_rank").cast("long").alias("src_rank"),
+        F.col("global_pos").cast("long").alias("global_pos"),
+    )

@@ -199,6 +199,7 @@ QUERIES = [
     "docs_bm25_topk",
     "retrieval_mrr_by_source",
     "dedup_clusters_incremental",
+    "corpus_source_interleave_order",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

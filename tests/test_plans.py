@@ -1103,3 +1103,20 @@ def test_incremental_clusters_asymmetric_over_stored_state(spark, sf_dir):
     assert not re.search(
         r"Join \[shingle#\d+L?\], \[shingle#\d+L?\]", plan
     ), "shingle-only equi-join precedes the candidate prune:\n" + plan
+
+
+def test_interleave_order_no_single_reducer(spark, sf_dir):
+    """corpus_source_interleave_order emits a TOTAL order over the
+    corpus, yet no single-partition window may appear — both the
+    within-source rank and the global interleave position are
+    distributed_rank constructions (range-partitioned local sorts +
+    broadcast offset relation)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["corpus_source_interleave_order"](spark, sf_dir)
+    plan = physical_plan(df)
+    # both ranks are the _pid-keyed local row_number construction
+    assert "row_number() windowspecdefinition(_pid" in plan, plan
+    # single-partition exchanges only for the global rank's tiny
+    # (<= n_ranges rows) offset relation — never for doc-sized data
+    assert plan.count("Exchange SinglePartition") <= 1, plan
