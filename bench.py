@@ -248,8 +248,15 @@ def delta_vs_prev(
         for name, sec in timings.items()
         if prev_q.get(name)
     }
-    if prev.get("value"):
-        delta["_total"] = round(total / prev["value"] - 1.0, 3)
+    # _total compares ONLY the queries present in both rounds — the
+    # headline set grows over rounds, and total-vs-total across
+    # different sets would read as a regression every time a query is
+    # added (round 12: the bounded near-dup joined the set)
+    shared_this = sum(s for n, s in timings.items() if prev_q.get(n))
+    shared_prev = sum(s for n, s in prev_q.items() if n in timings)
+    if shared_prev:
+        delta["_total"] = round(shared_this / shared_prev - 1.0, 3)
+        delta["_total_basis"] = f"{sum(1 for n in timings if prev_q.get(n))} shared queries"
     delta["_prev"] = os.path.basename(benches[-1])
     delta["_unit"] = "fraction_of_prev (sec_this/sec_prev - 1)"
     return delta
