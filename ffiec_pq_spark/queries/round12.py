@@ -171,14 +171,25 @@ def stream_scd2_snapshot_fold(spark, sf_dir):
         src = os.path.join(workdir, "src")
         os.makedirs(src)
         t0 = 1_700_000_000
-        for i, chunk in enumerate(chunks):
-            chunk_dir = os.path.join(workdir, f"chunk{i}")
-            (
-                snap.filter(F.col("week").isin(chunk))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(chunk_dir)
-            )
+        # one staging job for all chunks (the neardup stager pattern):
+        # repartition on the chunk id -> one file per chunk dir
+        chunk_expr = F.lit(len(chunks) - 1).cast("int")
+        for i in range(len(chunks) - 2, -1, -1):
+            chunk_expr = F.when(
+                F.col("week").isin(chunks[i]), F.lit(i).cast("int")
+            ).otherwise(chunk_expr)
+        staged = os.path.join(workdir, "staged")
+        (
+            snap.withColumn("_chunk", chunk_expr)
+            .repartition(len(chunks), "_chunk")
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        for i in range(len(chunks)):
+            chunk_dir = os.path.join(staged, f"_chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                continue
             part = next(
                 f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
             )

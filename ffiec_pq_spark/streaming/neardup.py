@@ -249,14 +249,25 @@ def run_neardup_bounded_stream(
         os.makedirs(src)
         step = max_id // 4 + 1
         t0 = 1_700_000_000
-        for i in range(4):
-            chunk_dir = os.path.join(workdir, f"chunk{i}")
-            (
-                docs.filter(F.floor(F.col("doc_id") / step) == i)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(chunk_dir)
+        # stage all four id-range chunks in ONE job: repartition on the
+        # chunk id puts each chunk entirely in one task, so partitionBy
+        # writes exactly one file per chunk dir (measured 0.8s vs 2.0s
+        # for four serial coalesce(1) writes at sf0.1 — a fixed cost
+        # every bench rep of the deploy-shape stream pays)
+        staged = os.path.join(workdir, "staged")
+        (
+            docs.withColumn(
+                "_chunk", F.floor(F.col("doc_id") / step).cast("int")
             )
+            .repartition(4, "_chunk")
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        for i in range(4):
+            chunk_dir = os.path.join(staged, f"_chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                continue  # sparse id range: empty chunk, no trigger
             parts = [
                 f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
             ]
