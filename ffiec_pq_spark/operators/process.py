@@ -472,6 +472,7 @@ def por_institution_history(
     spark: SparkSession,
     por_paths: list[str],
     attrs: tuple[str, ...] = POR_HISTORY_ATTRS,
+    close_on_absence: bool = False,
 ) -> DataFrame:
     """SCD type-2 institution history from the quarterly POR parquet
     snapshots ``ffiec_process`` writes (one full restatement of every
@@ -486,7 +487,20 @@ def por_institution_history(
     ``valid_to`` are report dates (half-open, NULL-tailed), so
     "what was this bank called when it filed X" becomes an as-of
     lookup (:func:`institution_asof`) instead of a manual
-    latest-snapshot join."""
+    latest-snapshot join.
+
+    ``close_on_absence``: the POR is a FULL restatement, so a bank
+    missing from a later quarter has LEFT (merged/closed) and its
+    open interval must close at that quarter — unlike sparse
+    snapshots (the weekly-events case) where absence just means "no
+    activity".  Implemented by DENSIFYING each bank onto the global
+    snapshot-date sequence from its first appearance on, with all
+    attributes NULL where absent: the null-safe change detection then
+    closes the last real interval at the first absent quarter and
+    opens a NULL-attribute "departed" run, which is dropped from the
+    returned history (re-appearing banks re-open naturally at the
+    next non-NULL run).  Cost: one extra keys x dates join — linear,
+    never pairwise."""
     from functools import reduce
 
     from ffiec_pq_spark.operators.windows import scd2_from_snapshots
@@ -496,7 +510,24 @@ def por_institution_history(
         for p in por_paths
     ]
     merged = reduce(lambda a, b: a.unionByName(b), snaps)
-    return scd2_from_snapshots(merged, "IDRSSD", list(attrs), "date")
+    if close_on_absence:
+        dates = merged.select("date").distinct()
+        first_seen = merged.groupBy("IDRSSD").agg(
+            F.min("date").alias("_first")
+        )
+        grid = first_seen.join(
+            F.broadcast(dates), F.col("date") >= F.col("_first")
+        ).select("IDRSSD", "date")
+        merged = grid.join(merged, ["IDRSSD", "date"], "left")
+    hist = scd2_from_snapshots(merged, "IDRSSD", list(attrs), "date")
+    if close_on_absence:
+        # drop the NULL-attribute "departed" runs; the real intervals
+        # they closed keep their valid_to at the departure quarter
+        present = reduce(
+            lambda a, b: a | b, [F.col(c).isNotNull() for c in attrs]
+        )
+        hist = hist.filter(present)
+    return hist
 
 
 def institution_asof(

@@ -181,6 +181,29 @@ def make_por_zip_q2(dir_: str) -> str:
     return path
 
 
+def make_por_zip_q3(dir_: str) -> str:
+    """Q3 bulk zip carrying ONLY the POR member, with bank 3 ABSENT —
+    the quarterly full restatement's departure case (merged/closed
+    institutions just stop appearing; ``close_on_absence`` must close
+    their interval at this quarter)."""
+    date_token = "09302024"
+    lines = _por_lines(
+        renames={1: "First Bank of Ames"}, restates={2: "NE"}
+    )
+    # drop bank 3's data row (header + description rows are 0 and 1,
+    # bank i sits at index 2 + (i - 1))
+    lines = [ln for i, ln in enumerate(lines) if i != 2 + 2]
+    path = os.path.join(
+        dir_, f"FFIEC CDR Call Bulk All Schedules {date_token}.zip"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            f"FFIEC CDR Call Bulk POR {date_token}.txt",
+            "\n".join(lines) + "\n",
+        )
+    return path
+
+
 def make_broken_zip(dir_: str) -> str:
     """Bulk zip whose single schedule has an unrepairable row (too FEW
     fields — the repairs only fix embedded newlines and extra tabs), for

@@ -250,6 +250,54 @@ def test_por_scd2_history_and_asof(spark, tmp_path_factory):
     ] == "Bank 3"
 
 
+def test_por_scd2_close_on_absence(spark, tmp_path_factory):
+    """The POR is a FULL restatement, so a bank missing from a later
+    quarter has left and close_on_absence must close its interval at
+    that quarter — while banks present throughout keep their open
+    tail, and the sparse-snapshot default keeps absent banks open
+    (absence-as-no-activity, the weekly-events semantic)."""
+    import datetime as dt
+
+    from ffiec_pq_spark.operators.process import (
+        por_institution_history,
+        process_zip_por,
+    )
+    from tests.ffiec_fixtures import make_por_zip_q2, make_por_zip_q3
+
+    d = tmp_path_factory.mktemp("ffiec_por_absence")
+    out = tmp_path_factory.mktemp("ffiec_por_absence_out")
+    paths = []
+    for mk in (make_call_zip, make_por_zip_q2, make_por_zip_q3):
+        p, _ = process_zip_por(spark, mk(str(d)), str(out))
+        paths.append(p)
+    q2d, q3d = dt.date(2024, 6, 30), dt.date(2024, 9, 30)
+
+    hist = por_institution_history(spark, paths, close_on_absence=True)
+    by_bank: dict[int, list] = {}
+    for r in hist.collect():
+        by_bank.setdefault(r["IDRSSD"], []).append(r)
+
+    # bank 3 departed at Q3: single interval closed there, no current
+    r3 = by_bank[1003]
+    assert len(r3) == 1
+    assert (r3[0]["valid_to"], r3[0]["is_current"]) == (q3d, 0)
+    # bank 4 present throughout: open tail survives
+    r4 = by_bank[1004]
+    assert len(r4) == 1 and r4[0]["is_current"] == 1
+    assert r4[0]["valid_to"] is None
+    # bank 1's rename history is unaffected by the densify
+    r1 = sorted(by_bank[1001], key=lambda r: r["valid_from"])
+    assert [x["financial_institution_name"] for x in r1] == [
+        "Bank 1", "First Bank of Ames",
+    ]
+    assert (r1[1]["valid_to"], r1[1]["is_current"]) == (None, 1)
+
+    # sparse default: absence keeps the interval open
+    sparse = por_institution_history(spark, paths)
+    s3 = [r for r in sparse.collect() if r["IDRSSD"] == 1003]
+    assert len(s3) == 1 and s3[0]["is_current"] == 1
+
+
 def test_incremental_long_merge(spark, tmp_path_factory):
     """Folding a new quarter into an existing long table equals the
     full two-quarter rebuild; re-merging the same increment is a no-op;
