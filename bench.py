@@ -81,6 +81,12 @@ HEAVY = [
     # workdir by design: eviction state is per-run), so cold == warm
     # up to noise for this one
     "stream_minhash_neardup_bounded",
+    # round-12: incremental cluster maintenance — the cold column is
+    # the one-time corpus state build (content groups + labelling +
+    # rep bands, stored tables in a deployment), the warm column the
+    # per-ingest quotient-graph fold, which is the number a daily
+    # pipeline pays
+    "dedup_clusters_incremental",
 ]
 
 # NOT in the headline set by design: ffiec_etl_end_to_end / the bulk
@@ -107,6 +113,8 @@ BUILD_TIMED = {
     "dedup_clusters",
     "embedding_pca_scores",
     "stream_minhash_neardup_bounded",
+    # corpus state build + quotient CC run in the builder
+    "dedup_clusters_incremental",
 }
 
 

@@ -794,7 +794,11 @@ def dedup_clusters_incremental(spark, sf_dir):
     all_docs_hash = cg.select("id", "_chash").unionByName(
         bg.select("id", "_chash")
     )
-    members = all_docs_hash.join(hq, "_chash").join(qfinal, "qnode")
+    # consumed twice (the copy-count gate and the kept expansion) —
+    # persist so the hash/qnode/label join chain runs once
+    members = (
+        all_docs_hash.join(hq, "_chash").join(qfinal, "qnode").persist()
+    )
 
     # a quotient node is a CLUSTER iff it merged via a new edge, was
     # already an old cluster, or is a single content with >= 2 total
