@@ -545,3 +545,46 @@ def test_exactsubstr_cleaned_strips_exact_span(spark):
     assert got[3]["cleaned_text"] == "plain text with no duplication at all"
     for r in got.values():
         assert r["kept_tokens"] + r["removed_tokens"] == r["n_tokens"]
+
+
+def test_resident_state_clear_hooks(spark, sf_dir):
+    """Every resident-builder cache exposes a working invalidation
+    hook (the clearCache() convention): after clearing, the next call
+    rebuilds from zero and still returns the same answer — so an
+    in-place dataset rewrite has a documented, working recovery path
+    instead of a silently-stale model."""
+    from ffiec_pq_spark.queries import round12
+    from ffiec_pq_spark.queries.dedup import (
+        _CC_LABELS,
+        clear_component_labels,
+        component_labels,
+    )
+    from ffiec_pq_spark.queries.round9c import (
+        _IVFPQ_MODELS,
+        clear_ivfpq_models,
+    )
+    from ffiec_pq_spark.queries.similarity import (
+        _PCA_MODELS,
+        clear_pca_models,
+    )
+
+    before = component_labels(spark, sf_dir).count()
+    assert _CC_LABELS
+    clear_component_labels()
+    assert not _CC_LABELS
+    assert component_labels(spark, sf_dir).count() == before
+
+    st = round12._inc_corpus_state(spark, sf_dir)
+    n_cq = st["cq"].count()
+    assert round12._INC_STATE
+    round12.clear_incremental_state()
+    assert not round12._INC_STATE
+    assert round12._inc_corpus_state(spark, sf_dir)["cq"].count() == n_cq
+
+    # model memos: clearing empties the dict (rebuild exercised by the
+    # registry queries themselves; these are driver-side lists, so an
+    # empty dict IS a from-zero retrain on next use)
+    clear_ivfpq_models()
+    assert not _IVFPQ_MODELS
+    clear_pca_models()
+    assert not _PCA_MODELS
