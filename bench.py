@@ -211,12 +211,25 @@ def main() -> None:
     delta = delta_vs_prev(timings, total, sf=out["sf"] and str(out["sf"]))
     if delta:
         out["delta_vs_prev"] = delta
+    # cold-column trend: starts producing values the first round after
+    # a prev artifact that carries queries_cold (round 13 onward) — a
+    # training-path regression then shows as a per-query cold delta,
+    # not just a bigger cold_total
+    delta_c = delta_vs_prev(
+        cold, cold_total, sf=out["sf"] and str(out["sf"]),
+        prev_key="queries_cold",
+    )
+    if delta_c and any(not k.startswith("_") for k in delta_c):
+        out["delta_vs_prev_cold"] = delta_c
     print(json.dumps(out))
     spark.stop()
 
 
 def delta_vs_prev(
-    timings: dict[str, float], total: float, sf: str = ""
+    timings: dict[str, float],
+    total: float,
+    sf: str = "",
+    prev_key: str = "queries",
 ) -> dict:
     """Per-query drift vs the most recent committed BENCH_r*.json
     DRIVER artifact (the number of record — never a builder-side run),
@@ -250,7 +263,7 @@ def delta_vs_prev(
         prev = prev["parsed"]
     if sf and str(prev.get("sf")) != str(sf):
         return {}
-    prev_q = prev.get("queries", {})
+    prev_q = prev.get(prev_key, {})
     delta = {
         name: round(sec / prev_q[name] - 1.0, 3)
         for name, sec in timings.items()
