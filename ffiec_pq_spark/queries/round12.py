@@ -374,7 +374,16 @@ def _bm25_topk_frame(spark, sf_dir):
     tok = corpus.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     ).filter(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the posting list feeds FOUR consumers (doc lengths, document
+    # frequencies, the avdl scalar via dl, and the match join) —
+    # without the persist the tokenize+count pipeline re-executes per
+    # consumer (session-lifetime cache by the repo convention;
+    # clearCache() between pipelines)
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = corpus.join(dl, "doc_id", "left").agg(
@@ -385,14 +394,13 @@ def _bm25_topk_frame(spark, sf_dir):
         ).alias("avdl"),
     )
 
-    qterm = (
-        queries.select(
-            F.col("doc_id").alias("q_id"),
-            F.explode(F.array_distinct(tokens("text"))).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    # (q_id, term) is already distinct after the per-doc
+    # array_distinct (q_id IS the doc) — a .distinct() here would add
+    # a full shuffle to re-prove it
+    qterm = queries.select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(tokens("text"))).alias("term"),
+    ).filter(F.col("term") != "")
     qkeep = qterm.join(
         df_t.filter(F.col("df") <= _BM25_DF_CAP), "term"
     )
