@@ -73,6 +73,8 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-12 second wave (queries/round12b.py, never sampled) ---
+    "embedding_probe_train_scores",
     # --- round-12 wave (queries/round12.py, never sampled) ---
     "users_weekly_snapshot_scd2",
     "stream_scd2_snapshot_fold",
@@ -249,6 +251,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round12b  # noqa: F401
     from ffiec_pq_spark.queries import round12  # noqa: F401
     from ffiec_pq_spark.queries import round11  # noqa: F401
     from ffiec_pq_spark.queries import round10  # noqa: F401

@@ -1,0 +1,169 @@
+"""Linear-probe classifier over an embedding column: Gram/moment
+sufficient statistics by ONE grouped aggregation, weights by
+INTEGER-pinned batch gradient descent, margins as an exact integer
+projection.
+
+The operator is the distributed form of the standard "quality filter"
+stage of an LLM data pipeline (a fastText-style linear classifier
+scored over every document / embedding): train a probe w on labelled
+vectors, score the whole corpus, keep what clears the margin.  The
+reference corpus (iangow/ffiec.pq) has no model-training surface; this
+is part of the mandated training-data-pipeline extension alongside the
+PCA / k-means / PQ trainers.
+
+Scale design (same family as operators/pca.py, operators/kmeans.py)
+-------------------------------------------------------------------
+- Training never materializes an n x d² relation and never iterates
+  over the data: the ONLY data-sized pass is one grouped aggregation
+  producing the d x d Gram matrix ``A = Σ_n xq xqᵀ`` and the moment
+  vector ``B = Σ_n xq·y`` (the plan explodes each vector to d rows
+  that CARRY the array; map-side partials reduce every partition to
+  d rows before the single shuffle — at 100 TB the shuffle moves
+  d x (d+1) longs per partition, nothing else).
+- Gradient descent runs DRIVER-side on the collected d x d integer
+  state (32 KB at d=64) — the sanctioned small-state collect; each
+  of the T iterations is a d x d integer matvec, zero cluster work.
+- Scores (the data-sized output) are a pure JVM projection:
+  ``margin_micro = Σ_i xq_i · w_i`` as a zip_with/aggregate fold —
+  no shuffle, no Python, exact int64.
+
+Cross-engine determinism — why INTEGER everything
+-------------------------------------------------
+Least-squares loss makes the whole recursion polynomial, so unlike a
+sigmoid there is no transcendental anywhere:
+
+- inputs quantized ONCE: ``xq = round(x * SX)`` (SX=1e3; float->double
+  is exact and `round` is half-away-from-zero on both engines);
+- ``A``/``B`` are exact int64 sums — order-independent on any engine;
+- weights live on an integer grid at scale SW=1e3: the gradient
+  ``G = A·w − B·SX·SW`` is an exact int64 expression, the step is the
+  exact integer truncation ``w −= sign(G)·(|G| // D)`` with
+  ``D = n·SX²/eta`` (eta folded into an integer divisor, the /n of a
+  mean-gradient folded into D) — floor division of NONNEGATIVE
+  integers on both engines, no float division in the recursion at all;
+- margins are raw int64 (``margin_micro``), never rounded floats.
+
+The SQL oracle replays the identical integer recursion as unrolled
+CTEs.  Overflow bounds asserted in :func:`probe_fit_int`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROBE_SX = 1_000  # input quantization: xq = round(x * SX)
+PROBE_SW = 1_000  # weight grid: w_real = w_int / SW
+# eta = 40 (the Gram spectrum of a unit-normalized embedding corpus is
+# ~1/d per dimension, so the stable step range is eta < 2d; 40 converges
+# the top spectrum in 5 iterations): step divisor D = n * SX^2 / eta.
+PROBE_D_PER_N = (PROBE_SX * PROBE_SX) // 40
+PROBE_ITERS = 5
+
+_I64_MAX = (1 << 63) - 1
+
+
+def _xq_col(vec_col: str) -> F.Column:
+    """Quantized integer copy of the embedding array (exact on both
+    engines: float->double exact, *SX correctly rounded to the same
+    double, round() half-away-from-zero in Spark and DuckDB)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(PROBE_SX)), 0).cast("long"),
+    )
+
+
+def gram_moment(
+    df: DataFrame, vec_col: str, y_col: str, dim: int
+) -> tuple[list[list[int]], list[int], int]:
+    """(A, B, n): Gram matrix ``A[i][j] = Σ xq_i·xq_j``, moment vector
+    ``B[i] = Σ xq_i·y`` and the row count, via ONE grouped aggregation
+    (explode-i / sum-j, map-side partials -> d rows per partition)."""
+    ex = df.select(
+        _xq_col(vec_col).alias("_xq"),
+        F.coalesce(F.col(y_col), F.lit(0)).cast("long").alias("_y"),
+    ).select(F.posexplode("_xq").alias("i", "xi"), "_xq", "_y")
+    sums = ex.groupBy("i").agg(
+        *[
+            F.sum(F.col("xi") * F.element_at("_xq", j + 1)).alias(f"a{j}")
+            for j in range(dim)
+        ],
+        F.sum(F.col("xi") * F.col("_y")).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = sums.collect()
+    a = [[0] * dim for _ in range(dim)]
+    b = [0] * dim
+    n = 0
+    for r in rows:
+        i = r["i"]
+        n = int(r["n"])
+        b[i] = int(r["b"] or 0)
+        for j in range(dim):
+            a[i][j] = int(r[f"a{j}"] or 0)
+    return a, b, n
+
+
+def probe_fit_int(
+    a: list[list[int]],
+    b: list[int],
+    n: int,
+    iters: int = PROBE_ITERS,
+) -> list[int]:
+    """Integer-grid batch GD for the least-squares probe: T exact
+    integer iterations of ``w −= trunc((A·w − B·SX·SW) / D)`` with
+    ``D = ETA_INV·n·SX²`` — pure Python ints, bit-replayable as
+    unrolled SQL CTEs.
+
+    Exactness bounds (asserted): every ``Σ_j A[i][j]·w[j]`` term and
+    partial must stay int64.  With |x| <= X_MAX real units,
+    |A_ij| <= n·(X_MAX·SX)² and |w_int| bounded by the GD trajectory;
+    we assert the actual running magnitudes instead of a prior —
+    a violating corpus fails loudly instead of wrapping."""
+    d = len(a)
+    if n <= 0 or d == 0:
+        return [0] * d
+    dd = n * PROBE_D_PER_N
+    bscaled = [bi * PROBE_SX * PROBE_SW for bi in b]
+    w = [0] * d
+    for _ in range(iters):
+        g = [0] * d
+        for i in range(d):
+            acc = 0
+            row = a[i]
+            for j in range(d):
+                acc += row[j] * w[j]
+            g[i] = acc - bscaled[i]
+            assert abs(acc) <= _I64_MAX and abs(g[i]) <= _I64_MAX, (
+                "probe GD int64 overflow: rescale PROBE_SX/PROBE_SW"
+            )
+        for i in range(d):
+            gi = g[i]
+            step = -((-gi) // dd) if gi < 0 else gi // dd
+            w[i] -= step
+    return w
+
+
+def probe_margins(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    y_col: str,
+    w_int: list[int],
+) -> DataFrame:
+    """Score every vector against the trained integer probe:
+    ``margin_micro = Σ xq_i·w_i`` (exact int64 fold, scale SX·SW=1e6)
+    — one narrow projection, no shuffle, no Python.  Downstream gates
+    (the top-p%% keep decision) rank these exact integers."""
+    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w_int])
+    mi = F.aggregate(
+        F.zip_with(_xq_col(vec_col), w_arr, lambda x, w: x * w),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    y = F.coalesce(F.col(y_col), F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        y.alias("y"),
+        mi.alias("margin_micro"),
+    )
