@@ -393,6 +393,19 @@ def _bm25_topk_frame(spark, sf_dir):
             / F.nullif(F.count(F.lit(1)), F.lit(0))
         ).alias("avdl"),
     )
+    return _bm25_rank_postings(tf, dl, df_t, stats, queries)
+
+
+def _bm25_rank_postings(tf, dl, df_t, stats, queries):
+    """Score + rank against an existing BM25 index: the postings
+    relation ``tf(doc_id, term, tf)``, its per-doc lengths ``dl``,
+    document frequencies ``df_t`` and the 1-row ``stats(n_docs, avdl)``
+    — shared verbatim by the batch query (which derives the index from
+    the corpus) and the streaming fold (which serves the RESIDENT
+    index its micro-batches accumulated), so both produce the
+    identical physical scoring plan."""
+    from ffiec_pq_spark.operators.text import tokens
+    from pyspark.sql import Window
 
     # (q_id, term) is already distinct after the per-doc
     # array_distinct (q_id IS the doc) — a .distinct() here would add

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.queries.round12 import _BM25_TOPK_SQL
 from ffiec_pq_spark.operators.linear_probe import (
     PROBE_D_PER_N,
     PROBE_ITERS,
@@ -181,3 +182,275 @@ def embedding_probe_train_scores(spark, sf_dir):
             <= F.greatest(F.col("_n") / F.lit(10), F.lit(1)).cast("long")
         ).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# doc_kneser_ney_bigram
+
+# Absolute discount: 3/4 is exact in binary, so (n2 - 0.75) is one
+# correctly-rounded op on both engines.
+_KN_D = 0.75
+
+_KN_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (
+      SELECT w1, CAST(sum(n2) AS BIGINT) AS n1, count(*) AS nfw
+      FROM c2 GROUP BY 1
+    ),
+    bw AS (SELECT w2, count(*) AS nbw FROM c2 GROUP BY 1),
+    na AS (SELECT count(*) AS nall FROM c2)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(
+             ((n2 - 0.75) / n1)
+             + (((0.75 * nfw) / n1) * (CAST(nbw AS DOUBLE) / nall))
+           )), 6) AS avg_kn_logprob
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN bw USING (w2)
+    CROSS JOIN na
+    GROUP BY doc_id
+    """
+
+
+@register("doc_kneser_ney_bigram", _KN_SQL, tags=["lm", "quality", "text"])
+def doc_kneser_ney_bigram(spark, sf_dir):
+    """Per-document mean log-probability under an interpolated
+    KNESER-NEY bigram model estimated from the corpus itself —
+    the strongest classical n-gram smoothing (continuation counts
+    instead of raw unigram backoff), the scoring KenLM-style
+    perplexity filters (CCNet and descendants) are built on:
+
+        P(w2|w1) = (c(w1 w2) − D)/c(w1 ·)
+                   + (D·N1+(w1 ·)/c(w1 ·)) · N1+(· w2)/N1+(· ·)
+
+    with D = 0.75; every count is an exact integer (c2 >= 1 keeps the
+    discounted numerator positive without a max()).
+
+    Plan (the ``doc_bigram_logprob`` family): bigrams built array-side
+    (zip_with over two slices — no posexplode self-join); ONE grouped
+    aggregate on the bigram-type table yields BOTH c(w1 ·) and the
+    forward continuation count N1+(w1 ·); the backward continuation
+    count is a second keyed agg; the type total is a broadcast scalar.
+    Probabilities attach back to the bigram stream by keyed joins, and
+    only the per-doc mean is rounded (identical expression tree on
+    both engines before the single ln).
+
+    Duplicate collapse: estimation runs on DISTINCT content, each
+    representative weighted by its copy count g — weighted instance
+    counts equal the naive corpus counts EXACTLY, and the continuation
+    counts (distinct-type counts) are duplication-INVARIANT, so the
+    oracle's naive full-corpus replay proves the collapse; a d-way
+    duplicated corpus costs ~1x the distinct corpus instead of d x."""
+    from ffiec_pq_spark.operators.dedup import _content_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = _content_groups(docs).persist()
+    rep_docs = docs.join(
+        groups.filter(F.col("id") == F.col("rep")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    g_of = groups.filter(F.col("id") == F.col("rep")).select(
+        F.col("id").alias("doc_id"), "g"
+    )
+    bg = rep_docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(_t, 1, size(_t) - 1),"
+                "         slice(_t, 2, size(_t) - 1),"
+                "         (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("_bg"),
+    ).select("doc_id", "_bg.w1", "_bg.w2").join(g_of, "doc_id")
+    # weighted type counts == naive corpus counts; the c2 table feeds
+    # three consumers (c1+nfw, nbw, nall) -> persist the 1-pass result
+    c2 = bg.groupBy("w1", "w2").agg(F.sum("g").alias("n2")).persist()
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n2").cast("long").alias("n1"),
+        F.count(F.lit(1)).alias("nfw"),
+    )
+    bw = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    na = c2.agg(F.count(F.lit(1)).alias("nall"))
+    p_kn = (
+        (F.col("n2") - F.lit(_KN_D)) / F.col("n1")
+        + (F.lit(_KN_D) * F.col("nfw") / F.col("n1"))
+        * (F.col("nbw").cast("double") / F.col("nall"))
+    )
+    rep_scores = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(na))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"),
+        )
+    )
+    # expand rep scores to every copy
+    return (
+        groups.select("id", "rep")
+        .join(rep_scores.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "avg_kn_logprob")
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_bm25_index_fold
+
+
+@register(
+    "stream_bm25_index_fold",
+    _BM25_TOPK_SQL,  # the batch query's oracle, verbatim
+    tags=["streaming", "retrieval", "text"],
+)
+def stream_bm25_index_fold(spark, sf_dir):
+    """STREAMING BM25 index maintenance: corpus documents arrive as
+    micro-batches and each ``foreachBatch`` fold keeps the retrieval
+    index fresh — postings and per-doc lengths APPEND (a document is
+    wholly contained in its batch, so its tf/dl rows are final on
+    arrival; at 100 TB this is an INSERT into a term-partitioned
+    table, no rewrite), while document frequencies and the
+    (n_docs, Σdl) scalar MERGE by key (the ``stream_incremental_agg``
+    pattern, versioned-parquet state standing in for MERGE INTO).
+    Per-trigger work is proportional to the BATCH, never the
+    accumulated corpus.
+
+    The serve step scores the eval-slice queries against the RESIDENT
+    index via the same :func:`~ffiec_pq_spark.queries.round12.
+    _bm25_rank_postings` plan as the batch query, and the drained
+    result certifies against the IDENTICAL oracle as ``docs_bm25_topk``
+    — maintaining the index incrementally must not change a single
+    score.  The fold is key-commutative (appends + keyed sums), so
+    certification holds under ANY arrival order, unlike the
+    order-pinned SCD2 fold."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.operators.text import tokens
+    from ffiec_pq_spark.queries.round12 import _bm25_rank_postings
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    out_schema = (
+        "q_id long, rank long, doc_id long, score_micro long"
+    )
+    if corpus.isEmpty():
+        return spark.createDataFrame([], out_schema)
+
+    workdir = tempfile.mkdtemp(prefix="stream_bm25_")
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        t0 = 1_700_000_000
+        n_chunks = 4
+        staged = os.path.join(workdir, "staged")
+        (
+            corpus.withColumn(
+                "_chunk", F.pmod(F.col("doc_id"), F.lit(n_chunks)).cast("int")
+            )
+            .repartition(n_chunks, "_chunk")
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(staged, f"_chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                continue
+            part = next(
+                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            os.rename(os.path.join(chunk_dir, part), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        tf_dir = os.path.join(workdir, "tf")
+        dl_dir = os.path.join(workdir, "dl")
+        state = {"df": None, "meta": None, "version": 0}
+
+        def fold(batch_df, epoch_id):
+            tf_b = (
+                batch_df.select(
+                    "doc_id", F.explode(tokens("text")).alias("term")
+                )
+                .filter(F.col("term") != "")
+                .groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .persist()
+            )
+            tf_b.write.mode("append").parquet(tf_dir)
+            dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            dl_b.write.mode("append").parquet(dl_dir)
+            df_b = tf_b.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            meta_b = batch_df.join(dl_b, "doc_id", "left").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("long")
+                .alias("sum_dl"),
+            )
+            if state["df"] is not None:
+                df_b = (
+                    spark.read.parquet(state["df"])
+                    .unionByName(df_b)
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"))
+                )
+                prev_meta = spark.read.parquet(state["meta"])
+                meta_b = (
+                    prev_meta.unionByName(meta_b)
+                    .agg(
+                        F.sum("n_docs").cast("long").alias("n_docs"),
+                        F.sum("sum_dl").cast("long").alias("sum_dl"),
+                    )
+                )
+            state["version"] += 1
+            df_out = os.path.join(workdir, f"df_v{state['version']}")
+            meta_out = os.path.join(workdir, f"meta_v{state['version']}")
+            df_b.write.parquet(df_out)
+            meta_b.write.parquet(meta_out)
+            state["df"] = df_out
+            state["meta"] = meta_out
+            tf_b.unpersist()
+
+        q = (
+            spark.readStream.format("parquet")
+            .schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        tf = spark.read.parquet(tf_dir)
+        dl = spark.read.parquet(dl_dir)
+        df_t = spark.read.parquet(state["df"])
+        stats = spark.read.parquet(state["meta"]).select(
+            F.col("n_docs"),
+            (
+                F.col("sum_dl").cast("double")
+                / F.nullif(F.col("n_docs"), F.lit(0))
+            ).alias("avdl"),
+        )
+        queries_df = d.filter(F.col("doc_id") % 10 == 0)
+        served = _bm25_rank_postings(tf, dl, df_t, stats, queries_df)
+        return served.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
