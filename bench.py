@@ -87,6 +87,13 @@ HEAVY = [
     # per-ingest quotient-graph fold, which is the number a daily
     # pipeline pays
     "dedup_clusters_incremental",
+    # round-12 second wave: the trained linear probe is the newest
+    # iterative trainer (cold = Gram aggregation + integer GD, warm =
+    # scoring against the resident weights); the streaming BM25 fold
+    # re-runs the full stream per rep (fresh workdir by design — the
+    # index is per-run state), so cold == warm up to noise
+    "embedding_probe_train_scores",
+    "stream_bm25_index_fold",
 ]
 
 # NOT in the headline set by design: ffiec_etl_end_to_end / the bulk
@@ -115,6 +122,10 @@ BUILD_TIMED = {
     "stream_minhash_neardup_bounded",
     # corpus state build + quotient CC run in the builder
     "dedup_clusters_incremental",
+    # Gram aggregation + GD run in the builder; the stream fold drains
+    # in the builder and returns a materialized localCheckpoint
+    "embedding_probe_train_scores",
+    "stream_bm25_index_fold",
 }
 
 

@@ -89,7 +89,6 @@ NOTES = {
     "ann_ivfpq_residual_topk": "IVF-PQ: coarse assign + residual + PQ encode are ALL literal-codebook projections (no join in the search plan); probed-cell filter prunes before the one keyed integer-sum exchange; TakeOrderedAndProject top-k",
     "embedding_kcenter_coreset": "greedy k-center: per round one literal-center projection (no join, zero exchanges) + TakeOrderedAndProject(1); one row to the driver per round; result relation is the k driver-built picks",
     "dedup_lsh_recall_eval": "LSH recall audit: banding + hit joins keyed; the UNCAPPED shingle self-join is the deliberate afford-once truth side (run on a sample at 100 TB); the only nested loops cross three 1-row counts",
-    "dedup_incremental_newbatch": "incremental ingest dedup: ASYMMETRIC joins only (batch hash semi-join into corpus hash set; batch bands x corpus-rep bands; candidate-verified shingle join) — no corpus x corpus pair anywhere; daily cost tracks |batch|",
     "dedup_banding_design_curve": "banding design curve: ONE shingle self-join feeds all four (b, r) configs (persisted jx relation); per config a single-row aggregate of the analytic S-curve — no signatures built, no window",
     "embedding_knn_outlier_scores": "cell-bounded kNN outliers: pair join keys on the k-means cell (quadratic only within a cell, SemDeDup's bound); neighbor rank = per-id partition-local window; TakeOrderedAndProject top-N",
     "ann_pq_recall_panel": "recall panel: codebooks fit once, codes persisted; per probe one keyed integer-sum agg + TakeOrdered + a k-row broadcast overlap — probe count multiplies only the cheap final stages",
@@ -113,6 +112,15 @@ NOTES = {
     "docs_leakage_safe_split": "dedup_clusters' collapsed-rep CC feeds a left join onto the doc scan; split = stateless hash projection of the cluster rep — no new shuffle beyond the CC itself",
     "stream_minhash_neardup_bounded": "drain of the bounded-state stream: flat LogicalRDD (foreachBatch kept one (min id, last event) entry per live band signature, vectorized keyed min-merge + horizon eviction; pairs emitted per trigger, final groupBy(id) min over pairs only)",
     "q2_min_cost_supplier_skew": "skew variant: generator relation plants a hot suppkey; both argmax aggregations key on ps_partkey (uniform); every suppkey join broadcast — no SortMergeJoin anywhere (plan-pinned)",
+    # round-12 first wave
+    "docs_bm25_topk": "inverted-index retrieval: query terms equi-join the persisted posting list AFTER the df-cap prune (fan-out bounded per term); idf/tf math is log-free rational scaled to integer micros BEFORE the per-(q,doc) sum; per-query top-k window keyed on q_id",
+    "retrieval_mrr_by_source": "shares the BM25 scoring pass; hit@3 and reciprocal-rank mass fold to integers per (query, source) then one source rollup — the eval adds two keyed exchanges to the scoring plan",
+    "users_weekly_snapshot_scd2": "weekly snapshots by one grouped max(struct(...)) (never a raw-event window); change-detect + interval-chain share a single user_id exchange",
+    "dedup_clusters_incremental": "quotient-graph fold: batch attaches to RESIDENT corpus state (Scan ExistingRDD — content groups, labels, rep bands as checkpointed tables); exact layer = content-hash join, near layer = asymmetric batch x corpus-rep LSH, CC runs on old-cluster-CONTRACTED nodes only",
+    "corpus_source_interleave_order": "two distributed_rank constructions (within-source quality rank; global interleave position on the (rank, source-rr) key) — range repartition + local row_number + tiny offset broadcasts; no SinglePartition window",
+    # round-12 second wave
+    "embedding_probe_train_scores": "trained probe: Gram/moment sufficient statistics collected in the builder (one 64-group aggregation); the shipped plan is the pure int64 zip_with margin fold + top-10%% distributed_rank keep gate + 1-row count broadcast",
+    "doc_kneser_ney_bigram": "Kneser-Ney on duplicate-collapsed content: ONE grouped agg on the persisted bigram-type table yields c(w1 .) AND the forward continuation count; backward continuation a second keyed agg; type total broadcast; copies re-attach by the rep join",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

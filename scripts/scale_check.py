@@ -200,6 +200,11 @@ QUERIES = [
     "retrieval_mrr_by_source",
     "dedup_clusters_incremental",
     "corpus_source_interleave_order",
+    # round-12 second wave: trained probe, Kneser-Ney LM, streaming
+    # BM25 index maintenance
+    "embedding_probe_train_scores",
+    "doc_kneser_ney_bigram",
+    "stream_bm25_index_fold",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
