@@ -316,7 +316,7 @@ def doc_kneser_ney_bigram(spark, sf_dir):
     _BM25_TOPK_SQL,  # the batch query's oracle, verbatim
     tags=["streaming", "retrieval", "text"],
 )
-def stream_bm25_index_fold(spark, sf_dir):
+def stream_bm25_index_fold(spark, sf_dir, chunk_order=None):
     """STREAMING BM25 index maintenance: corpus documents arrive as
     micro-batches and each ``foreachBatch`` fold keeps the retrieval
     index fresh — postings and per-doc lengths APPEND (a document is
@@ -368,16 +368,20 @@ def stream_bm25_index_fold(spark, sf_dir):
             .mode("overwrite")
             .parquet(staged)
         )
-        for i in range(n_chunks):
+        # arrival order is a free parameter BECAUSE the fold is
+        # key-commutative (appends + keyed sums); the order-invariance
+        # test drains a permuted order and asserts the identical serve
+        order = list(chunk_order) if chunk_order else list(range(n_chunks))
+        for pos, i in enumerate(order):
             chunk_dir = os.path.join(staged, f"_chunk={i}")
             if not os.path.isdir(chunk_dir):
                 continue
             part = next(
                 f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
             )
-            dst = os.path.join(src, f"{i:04d}.parquet")
+            dst = os.path.join(src, f"{pos:04d}.parquet")
             os.rename(os.path.join(chunk_dir, part), dst)
-            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+            os.utime(dst, (t0 + pos * 10, t0 + pos * 10))
 
         tf_dir = os.path.join(workdir, "tf")
         dl_dir = os.path.join(workdir, "dl")

@@ -73,6 +73,27 @@ def test_stream_bm25_fold_equals_batch(spark, sf_dir):
     assert streamed == batch and len(batch) > 0
 
 
+def test_stream_bm25_fold_arrival_order_invariant(spark, sf_dir):
+    """The fold is key-commutative (appends + keyed sums), so a
+    permuted arrival order must drain to the identical serve — the
+    claim that distinguishes this fold from the order-pinned SCD2."""
+    from ffiec_pq_spark.queries.round12b import stream_bm25_index_fold
+
+    fwd = {
+        (r["q_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in stream_bm25_index_fold(
+            spark, sf_dir, chunk_order=[0, 1, 2, 3]
+        ).collect()
+    }
+    rev = {
+        (r["q_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in stream_bm25_index_fold(
+            spark, sf_dir, chunk_order=[2, 0, 3, 1]
+        ).collect()
+    }
+    assert fwd == rev and len(fwd) > 0
+
+
 def test_stream_bm25_serve_plan(spark, sf_dir):
     """The serve step scores against resident state: its plan is the
     drained localCheckpoint (no cartesian, no re-tokenization of the
