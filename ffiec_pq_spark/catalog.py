@@ -75,6 +75,7 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 _NEVER_SAMPLED_FIRST = [
     # --- round-12 second wave (queries/round12b.py, never sampled) ---
     "embedding_probe_train_scores",
+    "embedding_probe_heldout_eval",
     "doc_kneser_ney_bigram",
     "stream_bm25_index_fold",
     # --- round-12 wave (queries/round12.py, never sampled) ---

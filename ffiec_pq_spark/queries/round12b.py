@@ -38,12 +38,14 @@ _DIM = 64
 # embedding_probe_train_scores
 
 
-def _probe_sql(iters: int = PROBE_ITERS) -> str:
-    """Unrolled INTEGER gradient descent (see operators/linear_probe.py):
-    quantized inputs, exact int64 Gram/moment sums, integer floor-division
-    steps on nonnegative numerators — no float op anywhere in the
-    recursion, margins emitted as raw int64 micros and the keep gate as
-    an exact integer rank cutoff."""
+def _probe_ctes(iters: int = PROBE_ITERS, train_where: str = "") -> tuple:
+    """Shared unrolled-GD CTE chain (see operators/linear_probe.py):
+    quantized inputs, exact int64 Gram/moment sums over the ``tr``
+    (training) slice, integer floor-division steps on nonnegative
+    numerators — no float op anywhere in the recursion.  Returns
+    ``(ctes, last_w_name)``; ``train_where`` restricts the slice the
+    sufficient statistics (and the step divisor's n) are computed
+    from — scoring always runs over the full ``ex``."""
     dd = f"(nn.n * {PROBE_D_PER_N})"
     ctes = [
         f"""ex AS (
@@ -54,14 +56,17 @@ def _probe_sql(iters: int = PROBE_ITERS) -> str:
                   AS BIGINT) AS xq
       FROM embeddings
     )""",
-        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        f"tr AS (SELECT * FROM ex {train_where})",
+        f"""nn AS (
+      SELECT count(*) AS n FROM embeddings {train_where}
+    )""",
         """gram AS (
       SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS aa
-      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2
+      FROM tr a JOIN tr b USING (vec_id) GROUP BY 1, 2
     )""",
         f"""bv AS (
       SELECT i, sum(xq * y) * {PROBE_SX * PROBE_SW} AS bs
-      FROM ex GROUP BY i
+      FROM tr GROUP BY i
     )""",
         "w0 AS (SELECT i, CAST(0 AS BIGINT) AS v FROM bv)",
     ]
@@ -81,7 +86,14 @@ def _probe_sql(iters: int = PROBE_ITERS) -> str:
       FROM g{t} g JOIN w{t} w USING (i) CROSS JOIN nn
     )"""
         )
-    last = f"w{iters}"
+    return ctes, f"w{iters}"
+
+
+def _probe_sql(iters: int = PROBE_ITERS) -> str:
+    """Full-corpus training + scoring + top-10% keep gate (the batch
+    quality-filter query): margins raw int64 micros, gate an exact
+    integer rank cutoff."""
+    ctes, last = _probe_ctes(iters)
     ctes.append(
         f"""scored AS (
       SELECT ex.vec_id, CAST(max(ex.y) AS BIGINT) AS y,
@@ -106,6 +118,50 @@ def _probe_sql(iters: int = PROBE_ITERS) -> str:
     SELECT vec_id, y, margin_micro, CAST(rank AS BIGINT) AS rank,
            (rank <= greatest(nn.n // 10, 1)) AS kept
     FROM ranked CROSS JOIN nn
+    """
+    )
+
+
+_HELDOUT_WHERE = "WHERE vec_id % 5 <> 0"
+
+
+def _probe_heldout_sql(iters: int = PROBE_ITERS) -> str:
+    """Train on the 80% hash slice, gate each split at its own top-10%
+    margin percentile, report the (split, y, kept) contingency — the
+    no-leakage eval every deployed filter needs before its threshold
+    is trusted.  All quantities exact integers."""
+    ctes, last = _probe_ctes(iters, train_where=_HELDOUT_WHERE)
+    ctes.append(
+        f"""scored AS (
+      SELECT ex.vec_id,
+             CASE WHEN ex.vec_id % 5 <> 0 THEN 'train'
+                  ELSE 'heldout' END AS split,
+             CAST(max(ex.y) AS BIGINT) AS y,
+             CAST(sum(ex.xq * w.v) AS BIGINT) AS margin_micro
+      FROM ex JOIN {last} w USING (i)
+      GROUP BY ex.vec_id
+    )"""
+    )
+    ctes.append(
+        """ranked AS (
+      SELECT split, y, margin_micro,
+             row_number() OVER (
+               PARTITION BY split
+               ORDER BY margin_micro DESC, vec_id ASC
+             ) AS rank,
+             count(*) OVER (PARTITION BY split) AS n_split
+      FROM scored
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT split, y,
+           (rank <= greatest(n_split // 10, 1)) AS kept,
+           count(*) AS n
+    FROM ranked
+    GROUP BY split, y, kept
     """
     )
 
@@ -181,6 +237,74 @@ def embedding_probe_train_scores(spark, sf_dir):
             F.col("rank")
             <= F.greatest(F.col("_n") / F.lit(10), F.lit(1)).cast("long")
         ).alias("kept"),
+    )
+
+
+@register(
+    "embedding_probe_heldout_eval",
+    _probe_heldout_sql(),
+    tags=["similarity", "iterative", "quality", "eval"],
+)
+def embedding_probe_heldout_eval(spark, sf_dir):
+    """No-leakage probe evaluation: train the linear probe on the 80%
+    hash slice (vec_id % 5 <> 0), score BOTH splits, gate each split at
+    its own top-10% margin percentile, and report the (split, y, kept)
+    contingency — the heldout precision-vs-base-rate check every
+    deployed quality filter needs before its gate is trusted (the
+    train rows only show overfit; the heldout rows are the deploy
+    estimate).  Pairs with ``docs_leakage_safe_split``: there the split
+    is made safe, here the metric is computed without leakage.
+
+    Same plan family as ``embedding_probe_train_scores`` (one Gram
+    aggregation over the train slice, driver GD on integer state,
+    exact int64 margins, per-split :func:`distributed_rank` gates) —
+    the output is the 8-row contingency, all exact integers.  The
+    train-slice model is memoized independently of the full-corpus
+    model (a DIFFERENT training set must never share weights)."""
+    from ffiec_pq_spark.operators.windows import distributed_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+    is_train = F.col("vec_id") % 5 != 0
+    key = os.path.abspath(sf_dir) + "#train80"
+    if key not in _PROBE_MODELS:
+        a, b, n = gram_moment(
+            emb.filter(is_train).select("embedding", y.alias("_yy")),
+            "embedding", "_yy", _DIM,
+        )
+        _PROBE_MODELS[key] = probe_fit_int(a, b, n, iters=PROBE_ITERS)
+    scored = probe_margins(
+        emb.withColumn("_yy", y), "embedding", "vec_id", "_yy",
+        _PROBE_MODELS[key],
+    ).withColumn(
+        "split",
+        F.when(F.col("vec_id") % 5 != 0, F.lit("train")).otherwise(
+            F.lit("heldout")
+        ),
+    )
+    n_split = scored.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_split")
+    )
+    ranked = distributed_rank(
+        scored,
+        [F.col("margin_micro").desc(), F.col("vec_id").asc()],
+        part_cols=("split",),
+        rank_col="rank",
+    )
+    return (
+        ranked.join(F.broadcast(n_split), "split")
+        .select(
+            "split",
+            "y",
+            (
+                F.col("rank")
+                <= F.greatest(
+                    F.col("n_split") / F.lit(10), F.lit(1)
+                ).cast("long")
+            ).alias("kept"),
+        )
+        .groupBy("split", "y", "kept")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

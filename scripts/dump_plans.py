@@ -120,6 +120,7 @@ NOTES = {
     "corpus_source_interleave_order": "two distributed_rank constructions (within-source quality rank; global interleave position on the (rank, source-rr) key) — range repartition + local row_number + tiny offset broadcasts; no SinglePartition window",
     # round-12 second wave
     "embedding_probe_train_scores": "trained probe: Gram/moment sufficient statistics collected in the builder (one 64-group aggregation); the shipped plan is the pure int64 zip_with margin fold + top-10%% distributed_rank keep gate + 1-row count broadcast",
+    "embedding_probe_heldout_eval": "no-leakage eval: train-slice Gram in the builder; shipped plan = margin fold + PER-SPLIT distributed_rank (part_cols=split) + 2-row split-count broadcast + one (split,y,kept) rollup",
     "doc_kneser_ney_bigram": "Kneser-Ney on duplicate-collapsed content: ONE grouped agg on the persisted bigram-type table yields c(w1 .) AND the forward continuation count; backward continuation a second keyed agg; type total broadcast; copies re-attach by the rep join",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",

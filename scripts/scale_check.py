@@ -203,6 +203,7 @@ QUERIES = [
     # round-12 second wave: trained probe, Kneser-Ney LM, streaming
     # BM25 index maintenance
     "embedding_probe_train_scores",
+    "embedding_probe_heldout_eval",
     "doc_kneser_ney_bigram",
     "stream_bm25_index_fold",
     # round-9 additions

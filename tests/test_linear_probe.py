@@ -123,6 +123,34 @@ def test_probe_scoring_plan_no_onereducer_window(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_probe_heldout_eval_contract(spark, sf_dir):
+    """The heldout eval must (a) train on a DIFFERENT memo key than the
+    full-corpus probe (separate training sets can never share weights),
+    (b) gate each split at its own n//10, (c) show heldout precision
+    above the heldout base rate on the fixture corpus."""
+    from ffiec_pq_spark.queries import round12b
+
+    round12b.clear_probe_models()
+    out = {
+        (r["split"], r["y"], r["kept"]): r["n"]
+        for r in queries()["embedding_probe_heldout_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    keys = set(round12b._PROBE_MODELS)
+    assert any(k.endswith("#train80") for k in keys)
+    queries()["embedding_probe_train_scores"](spark, sf_dir)
+    assert len(round12b._PROBE_MODELS) == 2  # independent models
+    for split in ("train", "heldout"):
+        n = sum(v for (s, _, _), v in out.items() if s == split)
+        kept = sum(v for (s, _, k), v in out.items() if s == split and k)
+        assert kept == max(n // 10, 1)
+        pos_kept = out.get((split, 1, True), 0)
+        base = sum(v for (s, yy, _), v in out.items() if s == split and yy)
+        assert pos_kept / kept > base / n
+    round12b.clear_probe_models()
+
+
 def test_probe_kept_gate_lift(spark, sf_dir):
     """The top-10% margin gate must enrich the positive class vs the
     base rate (the probe learns SOMETHING) and keep exactly n//10."""
