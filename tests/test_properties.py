@@ -757,3 +757,77 @@ def test_combine_parts_interleaves_first_seen_order(spark):
     row = out.collect()[0]
     # left wins on overlap (x from part a; y coalesces a's NULL to b's)
     assert (row["x"], row["y"], row["z"], row["w"]) == (1.0, 2.0, 3.0, 4.0)
+
+
+# ---------------------------------------------------------------------------
+# linear-probe integer recursion: Python driver loop == unrolled SQL CTEs
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(
+                st.integers(-2000, 2000).map(lambda i: i / 1000.0),
+                min_size=3, max_size=3,
+            ),
+            st.integers(0, 1),
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_probe_fit_python_matches_sql_replay(data):
+    """probe_fit_int (the driver-side loop) must agree BIT-FOR-BIT with
+    the unrolled-CTE recursion the oracle runs, for arbitrary inputs on
+    the quantization grid — pure DuckDB vs pure Python, no Spark, so
+    hypothesis can afford real example counts.  This is the guarantee
+    that keeps embedding_probe_* certifiable on ANY corpus, not just
+    the fixture."""
+    import duckdb
+
+    from ffiec_pq_spark.operators.linear_probe import (
+        PROBE_D_PER_N,
+        PROBE_SW,
+        PROBE_SX,
+        probe_fit_int,
+    )
+
+    d = 3
+    n = len(data)
+    # exact integer statistics, straight from the definition
+    xq = [[int(round(x * PROBE_SX)) for x in vec] for vec, _ in data]
+    a = [
+        [sum(xq[r][i] * xq[r][j] for r in range(n)) for j in range(d)]
+        for i in range(d)
+    ]
+    b = [sum(xq[r][i] * data[r][1] for r in range(n)) for i in range(d)]
+    w_py = probe_fit_int(a, b, n, iters=3)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (i INT, j INT, aa BIGINT)")
+    con.executemany(
+        "INSERT INTO g VALUES (?, ?, ?)",
+        [(i, j, a[i][j]) for i in range(d) for j in range(d)],
+    )
+    con.execute("CREATE TABLE bv (i INT, bs BIGINT)")
+    con.executemany(
+        "INSERT INTO bv VALUES (?, ?)",
+        [(i, b[i] * PROBE_SX * PROBE_SW) for i in range(d)],
+    )
+    dd = n * PROBE_D_PER_N
+    ctes = ["w0 AS (SELECT i, CAST(0 AS BIGINT) AS v FROM bv)"]
+    for t in range(3):
+        ctes.append(
+            f"g{t} AS (SELECT g.i AS i, sum(g.aa * w.v) - bv.bs AS gg "
+            f"FROM g JOIN w{t} w ON w.i = g.j JOIN bv ON bv.i = g.i "
+            f"GROUP BY g.i, bv.bs)"
+        )
+        ctes.append(
+            f"w{t + 1} AS (SELECT gq.i, w.v - (CASE WHEN gq.gg < 0 "
+            f"THEN -((-gq.gg) // {dd}) ELSE gq.gg // {dd} END) AS v "
+            f"FROM g{t} gq JOIN w{t} w USING (i))"
+        )
+    sql = "WITH " + ", ".join(ctes) + " SELECT v FROM w3 ORDER BY i"
+    w_sql = [r[0] for r in con.execute(sql).fetchall()]
+    con.close()
+    assert w_py == w_sql
