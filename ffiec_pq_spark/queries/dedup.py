@@ -30,12 +30,18 @@ _ROWS_PER_BAND = _N_PERM // _N_BANDS
 _K = 3
 _THRESHOLD = 0.2
 
-_SHINGLE_CTE = f"""
+def _shingle_cte(source: str = "documents") -> str:
+    """The shingle CTE over ``source`` (default: the documents view;
+    the retraction oracle passes a filtered subquery)."""
+    return f"""
     sh AS (
       SELECT doc_id AS id,
              unnest(list_distinct({shingles_sql('text', _K)})) AS shingle
-      FROM documents
+      FROM {source}
     )"""
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 _SIZES_CTE = "sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id)"
 
@@ -193,7 +199,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source: str = "documents") -> str:
     perms = perm_params(_N_PERM)
     mh_exprs = ",\n             ".join(
         f"min(({a} * (h % {_P}) + {b}) % {_P}) AS mh{i}" for i, a, b in perms
@@ -209,7 +215,7 @@ def _minhash_oracle() -> str:
         for bi in range(_N_BANDS)
     )
     return f"""
-    WITH {_SHINGLE_CTE},
+    WITH {_shingle_cte(source)},
     hashed AS (SELECT id, {hash60_sql('shingle')} AS h FROM sh),
     sig AS (
       SELECT id, {mh_exprs}
@@ -252,12 +258,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _reach_ctes() -> str:
+def _reach_ctes(source: str = "documents") -> str:
     """The recursive-CTE connected-components chain over the minhash
     pair pipeline (final CTE ``reach``: id -> cluster = min reachable
-    id) — shared by the cluster summary and the leakage-safe split
-    oracles."""
-    pair_sql = _minhash_oracle().strip()
+    id) — shared by the cluster summary, the leakage-safe split and
+    (with a filtered ``source``) the retraction oracles."""
+    pair_sql = _minhash_oracle(source).strip()
     return f"""pairs AS (
       {pair_sql}
     ),

@@ -582,3 +582,119 @@ def stream_bm25_index_fold(spark, sf_dir, chunk_order=None):
         return served.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters_retract — right-to-be-forgotten retraction from the
+# duplicate-cluster state.
+
+_RETRACT_MOD = 13
+_RETRACT_SLOT = 5
+
+
+def _retract_oracle() -> str:
+    """Naive replay: full-corpus reach AND corpus-minus-retracted reach
+    (each chain scoped inside its own CTE so names don't collide),
+    emitting the surviving-member clusters of every old cluster that
+    contained a retracted doc."""
+    from ffiec_pq_spark.queries.dedup import _reach_ctes
+
+    surv = (
+        f"(SELECT * FROM documents "
+        f"WHERE NOT (doc_id % {_RETRACT_MOD} = {_RETRACT_SLOT}))"
+    )
+    return f"""
+    WITH full_reach AS (
+      WITH {_reach_ctes()}
+      SELECT id, cluster FROM reach
+    ),
+    surv_reach AS (
+      WITH {_reach_ctes(surv)}
+      SELECT id, cluster FROM reach
+    ),
+    touched AS (
+      SELECT DISTINCT cluster FROM full_reach
+      WHERE id % {_RETRACT_MOD} = {_RETRACT_SLOT}
+    ),
+    touched_ids AS (
+      SELECT id FROM full_reach
+      WHERE cluster IN (SELECT cluster FROM touched)
+    )
+    SELECT s.cluster AS cluster_rep,
+           count(*) AS n_members,
+           array_to_string(list_sort(list(s.id)), ',') AS member_ids
+    FROM surv_reach s JOIN touched_ids USING (id)
+    GROUP BY s.cluster
+    """
+
+
+@register(
+    "dedup_clusters_retract",
+    _retract_oracle(),
+    tags=["dedup", "graph", "incremental", "privacy"],
+)
+def dedup_clusters_retract(spark, sf_dir):
+    """RETRACTION from the duplicate-cluster state — the
+    right-to-be-forgotten / bad-batch rollback twin of
+    ``dedup_clusters_incremental``: when documents are DELETED from the
+    corpus, correct the cluster labelling without re-running
+    connected components over everything.
+
+    Removal can SPLIT a cluster (deleting a bridge doc disconnects its
+    neighbors), so unlike insertion there is no quotient shortcut —
+    but the damage is provably LOCAL: every near-dup pair lies within
+    one old cluster, so removing docs changes nothing outside the
+    clusters they belonged to.  The plan therefore (1) reads the
+    RESIDENT full-corpus labelling (``component_labels`` — the shared
+    memo, no rebuild), (2) semi-joins it against the retracted ids to
+    find the touched clusters (a broadcast of cluster ids), (3) re-runs
+    the rep-level pair + components pipeline on the touched clusters'
+    SURVIVING members only — a subgraph the size of the touched
+    clusters, not the corpus — and emits their corrected cluster rows
+    (the delta a deployment upserts; clusters the oracle proves exact,
+    including splits).
+
+    At 100 TB: a deletion batch touches O(|batch|) clusters; the
+    recompute is bounded by those clusters' member count, and the
+    untouched labelling (the overwhelming majority) is never read
+    beyond the label join.  The oracle replays BOTH naive labellings
+    (full and surviving corpus) and takes the surviving members of
+    touched clusters — splits and disappearing clusters must
+    reproduce exactly."""
+    from ffiec_pq_spark.operators.dedup import (
+        dedup_cluster_summary,
+        dup_components_collapsed,
+    )
+    from ffiec_pq_spark.queries.dedup import (
+        _K,
+        _N_BANDS,
+        _N_PERM,
+        _THRESHOLD,
+        component_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = component_labels(spark, sf_dir)
+    retr_ids = docs.filter(
+        F.col("doc_id") % _RETRACT_MOD == _RETRACT_SLOT
+    ).select(F.col("doc_id").alias("id"))
+    touched = (
+        labels.join(retr_ids, "id", "left_semi").select("cluster").distinct()
+    )
+    touched_ids = labels.join(F.broadcast(touched), "cluster").select("id")
+    surv_ids = touched_ids.join(retr_ids, "id", "left_anti")
+    sub_docs = docs.join(
+        surv_ids.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    comp_new = dup_components_collapsed(
+        sub_docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS,
+        threshold=_THRESHOLD,
+    )
+    out = dedup_cluster_summary(comp_new)
+    return out.select(
+        "cluster_rep",
+        "n_members",
+        F.array_join(F.col("member_ids").cast("array<string>"), ",").alias(
+            "member_ids"
+        ),
+    )

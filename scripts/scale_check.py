@@ -206,6 +206,7 @@ QUERIES = [
     "embedding_probe_heldout_eval",
     "doc_kneser_ney_bigram",
     "stream_bm25_index_fold",
+    "dedup_clusters_retract",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

@@ -101,3 +101,57 @@ def test_stream_bm25_serve_plan(spark, sf_dir):
     df = queries()["stream_bm25_index_fold"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+_BRIDGE_A = (
+    "a2x0 a9x1 a4x2 a5x3 a6x4 a8x5 a2x6 a4x7 a1x8 a7x9 a3x10 a0x11 "
+    "a4x12 a2x13 a8x14 a1x15 a4x16 a6x17 a5x18 a4x19"
+)
+_BRIDGE_C = (
+    "c6y0 c1y1 c1y2 c8y3 c7y4 c7y5 c5y6 c5y7 c1y8 c7y9 c1y10 c7y11 "
+    "c6y12 c0y13 c4y14 c5y15 c2y16 c2y17"
+)
+_BRIDGE_B = _BRIDGE_A + " " + _BRIDGE_C[: _BRIDGE_C.rindex(" ")]
+
+
+def test_retract_splits_bridged_cluster(spark, tmp_path):
+    """Deleting a bridge document must SPLIT its cluster: doc 5 links
+    the A-side (1, 3: exact copies) to the C-side (2, 4) — at the
+    registry's LSH parameters A~B and B~C pair but A and C share no
+    shingle.  Retracting 5 (5 % 13 == 5) must emit the two surviving
+    clusters, proving the localized recompute reproduces splits (the
+    case the insertion-side quotient shortcut can never hit)."""
+    rows = [
+        (1, _BRIDGE_A), (3, _BRIDGE_A),
+        (2, _BRIDGE_C), (4, _BRIDGE_C),
+        (5, _BRIDGE_B),
+        (100, "entirely unrelated filler text about nothing at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            0
+        ).write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet"))
+
+    from ffiec_pq_spark.queries.dedup import component_labels
+
+    # precondition: the full corpus really is one bridged cluster
+    full = {
+        (r["id"], r["cluster"])
+        for r in component_labels(spark, str(tmp_path)).collect()
+    }
+    assert {c for _, c in full} == {1}
+    assert {i for i, _ in full} == {1, 2, 3, 4, 5}
+
+    out = {
+        r["cluster_rep"]: (r["n_members"], r["member_ids"])
+        for r in queries()["dedup_clusters_retract"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: (2, "1,3"), 2: (2, "2,4")}
