@@ -1,9 +1,10 @@
-"""Round-12 second wave: the three remaining first-class LLM-pipeline
-shapes — a trained linear-probe quality classifier (the fastText-style
-filter stage), Kneser-Ney smoothed LM scoring (the strongest classical
-n-gram smoothing, used by CCNet-style perplexity filters), and
-streaming BM25 inverted-index maintenance (retrieval index kept fresh
-by micro-batch folds).
+"""Round-12 second wave: five more first-class LLM-pipeline shapes —
+a trained linear-probe quality classifier (the fastText-style filter
+stage) plus its no-leakage heldout evaluation, Kneser-Ney smoothed LM
+scoring (the strongest classical n-gram smoothing, used by CCNet-style
+perplexity filters), streaming BM25 inverted-index maintenance
+(retrieval index kept fresh by micro-batch folds), and
+right-to-be-forgotten retraction from the duplicate-cluster state.
 
 The reference (iangow/ffiec.pq) has no ML / retrieval surface; these
 extend the mandated training-data-pipeline layer with the same
