@@ -79,6 +79,7 @@ _NEVER_SAMPLED_FIRST = [
     "doc_kneser_ney_bigram",
     "stream_bm25_index_fold",
     "dedup_clusters_retract",
+    "stream_bm25_delete_fold",
     # --- round-12 wave (queries/round12.py, never sampled) ---
     "users_weekly_snapshot_scd2",
     "stream_scd2_snapshot_fold",

@@ -291,9 +291,13 @@ _BM25_DF_CAP = 50  # query-term stopword prune (decontaminate precedent)
 
 _BM25_TOK = "string_split_regex(trim(text), '\\s+')"
 
-_BM25_TOPK_SQL = f"""
+def _bm25_topk_sql(corpus_where: str = "WHERE doc_id % 10 <> 0") -> str:
+    """The BM25 top-k oracle over a parameterized corpus slice (the
+    delete-fold oracle further excludes the retracted docs); the
+    module-level constant is the default, byte-identical."""
+    return f"""
     WITH corpus AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+      SELECT doc_id, text FROM documents {corpus_where}
     ),
     tok AS (
       SELECT doc_id, unnest({_BM25_TOK}) AS term FROM corpus
@@ -349,6 +353,9 @@ _BM25_TOPK_SQL = f"""
     SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
     FROM ranked WHERE rank <= {_BM25_TOPK}
     """
+
+
+_BM25_TOPK_SQL = _bm25_topk_sql()
 
 
 def _bm25_topk_frame(spark, sf_dir):

@@ -699,3 +699,199 @@ def dedup_clusters_retract(spark, sf_dir):
             "member_ids"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# stream_bm25_delete_fold — deletion maintenance for the retrieval index.
+
+_BM25_DEL_MOD = 7
+_BM25_DEL_SLOT = 3
+
+
+def _bm25_delete_oracle() -> str:
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_sql
+
+    return _bm25_topk_sql(
+        f"WHERE doc_id % 10 <> 0 "
+        f"AND NOT (doc_id % {_BM25_DEL_MOD} = {_BM25_DEL_SLOT})"
+    )
+
+
+@register(
+    "stream_bm25_delete_fold",
+    _bm25_delete_oracle(),
+    tags=["streaming", "retrieval", "text", "privacy"],
+)
+def stream_bm25_delete_fold(spark, sf_dir):
+    """DELETION maintenance for the BM25 index — the retraction twin of
+    ``stream_bm25_index_fold`` (and the lexical counterpart of the ANN
+    tombstone family): erasure requests arrive as micro-batches of doc
+    ids and each ``foreachBatch`` fold keeps the index EXACT without
+    reindexing.  Unlike ANN deletes (geometry unchanged, tombstones
+    suffice), BM25 scores depend on corpus statistics — so tombstoning
+    alone serves STALE scores.  The fold corrects them exactly:
+
+    - postings/lengths stay immutable; deleted ids append to a
+      tombstone list (served via one broadcast anti-join, the
+      ``ann_ivf_topk_deletes`` pattern);
+    - document frequencies DECREMENT by the deleted docs' term
+      presence (one keyed lookup of the batch's postings — at 100 TB a
+      point lookup on the doc_id-partitioned postings table — then a
+      keyed merge; terms reaching df=0 drop out);
+    - the (n_docs, Σdl) scalar decrements from the length state.
+
+    Per-trigger work tracks the BATCH (its postings lookup + k-row
+    merges), never the corpus.  The drained serve goes through the
+    same :func:`~ffiec_pq_spark.queries.round12._bm25_rank_postings`
+    plan and certifies against the batch oracle over the SURVIVING
+    corpus — deletion maintenance must reproduce full reindexing
+    bit-for-bit, idf shifts included."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.operators.text import tokens
+    from ffiec_pq_spark.queries.round12 import _bm25_rank_postings
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    out_schema = "q_id long, rank long, doc_id long, score_micro long"
+    if corpus.isEmpty():
+        return spark.createDataFrame([], out_schema)
+
+    workdir = tempfile.mkdtemp(prefix="stream_bm25_del_")
+    try:
+        # one-time index build (in a deployment: the stored index the
+        # erasure stream maintains)
+        tf0 = (
+            corpus.select(
+                "doc_id", F.explode(tokens("text")).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        tf_dir = os.path.join(workdir, "tf")
+        tf0.write.parquet(tf_dir)
+        tf = spark.read.parquet(tf_dir)
+        dl_dir = os.path.join(workdir, "dl")
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).write.parquet(
+            dl_dir
+        )
+        dl = spark.read.parquet(dl_dir)
+        df0 = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        meta0 = corpus.join(dl, "doc_id", "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        )
+        state = {"df": None, "meta": None, "tomb": None, "version": 0}
+
+        def _emit(df_rel, meta_rel, tomb_rel):
+            state["version"] += 1
+            v = state["version"]
+            paths = {}
+            for name, rel in (
+                ("df", df_rel), ("meta", meta_rel), ("tomb", tomb_rel)
+            ):
+                out = os.path.join(workdir, f"{name}_v{v}")
+                rel.write.parquet(out)
+                paths[name] = out
+            state.update(paths)
+
+        _emit(
+            df0,
+            meta0,
+            spark.createDataFrame([], "doc_id long"),
+        )
+
+        # stage the erasure log: ids arriving in 3 mtime-ordered chunks
+        deleted = corpus.filter(
+            F.col("doc_id") % _BM25_DEL_MOD == _BM25_DEL_SLOT
+        ).select("doc_id")
+        n_chunks = 3
+        staged = os.path.join(workdir, "staged")
+        (
+            deleted.withColumn(
+                "_chunk", F.pmod(F.col("doc_id"), F.lit(n_chunks)).cast("int")
+            )
+            .repartition(n_chunks, "_chunk")
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        t0 = 1_700_000_000
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(staged, f"_chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                continue
+            part = next(
+                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            os.rename(os.path.join(chunk_dir, part), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        def fold(batch_df, epoch_id):
+            batch_ids = batch_df.select("doc_id")
+            # the batch's postings: keyed lookup, fan-out = |batch| docs
+            del_tf = tf.join(F.broadcast(batch_ids), "doc_id", "left_semi")
+            df_dec = del_tf.groupBy("term").agg(
+                F.count(F.lit(1)).alias("dec")
+            )
+            df_prev = spark.read.parquet(state["df"])
+            df_new = (
+                df_prev.join(df_dec, "term", "left")
+                .select(
+                    "term",
+                    (
+                        F.col("df") - F.coalesce(F.col("dec"), F.lit(0))
+                    ).alias("df"),
+                )
+                .filter(F.col("df") > 0)
+            )
+            dec_meta = batch_ids.join(dl, "doc_id", "left").agg(
+                F.count(F.lit(1)).cast("long").alias("n_del"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("long")
+                .alias("dl_del"),
+            )
+            meta_prev = spark.read.parquet(state["meta"])
+            meta_new = meta_prev.crossJoin(F.broadcast(dec_meta)).select(
+                (F.col("n_docs") - F.col("n_del")).alias("n_docs"),
+                (F.col("sum_dl") - F.col("dl_del")).alias("sum_dl"),
+            )
+            tomb_new = (
+                spark.read.parquet(state["tomb"]).unionByName(batch_ids)
+            )
+            _emit(df_new, meta_new, tomb_new)
+
+        q = (
+            spark.readStream.format("parquet")
+            .schema(deleted.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        tomb = spark.read.parquet(state["tomb"])
+        tf_live = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
+        df_t = spark.read.parquet(state["df"])
+        stats = spark.read.parquet(state["meta"]).select(
+            "n_docs",
+            (
+                F.col("sum_dl").cast("double")
+                / F.nullif(F.col("n_docs"), F.lit(0))
+            ).alias("avdl"),
+        )
+        queries_df = d.filter(F.col("doc_id") % 10 == 0)
+        served = _bm25_rank_postings(tf_live, dl, df_t, stats, queries_df)
+        return served.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

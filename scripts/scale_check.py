@@ -207,6 +207,7 @@ QUERIES = [
     "doc_kneser_ney_bigram",
     "stream_bm25_index_fold",
     "dedup_clusters_retract",
+    "stream_bm25_delete_fold",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

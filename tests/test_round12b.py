@@ -155,3 +155,49 @@ def test_retract_splits_bridged_cluster(spark, tmp_path):
         ).collect()
     }
     assert out == {1: (2, "1,3"), 2: (2, "2,4")}
+
+
+def test_stream_bm25_delete_fold_equals_surviving_batch(spark, sf_dir):
+    """The deletion fold's drained serve must equal a FULL batch
+    reindex over the surviving corpus, engine-side (df decrements and
+    the stats corrections cannot drift from true recomputation) — and
+    it must differ from the undeleted index (the deletion actually
+    removed something on this fixture)."""
+    from ffiec_pq_spark.queries.round12b import (
+        _BM25_DEL_MOD,
+        _BM25_DEL_SLOT,
+        stream_bm25_delete_fold,
+    )
+    from ffiec_pq_spark.session import load_table
+
+    folded = {
+        (r["q_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in stream_bm25_delete_fold(spark, sf_dir).collect()
+    }
+    # batch reindex over survivors: reuse the batch builder on a view
+    d = load_table(spark, sf_dir, "documents").filter(
+        ~(
+            (F.col("doc_id") % 10 != 0)
+            & (F.col("doc_id") % _BM25_DEL_MOD == _BM25_DEL_SLOT)
+        )
+    )
+    import ffiec_pq_spark.queries.round12 as r12
+
+    orig = r12.load_table
+    try:
+        # the surviving-corpus view stands in for the documents table
+        r12.load_table = lambda s, sd, t: (
+            d if t == "documents" else orig(s, sd, t)
+        )
+        batch = {
+            (r["q_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+            for r in r12._bm25_topk_frame(spark, sf_dir).collect()
+        }
+    finally:
+        r12.load_table = orig
+    assert folded == batch and len(folded) > 0
+    full = {
+        (r["q_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in queries()["docs_bm25_topk"](spark, sf_dir).collect()
+    }
+    assert folded != full
