@@ -510,9 +510,15 @@ def stream_bm25_index_fold(spark, sf_dir, chunk_order=None):
 
         tf_dir = os.path.join(workdir, "tf")
         dl_dir = os.path.join(workdir, "dl")
-        state = {"df": None, "meta": None, "version": 0}
+        state = {"df": None, "meta": None, "version": 0, "epoch": -1}
 
         def fold(batch_df, epoch_id):
+            # foreachBatch is at-least-once: a replayed epoch must not
+            # double-APPEND postings (the non-idempotent half of the
+            # fold); the merged halves would double-count too
+            if epoch_id <= state["epoch"]:
+                return
+            state["epoch"] = epoch_id
             tf_b = (
                 batch_df.select(
                     "doc_id", F.explode(tokens("text")).alias("term")
@@ -785,7 +791,10 @@ def stream_bm25_delete_fold(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
         )
-        state = {"df": None, "meta": None, "tomb": None, "version": 0}
+        state = {
+            "df": None, "meta": None, "tomb": None, "version": 0,
+            "epoch": -1,
+        }
 
         def _emit(df_rel, meta_rel, tomb_rel):
             state["version"] += 1
@@ -835,6 +844,11 @@ def stream_bm25_delete_fold(spark, sf_dir):
             os.utime(dst, (t0 + i * 10, t0 + i * 10))
 
         def fold(batch_df, epoch_id):
+            # at-least-once replay guard: a re-delivered epoch would
+            # DOUBLE-DECREMENT df and the corpus scalars
+            if epoch_id <= state["epoch"]:
+                return
+            state["epoch"] = epoch_id
             batch_ids = batch_df.select("doc_id")
             # the batch's postings: keyed lookup, fan-out = |batch| docs
             del_tf = tf.join(F.broadcast(batch_ids), "doc_id", "left_semi")
