@@ -77,9 +77,9 @@ HEAVY = [
     # round-12: the bounded-state near-dup is the shape a 1000-trigger
     # deploy actually runs (watermark-horizon eviction) — benched IN
     # ADDITION to the parquet-fold variant so both trend lines
-    # continue; its builder re-runs the full stream every rep (fresh
-    # workdir by design: eviction state is per-run), so cold == warm
-    # up to noise for this one
+    # continue; cold = the full stream replay, warm = the resident
+    # drained relation (the deploy's stream runs continuously — the
+    # same convention as the fold variant's checkpoint re-attach)
     "stream_minhash_neardup_bounded",
     # round-12: incremental cluster maintenance — the cold column is
     # the one-time corpus state build (content groups + labelling +
