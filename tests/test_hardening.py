@@ -588,3 +588,36 @@ def test_resident_state_clear_hooks(spark, sf_dir):
     assert not _IVFPQ_MODELS
     clear_pca_models()
     assert not _PCA_MODELS
+
+    # round-12 second wave: the maintained BM25 indexes (state dirs on
+    # disk — clearing must also remove them), the bounded near-dup's
+    # drained relation, and the probe weights
+    import os
+
+    from ffiec_pq_spark.queries import round11, round12b
+
+    n_idx = round12b.stream_bm25_index_fold(spark, sf_dir).count()
+    (bm25_st,) = round12b._BM25_STREAM_STATE.values()
+    wd = bm25_st["workdir"]
+    assert os.path.isdir(wd)
+    round12b.clear_bm25_stream_state()
+    assert not round12b._BM25_STREAM_STATE and not os.path.isdir(wd)
+    assert round12b.stream_bm25_index_fold(spark, sf_dir).count() == n_idx
+
+    n_del = round12b.stream_bm25_delete_fold(spark, sf_dir).count()
+    assert round12b._BM25_DEL_STATE
+    round12b.clear_bm25_delete_state()
+    assert not round12b._BM25_DEL_STATE
+    assert round12b.stream_bm25_delete_fold(spark, sf_dir).count() == n_del
+
+    n_nd = round11.stream_minhash_neardup_bounded(spark, sf_dir).count()
+    assert round11._BOUNDED_NEARDUP_RUNS
+    round11.clear_bounded_neardup_state()
+    assert not round11._BOUNDED_NEARDUP_RUNS
+    assert (
+        round11.stream_minhash_neardup_bounded(spark, sf_dir).count()
+        == n_nd
+    )
+
+    round12b.clear_probe_models()
+    assert not round12b._PROBE_MODELS
