@@ -187,8 +187,10 @@ def clear_probe_models() -> None:
 )
 def embedding_probe_train_scores(spark, sf_dir):
     """Trained linear-probe quality classifier over the embedding
-    corpus — the distributed form of the fastText-style filter every
-    LLM data pipeline runs: train a linear scorer on labels (here
+    corpus — the distributed form of the fastText-style filter
+    (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification") every LLM data pipeline runs: train a linear
+    scorer on labels (here
     one-vs-rest on class 0, AUC ~0.81 on the fixture corpus), score
     the whole corpus, KEEP the top 10% by margin — the percentile
     quality gate, which is how margin scorers are actually deployed
@@ -347,7 +349,8 @@ _KN_SQL = r"""
 @register("doc_kneser_ney_bigram", _KN_SQL, tags=["lm", "quality", "text"])
 def doc_kneser_ney_bigram(spark, sf_dir):
     """Per-document mean log-probability under an interpolated
-    KNESER-NEY bigram model estimated from the corpus itself —
+    KNESER-NEY bigram model (Kneser & Ney 1995; the interpolated form
+    of Chen & Goodman 1999) estimated from the corpus itself —
     the strongest classical n-gram smoothing (continuation counts
     instead of raw unigram backoff), the scoring KenLM-style
     perplexity filters (CCNet and descendants) are built on:
