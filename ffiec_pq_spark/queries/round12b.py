@@ -55,11 +55,12 @@ def _probe_ctes(iters: int = PROBE_ITERS, train_where: str = "") -> tuple:
              generate_subscripts(embedding, 1) - 1 AS i,
              CAST(round(unnest(embedding)::DOUBLE * {PROBE_SX}, 0)
                   AS BIGINT) AS xq
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )""",
         f"tr AS (SELECT * FROM ex {train_where})",
         f"""nn AS (
-      SELECT count(*) AS n FROM embeddings {train_where}
+      SELECT count(*) AS n FROM embeddings
+      WHERE embedding IS NOT NULL {train_where.replace('WHERE', 'AND', 1)}
     )""",
         """gram AS (
       SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS aa
@@ -212,7 +213,12 @@ def embedding_probe_train_scores(spark, sf_dir):
     retrains (cold = train + score, warm = score)."""
     from ffiec_pq_spark.operators.windows import distributed_rank
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings carry no features: both engines drop them (the
+    # oracle's unnest produces no rows for them; the divisor n must
+    # agree), so the filter is part of the operator's contract
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
     key = os.path.abspath(sf_dir)
     if key not in _PROBE_MODELS:
@@ -266,7 +272,9 @@ def embedding_probe_heldout_eval(spark, sf_dir):
     model (a DIFFERENT training set must never share weights)."""
     from ffiec_pq_spark.operators.windows import distributed_rank
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
     is_train = F.col("vec_id") % 5 != 0
     key = os.path.abspath(sf_dir) + "#train80"
