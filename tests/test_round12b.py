@@ -201,3 +201,63 @@ def test_stream_bm25_delete_fold_equals_surviving_batch(spark, sf_dir):
         for r in queries()["docs_bm25_topk"](spark, sf_dir).collect()
     }
     assert folded != full
+
+
+def test_kneser_ney_distribution_sums_to_one():
+    """The interpolated KN estimator is a PROPER conditional
+    distribution: for every context w1, summing P_KN(w2|w1) over the
+    whole continuation vocabulary gives exactly 1 — the discounted
+    mass (c-D)/c1 leaves D*N1+(w1 .)/c1 on the table and the
+    continuation distribution (which itself sums to 1) redistributes
+    all of it.  Checked numerically in DuckDB with the query's own
+    formula on a small corpus; a formula typo (e.g. forgetting the
+    lambda normalization) breaks this immediately."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE documents AS SELECT * FROM (VALUES
+           (1, 'a b a c a b d'), (2, 'b a b c d a'), (3, 'c d c a b')
+        ) t(doc_id, text)"""
+    )
+    rows = con.execute(
+        r"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+        c1 AS (
+          SELECT w1, CAST(sum(n2) AS BIGINT) AS n1, count(*) AS nfw
+          FROM c2 GROUP BY 1
+        ),
+        bw AS (SELECT w2, count(*) AS nbw FROM c2 GROUP BY 1),
+        na AS (SELECT count(*) AS nall FROM c2),
+        vocab AS (SELECT DISTINCT w2 FROM c2),
+        -- P_KN over the FULL vocab per context: observed bigrams get
+        -- the discounted term, unobserved only the continuation term
+        full_p AS (
+          SELECT ctx.w1,
+                 sum(
+                   CASE WHEN c2.n2 IS NOT NULL
+                        THEN (c2.n2 - 0.75) / ctx.n1 ELSE 0 END
+                   + ((0.75 * ctx.nfw) / ctx.n1)
+                     * (CAST(bw.nbw AS DOUBLE) / na.nall)
+                 ) AS total
+          FROM c1 ctx
+          CROSS JOIN vocab v
+          JOIN bw ON bw.w2 = v.w2
+          LEFT JOIN c2 ON c2.w1 = ctx.w1 AND c2.w2 = v.w2
+          CROSS JOIN na
+          GROUP BY ctx.w1
+        )
+        SELECT w1, total FROM full_p
+        """
+    ).fetchall()
+    assert rows
+    for w1, total in rows:
+        assert abs(total - 1.0) < 1e-12, (w1, total)
