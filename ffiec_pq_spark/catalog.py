@@ -80,6 +80,7 @@ _NEVER_SAMPLED_FIRST = [
     "stream_bm25_index_fold",
     "dedup_clusters_retract",
     "stream_bm25_delete_fold",
+    "embedding_probe_unlearn",
     # --- round-12 wave (queries/round12.py, never sampled) ---
     "users_weekly_snapshot_scd2",
     "stream_scd2_snapshot_fold",

@@ -1005,3 +1005,137 @@ def _bm25_delete_build(spark, corpus):
     except BaseException:
         shutil.rmtree(workdir, ignore_errors=True)
         raise
+
+
+# --------------------------------------------------------------------------
+# embedding_probe_unlearn — exact machine unlearning for the probe.
+
+_UNLEARN_MOD = 9
+_UNLEARN_SLOT = 4
+_UNLEARN_WHERE = (
+    f"WHERE NOT (vec_id % {_UNLEARN_MOD} = {_UNLEARN_SLOT})"
+)
+
+
+def _probe_unlearn_sql(iters: int = PROBE_ITERS) -> str:
+    """From-scratch training on the SURVIVING vectors only — the
+    ground truth exact unlearning must reproduce bit-for-bit."""
+    ctes, last = _probe_ctes(iters, train_where=_UNLEARN_WHERE)
+    ctes.append(
+        f"""scored AS (
+      SELECT ex.vec_id, CAST(max(ex.y) AS BIGINT) AS y,
+             CAST(sum(ex.xq * w.v) AS BIGINT) AS margin_micro
+      FROM ex JOIN {last} w USING (i)
+      WHERE NOT (ex.vec_id % {_UNLEARN_MOD} = {_UNLEARN_SLOT})
+      GROUP BY ex.vec_id
+    )"""
+    )
+    ctes.append(
+        """ranked AS (
+      SELECT vec_id, y, margin_micro,
+             row_number() OVER (
+               ORDER BY margin_micro DESC, vec_id ASC
+             ) AS rank
+      FROM scored
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT vec_id, y, margin_micro, CAST(rank AS BIGINT) AS rank,
+           (rank <= greatest(nn.n // 10, 1)) AS kept
+    FROM ranked CROSS JOIN nn
+    """
+    )
+
+
+# Full-corpus sufficient statistics (A, B, n) per abspath(sf_dir):
+# the unlearning path subtracts erased vectors' contributions from
+# these instead of rescanning the survivors.
+_PROBE_STATS: dict[str, tuple] = {}
+
+
+def clear_probe_stats() -> None:
+    """Invalidate the resident probe sufficient statistics."""
+    _PROBE_STATS.clear()
+
+
+@register(
+    "embedding_probe_unlearn",
+    _probe_unlearn_sql(),
+    tags=["similarity", "iterative", "quality", "privacy"],
+)
+def embedding_probe_unlearn(spark, sf_dir):
+    """EXACT machine unlearning for the linear-probe quality filter —
+    the model-side half of a right-to-be-forgotten pipeline (the data
+    side is ``dedup_clusters_retract`` / the tombstone families): when
+    vectors are erased, the trained filter must forget them EXACTLY,
+    not approximately.
+
+    Linear models admit exact unlearning through their sufficient
+    statistics (the classic result behind certified data deletion for
+    linear/ridge regression, cf. Guo et al. 2020, "Certified Data
+    Removal"): the Gram matrix and moment vector are SUMS over rows,
+    so the erased vectors' contributions subtract out exactly —
+
+        A' = A − Σ_del xq xqᵀ,  B' = B − Σ_del xq·y,  n' = n − |del|
+
+    — and because this engine's GD runs on an INTEGER grid, "exactly"
+    is bit-for-bit, not up-to-float-error: the oracle trains FROM
+    SCRATCH on the survivors and the hash must match.
+
+    Plan: the resident full-corpus statistics (``_PROBE_STATS``, one
+    Gram aggregation, memoized) minus one Gram aggregation over the
+    ERASED slice only (cost ∝ |deleted|, never the corpus), GD on the
+    corrected 32 KB state driver-side, then the scoring projection and
+    top-10% gate over the survivors — the full retrain-on-survivors
+    answer at the cost of scanning the deletions."""
+    from ffiec_pq_spark.operators.windows import distributed_rank
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+    key = os.path.abspath(sf_dir)
+    if key not in _PROBE_STATS:
+        _PROBE_STATS[key] = gram_moment(
+            emb.select("embedding", y.alias("_yy")), "embedding", "_yy",
+            _DIM,
+        )
+    a, b, n = _PROBE_STATS[key]
+    deleted = emb.filter(
+        F.col("vec_id") % _UNLEARN_MOD == _UNLEARN_SLOT
+    )
+    a_d, b_d, n_d = gram_moment(
+        deleted.select("embedding", y.alias("_yy")), "embedding", "_yy",
+        _DIM,
+    )
+    a_s = [
+        [a[i][j] - a_d[i][j] for j in range(_DIM)] for i in range(_DIM)
+    ]
+    b_s = [b[i] - b_d[i] for i in range(_DIM)]
+    w = probe_fit_int(a_s, b_s, n - n_d, iters=PROBE_ITERS)
+
+    survivors = emb.filter(
+        F.col("vec_id") % _UNLEARN_MOD != _UNLEARN_SLOT
+    )
+    scored = probe_margins(
+        survivors.withColumn("_yy", y), "embedding", "vec_id", "_yy", w
+    )
+    n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = distributed_rank(
+        scored,
+        [F.col("margin_micro").desc(), F.col("vec_id").asc()],
+        rank_col="rank",
+    )
+    return ranked.crossJoin(F.broadcast(n_tot)).select(
+        "vec_id",
+        "y",
+        "margin_micro",
+        F.col("rank").cast("long").alias("rank"),
+        (
+            F.col("rank")
+            <= F.greatest(F.col("_n") / F.lit(10), F.lit(1)).cast("long")
+        ).alias("kept"),
+    )

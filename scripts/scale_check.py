@@ -208,6 +208,7 @@ QUERIES = [
     "stream_bm25_index_fold",
     "dedup_clusters_retract",
     "stream_bm25_delete_fold",
+    "embedding_probe_unlearn",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

@@ -166,3 +166,44 @@ def test_probe_kept_gate_lift(spark, sf_dir):
     prec = by[True]["pos"] / by[True]["n"]
     base = sum(r["pos"] for r in agg) / n
     assert prec > base
+
+
+def test_unlearn_subtraction_equals_fresh_stats(spark, sf_dir):
+    """The unlearning path's corrected statistics (resident full-corpus
+    Gram minus the deleted slice's Gram) must equal gram_moment
+    computed directly on the survivors — integer sums make the
+    subtraction exact, so the two routes are the same numbers, not
+    approximately the same."""
+    from ffiec_pq_spark.queries import round12b
+    from ffiec_pq_spark.queries.round12b import (
+        _DIM,
+        _UNLEARN_MOD,
+        _UNLEARN_SLOT,
+    )
+    from ffiec_pq_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+    a, b, n = gram_moment(
+        emb.select("embedding", y.alias("_yy")), "embedding", "_yy", _DIM
+    )
+    a_d, b_d, n_d = gram_moment(
+        emb.filter(F.col("vec_id") % _UNLEARN_MOD == _UNLEARN_SLOT)
+        .select("embedding", y.alias("_yy")),
+        "embedding", "_yy", _DIM,
+    )
+    a_s, b_s, n_s = gram_moment(
+        emb.filter(F.col("vec_id") % _UNLEARN_MOD != _UNLEARN_SLOT)
+        .select("embedding", y.alias("_yy")),
+        "embedding", "_yy", _DIM,
+    )
+    assert n - n_d == n_s and n_d > 0
+    assert [bi - bdi for bi, bdi in zip(b, b_d)] == b_s
+    assert [
+        [a[i][j] - a_d[i][j] for j in range(_DIM)] for i in range(_DIM)
+    ] == a_s
+    # and the registry query's memo exposes a working clear hook
+    round12b.clear_probe_stats()
+    assert not round12b._PROBE_STATS
