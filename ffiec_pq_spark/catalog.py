@@ -81,6 +81,7 @@ _NEVER_SAMPLED_FIRST = [
     "dedup_clusters_retract",
     "stream_bm25_delete_fold",
     "embedding_probe_unlearn",
+    "stream_probe_stats_fold",
     # --- round-12 wave (queries/round12.py, never sampled) ---
     "users_weekly_snapshot_scd2",
     "stream_scd2_snapshot_fold",

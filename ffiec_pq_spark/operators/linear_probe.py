@@ -73,17 +73,20 @@ def _xq_col(vec_col: str) -> F.Column:
     )
 
 
-def gram_moment(
+def gram_moment_df(
     df: DataFrame, vec_col: str, y_col: str, dim: int
-) -> tuple[list[list[int]], list[int], int]:
-    """(A, B, n): Gram matrix ``A[i][j] = Σ xq_i·xq_j``, moment vector
-    ``B[i] = Σ xq_i·y`` and the row count, via ONE grouped aggregation
-    (explode-i / sum-j, map-side partials -> d rows per partition)."""
+) -> DataFrame:
+    """The sufficient-statistics RELATION (one row per dimension i with
+    columns ``a0..a{d-1}``, ``b``, ``n``) via ONE grouped aggregation
+    (explode-i / sum-j, map-side partials -> d rows per partition).
+    Being sums, these rows MERGE exactly across batches (keyed add) and
+    UNLEARN exactly (keyed subtract) — the streaming fold and the
+    unlearning path both build on that."""
     ex = df.select(
         _xq_col(vec_col).alias("_xq"),
         F.coalesce(F.col(y_col), F.lit(0)).cast("long").alias("_y"),
     ).select(F.posexplode("_xq").alias("i", "xi"), "_xq", "_y")
-    sums = ex.groupBy("i").agg(
+    return ex.groupBy("i").agg(
         *[
             F.sum(F.col("xi") * F.element_at("_xq", j + 1)).alias(f"a{j}")
             for j in range(dim)
@@ -91,7 +94,13 @@ def gram_moment(
         F.sum(F.col("xi") * F.col("_y")).alias("b"),
         F.count(F.lit(1)).alias("n"),
     )
-    rows = sums.collect()
+
+
+def stats_rows_to_abn(
+    rows, dim: int
+) -> tuple[list[list[int]], list[int], int]:
+    """Collected sufficient-statistics rows -> (A, B, n) integer
+    lists for the driver-side GD loop."""
     a = [[0] * dim for _ in range(dim)]
     b = [0] * dim
     n = 0
@@ -102,6 +111,16 @@ def gram_moment(
         for j in range(dim):
             a[i][j] = int(r[f"a{j}"] or 0)
     return a, b, n
+
+
+def gram_moment(
+    df: DataFrame, vec_col: str, y_col: str, dim: int
+) -> tuple[list[list[int]], list[int], int]:
+    """(A, B, n): the collected form of :func:`gram_moment_df` —
+    driver-side integer lists for the GD loop."""
+    return stats_rows_to_abn(
+        gram_moment_df(df, vec_col, y_col, dim).collect(), dim
+    )
 
 
 def probe_fit_int(

@@ -1139,3 +1139,182 @@ def embedding_probe_unlearn(spark, sf_dir):
             <= F.greatest(F.col("_n") / F.lit(10), F.lit(1)).cast("long")
         ).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# stream_probe_stats_fold — incremental training: the sufficient
+# statistics fold from arriving micro-batches.
+
+
+@register(
+    "stream_probe_stats_fold",
+    _probe_sql(),  # the batch training oracle, verbatim
+    tags=["streaming", "similarity", "iterative", "quality"],
+)
+def stream_probe_stats_fold(spark, sf_dir):
+    """INCREMENTAL training for the linear-probe quality filter:
+    labelled vectors arrive as micro-batches and each ``foreachBatch``
+    fold MERGES their Gram/moment contributions into the resident
+    sufficient-statistics relation — one keyed add of 64 rows per
+    trigger (the batch's own statistics cost one aggregation over the
+    BATCH, never the accumulated corpus).  Completes the trainer
+    lifecycle: batch train, no-leakage heldout eval, exact unlearning
+    (keyed subtract), and now streaming accumulation (keyed add) —
+    all four arms share the same integer statistics, so all four are
+    bit-for-bit consistent with each other by construction.
+
+    The serve step refits on the accumulated statistics (driver GD on
+    32 KB of integer state) and scores every arrived vector through
+    the usual margin fold + top-10% gate.  Because integer sums are
+    commutative and associative, the drained statistics equal the
+    full-corpus aggregation EXACTLY under any batching — certified
+    against the IDENTICAL oracle as ``embedding_probe_train_scores``
+    (batch training from scratch).
+
+    Resident per (session, dataset) (``_PROBE_STREAM_STATE``): cold =
+    ingest replay + refit + score, warm = refit + score against the
+    resident statistics."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.operators.linear_probe import (
+        gram_moment_df,
+        probe_fit_int,
+        stats_rows_to_abn,
+    )
+    from ffiec_pq_spark.operators.windows import distributed_rank
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out_schema = (
+        "vec_id long, y long, margin_micro long, rank long, kept boolean"
+    )
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    st = _PROBE_STREAM_STATE.get(key)
+    if st is None:
+        if emb.isEmpty():
+            return spark.createDataFrame([], out_schema)
+        y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+        workdir = tempfile.mkdtemp(prefix="stream_probe_")
+        try:
+            n_chunks = 4
+            staged = os.path.join(workdir, "staged")
+            (
+                emb.withColumn(
+                    "_chunk",
+                    F.pmod(F.col("vec_id"), F.lit(n_chunks)).cast("int"),
+                )
+                .repartition(n_chunks, "_chunk")
+                .write.partitionBy("_chunk")
+                .mode("overwrite")
+                .parquet(staged)
+            )
+            src = os.path.join(workdir, "src")
+            os.makedirs(src)
+            t0 = 1_700_000_000
+            for i in range(n_chunks):
+                chunk_dir = os.path.join(staged, f"_chunk={i}")
+                if not os.path.isdir(chunk_dir):
+                    continue
+                part = next(
+                    f
+                    for f in os.listdir(chunk_dir)
+                    if f.endswith(".parquet")
+                )
+                dst = os.path.join(src, f"{i:04d}.parquet")
+                os.rename(os.path.join(chunk_dir, part), dst)
+                os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+            state = {"stats": None, "version": 0, "epoch": -1}
+            sum_cols = [f"a{j}" for j in range(_DIM)] + ["b", "n"]
+
+            def fold(batch_df, epoch_id):
+                # at-least-once replay guard: a re-delivered epoch
+                # would double-count its batch's statistics
+                if epoch_id <= state["epoch"]:
+                    return
+                state["epoch"] = epoch_id
+                yb = (
+                    F.coalesce(F.col("label"), F.lit(0)) == 0
+                ).cast("long")
+                stats_b = gram_moment_df(
+                    batch_df.withColumn("_yy", yb), "embedding", "_yy",
+                    _DIM,
+                )
+                if state["stats"] is not None:
+                    stats_b = (
+                        spark.read.parquet(state["stats"])
+                        .unionByName(stats_b)
+                        .groupBy("i")
+                        .agg(
+                            *[
+                                F.sum(c).cast("long").alias(c)
+                                for c in sum_cols
+                            ]
+                        )
+                    )
+                state["version"] += 1
+                out = os.path.join(
+                    workdir, f"stats_v{state['version']}"
+                )
+                stats_b.write.parquet(out)
+                state["stats"] = out
+
+            q = (
+                spark.readStream.format("parquet")
+                .schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+                .writeStream.foreachBatch(fold)
+                .option(
+                    "checkpointLocation", os.path.join(workdir, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            st = {"workdir": workdir, "stats": state["stats"]}
+            _PROBE_STREAM_STATE[key] = st
+        except BaseException:
+            shutil.rmtree(workdir, ignore_errors=True)
+            raise
+
+    a, b, n = stats_rows_to_abn(
+        spark.read.parquet(st["stats"]).collect(), _DIM
+    )
+    w = probe_fit_int(a, b, n, iters=PROBE_ITERS)
+    y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+    scored = probe_margins(
+        emb.withColumn("_yy", y), "embedding", "vec_id", "_yy", w
+    )
+    n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = distributed_rank(
+        scored,
+        [F.col("margin_micro").desc(), F.col("vec_id").asc()],
+        rank_col="rank",
+    )
+    return ranked.crossJoin(F.broadcast(n_tot)).select(
+        "vec_id",
+        "y",
+        "margin_micro",
+        F.col("rank").cast("long").alias("rank"),
+        (
+            F.col("rank")
+            <= F.greatest(F.col("_n") / F.lit(10), F.lit(1)).cast("long")
+        ).alias("kept"),
+    )
+
+
+_PROBE_STREAM_STATE: dict[tuple, dict] = {}
+
+
+def clear_probe_stream_state() -> None:
+    """Invalidate the resident streamed statistics."""
+    import shutil
+
+    for st in _PROBE_STREAM_STATE.values():
+        shutil.rmtree(st["workdir"], ignore_errors=True)
+    _PROBE_STREAM_STATE.clear()

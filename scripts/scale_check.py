@@ -209,6 +209,7 @@ QUERIES = [
     "dedup_clusters_retract",
     "stream_bm25_delete_fold",
     "embedding_probe_unlearn",
+    "stream_probe_stats_fold",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
