@@ -175,8 +175,17 @@ def probe_margins(
     — one narrow projection, no shuffle, no Python.  Downstream gates
     (the top-p%% keep decision) rank these exact integers."""
     w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w_int])
+    # coalesce: zip_with pads the shorter side with NULL, so a vector
+    # with fewer dims than the probe would otherwise fold to a NULL
+    # margin while the oracle's subscript join computes the partial
+    # dot product — the null-safe product makes both engines agree on
+    # ANY dimension (missing dims contribute 0, the oracle semantics)
     mi = F.aggregate(
-        F.zip_with(_xq_col(vec_col), w_arr, lambda x, w: x * w),
+        F.zip_with(
+            _xq_col(vec_col),
+            w_arr,
+            lambda x, w: F.coalesce(x * w, F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )

@@ -207,3 +207,20 @@ def test_unlearn_subtraction_equals_fresh_stats(spark, sf_dir):
     # and the registry query's memo exposes a working clear hook
     round12b.clear_probe_stats()
     assert not round12b._PROBE_STATS
+
+
+def test_margins_partial_dim_vector(spark):
+    """A vector shorter than the probe folds to the PARTIAL dot
+    product (missing dims contribute 0 — the oracle's subscript-join
+    semantics), never a NULL margin."""
+    df = spark.createDataFrame(
+        [(1, [0.001]), (2, [0.001, -0.002, 0.004])],
+        "vec_id long, embedding array<double>",
+    ).withColumn("y", F.lit(0).cast("long"))
+    out = {
+        r["vec_id"]: r["margin_micro"]
+        for r in probe_margins(df, "embedding", "vec_id", "y", [7, -3])
+        .collect()
+    }
+    assert out[1] == 1 * 7  # second weight unused
+    assert out[2] == 1 * 7 + (-2) * (-3)  # third dim has no weight
