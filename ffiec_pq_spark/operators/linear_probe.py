@@ -100,16 +100,32 @@ def stats_rows_to_abn(
     rows, dim: int
 ) -> tuple[list[list[int]], list[int], int]:
     """Collected sufficient-statistics rows -> (A, B, n) integer
-    lists for the driver-side GD loop."""
+    lists for the driver-side GD loop.
+
+    ``n`` is read from the ``i == 0`` row ONLY: every vector that
+    contributes any dimension contributes dimension 0 (zero-length
+    arrays are excluded by the operator contract — callers filter
+    ``size(embedding) > 0``), so that count equals the oracle's single
+    global ``nn`` and is independent of ``collect()`` row order even on
+    heterogeneous-dimension corpora.  Reading it off whichever row
+    happened to arrive last made the GD divisor ``D = n*PROBE_D_PER_N``
+    run-to-run nondeterministic on exactly those corpora."""
     a = [[0] * dim for _ in range(dim)]
     b = [0] * dim
-    n = 0
+    n = None
     for r in rows:
         i = r["i"]
-        n = int(r["n"])
+        if i == 0:
+            n = int(r["n"])
         b[i] = int(r["b"] or 0)
         for j in range(dim):
             a[i][j] = int(r[f"a{j}"] or 0)
+    if n is None:
+        assert not rows, (
+            "probe statistics carry rows but no i=0 dimension: the "
+            "training frame violated the non-empty-vector contract"
+        )
+        n = 0
     return a, b, n
 
 

@@ -198,9 +198,16 @@ def stream_scd2_snapshot_fold(spark, sf_dir):
             # strictly increasing mtimes pin arrival order to week order
             os.utime(dst, (t0 + i * 10, t0 + i * 10))
 
-        state = {"path": None, "version": 0}
+        state = {"path": None, "version": 0, "epoch": -1}
 
         def fold(batch_df, epoch_id):
+            # at-least-once replay guard (recorded AFTER the state
+            # write, so a redelivery following a mid-fold failure
+            # re-runs instead of silently skipping): re-merging a
+            # delivered week would re-stitch its runs onto intervals
+            # that already absorbed them
+            if epoch_id <= state["epoch"]:
+                return
             b = scd2_from_snapshots(
                 batch_df, "user_id", ["event_type"], "week"
             )
@@ -261,6 +268,7 @@ def stream_scd2_snapshot_fold(spark, sf_dir):
             out = os.path.join(workdir, f"state_v{state['version']}")
             merged.write.parquet(out)
             state["path"] = out
+            state["epoch"] = epoch_id
 
         q = (
             spark.readStream.format("parquet")

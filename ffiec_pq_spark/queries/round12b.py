@@ -39,15 +39,27 @@ _DIM = 64
 # embedding_probe_train_scores
 
 
-def _probe_ctes(iters: int = PROBE_ITERS, train_where: str = "") -> tuple:
+def _probe_ctes(iters: int = PROBE_ITERS, train_pred: str = "") -> tuple:
     """Shared unrolled-GD CTE chain (see operators/linear_probe.py):
     quantized inputs, exact int64 Gram/moment sums over the ``tr``
     (training) slice, integer floor-division steps on nonnegative
     numerators — no float op anywhere in the recursion.  Returns
-    ``(ctes, last_w_name)``; ``train_where`` restricts the slice the
+    ``(ctes, last_w_name)``; ``train_pred`` is a BARE predicate (no
+    WHERE keyword — composed explicitly at each use site, never by
+    string surgery on the caller's clause) restricting the slice the
     sufficient statistics (and the step divisor's n) are computed
-    from — scoring always runs over the full ``ex``."""
+    from — scoring always runs over the full ``ex``.
+
+    Empty (zero-length, non-NULL) embedding arrays are excluded on
+    BOTH engines as part of the operator contract: they carry no
+    features (unnest yields no ex rows), so counting them in ``nn``
+    while excluding them from ``scored`` would make the divisor, the
+    row set, and the top-10%% cutoff disagree — the Spark side filters
+    ``size(embedding) > 0`` to the same effect."""
     dd = f"(nn.n * {PROBE_D_PER_N})"
+    base_pred = "embedding IS NOT NULL AND len(embedding) > 0"
+    tr_where = f" WHERE {train_pred}" if train_pred else ""
+    nn_and = f" AND {train_pred}" if train_pred else ""
     ctes = [
         f"""ex AS (
       SELECT vec_id,
@@ -55,12 +67,12 @@ def _probe_ctes(iters: int = PROBE_ITERS, train_where: str = "") -> tuple:
              generate_subscripts(embedding, 1) - 1 AS i,
              CAST(round(unnest(embedding)::DOUBLE * {PROBE_SX}, 0)
                   AS BIGINT) AS xq
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE {base_pred}
     )""",
-        f"tr AS (SELECT * FROM ex {train_where})",
+        f"tr AS (SELECT * FROM ex{tr_where})",
         f"""nn AS (
       SELECT count(*) AS n FROM embeddings
-      WHERE embedding IS NOT NULL {train_where.replace('WHERE', 'AND', 1)}
+      WHERE {base_pred}{nn_and}
     )""",
         """gram AS (
       SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS aa
@@ -124,7 +136,7 @@ def _probe_sql(iters: int = PROBE_ITERS) -> str:
     )
 
 
-_HELDOUT_WHERE = "WHERE vec_id % 5 <> 0"
+_HELDOUT_PRED = "vec_id % 5 <> 0"
 
 
 def _probe_heldout_sql(iters: int = PROBE_ITERS) -> str:
@@ -132,7 +144,7 @@ def _probe_heldout_sql(iters: int = PROBE_ITERS) -> str:
     margin percentile, report the (split, y, kept) contingency — the
     no-leakage eval every deployed filter needs before its threshold
     is trusted.  All quantities exact integers."""
-    ctes, last = _probe_ctes(iters, train_where=_HELDOUT_WHERE)
+    ctes, last = _probe_ctes(iters, train_pred=_HELDOUT_PRED)
     ctes.append(
         f"""scored AS (
       SELECT ex.vec_id,
@@ -213,11 +225,12 @@ def embedding_probe_train_scores(spark, sf_dir):
     retrains (cold = train + score, warm = score)."""
     from ffiec_pq_spark.operators.windows import distributed_rank
 
-    # NULL embeddings carry no features: both engines drop them (the
-    # oracle's unnest produces no rows for them; the divisor n must
+    # NULL and EMPTY embeddings carry no features: both engines drop
+    # them (the oracle's unnest produces no rows for either; the
+    # divisor n, the scored row set, and the top-10% cutoff must all
     # agree), so the filter is part of the operator's contract
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
     key = os.path.abspath(sf_dir)
@@ -273,7 +286,7 @@ def embedding_probe_heldout_eval(spark, sf_dir):
     from ffiec_pq_spark.operators.windows import distributed_rank
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
     is_train = F.col("vec_id") % 5 != 0
@@ -594,10 +607,13 @@ def _bm25_stream_build(spark, corpus, chunk_order=None):
         def fold(batch_df, epoch_id):
             # foreachBatch is at-least-once: a replayed epoch must not
             # double-APPEND postings (the non-idempotent half of the
-            # fold); the merged halves would double-count too
+            # fold); the merged halves would double-count too.  The
+            # guard records the epoch only AFTER the epoch's writes
+            # complete — recording it first would turn a redelivery
+            # after a mid-fold failure into a silent wholesale skip
+            # (at-most-once), dropping that batch's updates
             if epoch_id <= state["epoch"]:
                 return
-            state["epoch"] = epoch_id
             tf_b = (
                 batch_df.select(
                     "doc_id", F.explode(tokens("text")).alias("term")
@@ -640,6 +656,7 @@ def _bm25_stream_build(spark, corpus, chunk_order=None):
             state["df"] = df_out
             state["meta"] = meta_out
             tf_b.unpersist()
+            state["epoch"] = epoch_id
 
         q = (
             spark.readStream.format("parquet")
@@ -946,10 +963,11 @@ def _bm25_delete_build(spark, corpus):
 
         def fold(batch_df, epoch_id):
             # at-least-once replay guard: a re-delivered epoch would
-            # DOUBLE-DECREMENT df and the corpus scalars
+            # DOUBLE-DECREMENT df and the corpus scalars; recorded
+            # AFTER the writes so a redelivery following a mid-fold
+            # failure re-runs instead of silently skipping
             if epoch_id <= state["epoch"]:
                 return
-            state["epoch"] = epoch_id
             batch_ids = batch_df.select("doc_id")
             # the batch's postings: keyed lookup, fan-out = |batch| docs
             del_tf = tf.join(F.broadcast(batch_ids), "doc_id", "left_semi")
@@ -982,6 +1000,7 @@ def _bm25_delete_build(spark, corpus):
                 spark.read.parquet(state["tomb"]).unionByName(batch_ids)
             )
             _emit(df_new, meta_new, tomb_new)
+            state["epoch"] = epoch_id
 
         q = (
             spark.readStream.format("parquet")
@@ -1012,15 +1031,15 @@ def _bm25_delete_build(spark, corpus):
 
 _UNLEARN_MOD = 9
 _UNLEARN_SLOT = 4
-_UNLEARN_WHERE = (
-    f"WHERE NOT (vec_id % {_UNLEARN_MOD} = {_UNLEARN_SLOT})"
+_UNLEARN_PRED = (
+    f"NOT (vec_id % {_UNLEARN_MOD} = {_UNLEARN_SLOT})"
 )
 
 
 def _probe_unlearn_sql(iters: int = PROBE_ITERS) -> str:
     """From-scratch training on the SURVIVING vectors only — the
     ground truth exact unlearning must reproduce bit-for-bit."""
-    ctes, last = _probe_ctes(iters, train_where=_UNLEARN_WHERE)
+    ctes, last = _probe_ctes(iters, train_pred=_UNLEARN_PRED)
     ctes.append(
         f"""scored AS (
       SELECT ex.vec_id, CAST(max(ex.y) AS BIGINT) AS y,
@@ -1094,7 +1113,7 @@ def embedding_probe_unlearn(spark, sf_dir):
     from ffiec_pq_spark.operators.windows import distributed_rank
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
     key = os.path.abspath(sf_dir)
@@ -1187,7 +1206,7 @@ def stream_probe_stats_fold(spark, sf_dir):
 
     ensure_session_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
     out_schema = (
         "vec_id long, y long, margin_micro long, rank long, kept boolean"
@@ -1233,10 +1252,11 @@ def stream_probe_stats_fold(spark, sf_dir):
 
             def fold(batch_df, epoch_id):
                 # at-least-once replay guard: a re-delivered epoch
-                # would double-count its batch's statistics
+                # would double-count its batch's statistics; recorded
+                # AFTER the write so a redelivery following a
+                # mid-fold failure re-runs instead of skipping
                 if epoch_id <= state["epoch"]:
                     return
-                state["epoch"] = epoch_id
                 yb = (
                     F.coalesce(F.col("label"), F.lit(0)) == 0
                 ).cast("long")
@@ -1262,6 +1282,7 @@ def stream_probe_stats_fold(spark, sf_dir):
                 )
                 stats_b.write.parquet(out)
                 state["stats"] = out
+                state["epoch"] = epoch_id
 
             q = (
                 spark.readStream.format("parquet")
