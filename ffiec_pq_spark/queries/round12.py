@@ -151,6 +151,7 @@ def stream_scd2_snapshot_fold(spark, sf_dir):
 
     from ffiec_pq_spark.operators.windows import scd2_from_snapshots
     from ffiec_pq_spark.session import ensure_session_confs
+    from ffiec_pq_spark.streaming.state import retire_versions
 
     ensure_session_confs(spark)
     snap = _weekly_snapshots(spark, sf_dir)
@@ -268,6 +269,10 @@ def stream_scd2_snapshot_fold(spark, sf_dir):
             out = os.path.join(workdir, f"state_v{state['version']}")
             merged.write.parquet(out)
             state["path"] = out
+            # retire superseded versions (keep current + predecessor):
+            # without this a 1000-week deploy accumulates one state
+            # dir per trigger
+            retire_versions(workdir, "state", state["version"])
             state["epoch"] = epoch_id
 
         q = (

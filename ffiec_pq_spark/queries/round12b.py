@@ -559,22 +559,81 @@ def _bm25_serve(spark, d, st, ephemeral=False, tomb=None):
             shutil.rmtree(st["workdir"], ignore_errors=True)
 
 
-def _bm25_stream_build(spark, corpus, chunk_order=None):
+def _bm25_insert_fold(spark, state, workdir, tf_dir, dl_dir):
+    """The insert fold as a module-level factory so tests can drive
+    it directly (epoch replay / crash-window tests): postings and
+    lengths APPEND, df and the (n_docs, Σdl) scalar MERGE by key into
+    versioned state via :func:`emit_versioned` (which also retires
+    superseded versions — the state dir count stays constant-bounded
+    at any trigger count)."""
+    from ffiec_pq_spark.operators.text import tokens
+    from ffiec_pq_spark.streaming.state import emit_versioned
+
+    def fold(batch_df, epoch_id):
+        # foreachBatch is at-least-once: a replayed epoch must not
+        # double-APPEND postings (the non-idempotent half of the
+        # fold); the merged halves would double-count too.  The
+        # guard records the epoch only AFTER the epoch's writes
+        # complete — recording it first would turn a redelivery
+        # after a mid-fold failure into a silent wholesale skip
+        # (at-most-once), dropping that batch's updates
+        if epoch_id <= state["epoch"]:
+            return
+        tf_b = (
+            batch_df.select(
+                "doc_id", F.explode(tokens("text")).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
+        )
+        tf_b.write.mode("append").parquet(tf_dir)
+        dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl_b.write.mode("append").parquet(dl_dir)
+        df_b = tf_b.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        meta_b = batch_df.join(dl_b, "doc_id", "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0))
+            .cast("long")
+            .alias("sum_dl"),
+        )
+        if state["df"] is not None:
+            df_b = (
+                spark.read.parquet(state["df"])
+                .unionByName(df_b)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+            )
+            prev_meta = spark.read.parquet(state["meta"])
+            meta_b = (
+                prev_meta.unionByName(meta_b)
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("sum_dl").cast("long").alias("sum_dl"),
+                )
+            )
+        emit_versioned(state, workdir, {"df": df_b, "meta": meta_b})
+        tf_b.unpersist()
+        state["epoch"] = epoch_id
+
+    return fold
+
+
+def _bm25_stream_build(spark, corpus, chunk_order=None, n_chunks=4):
     """Run the ingest stream to completion and return the maintained
     index state paths ``{workdir, tf, dl, df, meta}`` (workdir kept —
     the caller owns cleanup via the memo's clear hook or, for
-    ephemeral runs, the serve's finally)."""
+    ephemeral runs, the serve's finally).  ``n_chunks`` parameterizes
+    the trigger count (the bounded-state test drives ~20)."""
     import shutil
     import tempfile
-
-    from ffiec_pq_spark.operators.text import tokens
 
     workdir = tempfile.mkdtemp(prefix="stream_bm25_")
     try:
         src = os.path.join(workdir, "src")
         os.makedirs(src)
         t0 = 1_700_000_000
-        n_chunks = 4
         staged = os.path.join(workdir, "staged")
         (
             corpus.withColumn(
@@ -603,60 +662,7 @@ def _bm25_stream_build(spark, corpus, chunk_order=None):
         tf_dir = os.path.join(workdir, "tf")
         dl_dir = os.path.join(workdir, "dl")
         state = {"df": None, "meta": None, "version": 0, "epoch": -1}
-
-        def fold(batch_df, epoch_id):
-            # foreachBatch is at-least-once: a replayed epoch must not
-            # double-APPEND postings (the non-idempotent half of the
-            # fold); the merged halves would double-count too.  The
-            # guard records the epoch only AFTER the epoch's writes
-            # complete — recording it first would turn a redelivery
-            # after a mid-fold failure into a silent wholesale skip
-            # (at-most-once), dropping that batch's updates
-            if epoch_id <= state["epoch"]:
-                return
-            tf_b = (
-                batch_df.select(
-                    "doc_id", F.explode(tokens("text")).alias("term")
-                )
-                .filter(F.col("term") != "")
-                .groupBy("doc_id", "term")
-                .agg(F.count(F.lit(1)).alias("tf"))
-                .persist()
-            )
-            tf_b.write.mode("append").parquet(tf_dir)
-            dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-            dl_b.write.mode("append").parquet(dl_dir)
-            df_b = tf_b.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-            meta_b = batch_df.join(dl_b, "doc_id", "left").agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.coalesce(F.sum("dl"), F.lit(0))
-                .cast("long")
-                .alias("sum_dl"),
-            )
-            if state["df"] is not None:
-                df_b = (
-                    spark.read.parquet(state["df"])
-                    .unionByName(df_b)
-                    .groupBy("term")
-                    .agg(F.sum("df").alias("df"))
-                )
-                prev_meta = spark.read.parquet(state["meta"])
-                meta_b = (
-                    prev_meta.unionByName(meta_b)
-                    .agg(
-                        F.sum("n_docs").cast("long").alias("n_docs"),
-                        F.sum("sum_dl").cast("long").alias("sum_dl"),
-                    )
-                )
-            state["version"] += 1
-            df_out = os.path.join(workdir, f"df_v{state['version']}")
-            meta_out = os.path.join(workdir, f"meta_v{state['version']}")
-            df_b.write.parquet(df_out)
-            meta_b.write.parquet(meta_out)
-            state["df"] = df_out
-            state["meta"] = meta_out
-            tf_b.unpersist()
-            state["epoch"] = epoch_id
+        fold = _bm25_insert_fold(spark, state, workdir, tf_dir, dl_dir)
 
         q = (
             spark.readStream.format("parquet")
@@ -875,14 +881,72 @@ def clear_bm25_delete_state() -> None:
     _BM25_DEL_STATE.clear()
 
 
-def _bm25_delete_build(spark, corpus):
+def _bm25_delete_fold(spark, state, workdir, tf, dl):
+    """The decrement fold as a module-level factory (testable for
+    epoch replay / crash-window behavior): df decrements by the
+    deleted docs' term presence, the (n_docs, Σdl) scalar decrements
+    from the length state, tombstones append — all through versioned
+    state with retirement (:func:`emit_versioned`)."""
+    from ffiec_pq_spark.streaming.state import emit_versioned
+
+    def fold(batch_df, epoch_id):
+        # at-least-once replay guard: a re-delivered epoch would
+        # DOUBLE-DECREMENT df and the corpus scalars; recorded
+        # AFTER the writes so a redelivery following a mid-fold
+        # failure re-runs instead of silently skipping
+        if epoch_id <= state["epoch"]:
+            return
+        batch_ids = batch_df.select("doc_id")
+        # the batch's postings: keyed lookup, fan-out = |batch| docs
+        del_tf = tf.join(F.broadcast(batch_ids), "doc_id", "left_semi")
+        df_dec = del_tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("dec")
+        )
+        df_prev = spark.read.parquet(state["df"])
+        df_new = (
+            df_prev.join(df_dec, "term", "left")
+            .select(
+                "term",
+                (
+                    F.col("df") - F.coalesce(F.col("dec"), F.lit(0))
+                ).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+        )
+        dec_meta = batch_ids.join(dl, "doc_id", "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_del"),
+            F.coalesce(F.sum("dl"), F.lit(0))
+            .cast("long")
+            .alias("dl_del"),
+        )
+        meta_prev = spark.read.parquet(state["meta"])
+        meta_new = meta_prev.crossJoin(F.broadcast(dec_meta)).select(
+            (F.col("n_docs") - F.col("n_del")).alias("n_docs"),
+            (F.col("sum_dl") - F.col("dl_del")).alias("sum_dl"),
+        )
+        tomb_new = (
+            spark.read.parquet(state["tomb"]).unionByName(batch_ids)
+        )
+        emit_versioned(
+            state, workdir,
+            {"df": df_new, "meta": meta_new, "tomb": tomb_new},
+        )
+        state["epoch"] = epoch_id
+
+    return fold
+
+
+def _bm25_delete_build(spark, corpus, n_chunks=3):
     """Build the index, stream the erasure log through the decrement
     fold, and return the corrected state paths (workdir kept; cleanup
-    via :func:`clear_bm25_delete_state`)."""
+    via :func:`clear_bm25_delete_state`).  ``n_chunks`` parameterizes
+    the erasure-log trigger count (the bounded-state test drives
+    ~20)."""
     import shutil
     import tempfile
 
     from ffiec_pq_spark.operators.text import tokens
+    from ffiec_pq_spark.streaming.state import emit_versioned
 
     workdir = tempfile.mkdtemp(prefix="stream_bm25_del_")
     try:
@@ -913,30 +977,19 @@ def _bm25_delete_build(spark, corpus):
             "df": None, "meta": None, "tomb": None, "version": 0,
             "epoch": -1,
         }
-
-        def _emit(df_rel, meta_rel, tomb_rel):
-            state["version"] += 1
-            v = state["version"]
-            paths = {}
-            for name, rel in (
-                ("df", df_rel), ("meta", meta_rel), ("tomb", tomb_rel)
-            ):
-                out = os.path.join(workdir, f"{name}_v{v}")
-                rel.write.parquet(out)
-                paths[name] = out
-            state.update(paths)
-
-        _emit(
-            df0,
-            meta0,
-            spark.createDataFrame([], "doc_id long"),
+        emit_versioned(
+            state, workdir,
+            {
+                "df": df0,
+                "meta": meta0,
+                "tomb": spark.createDataFrame([], "doc_id long"),
+            },
         )
 
-        # stage the erasure log: ids arriving in 3 mtime-ordered chunks
+        # stage the erasure log: ids arriving in mtime-ordered chunks
         deleted = corpus.filter(
             F.col("doc_id") % _BM25_DEL_MOD == _BM25_DEL_SLOT
         ).select("doc_id")
-        n_chunks = 3
         staged = os.path.join(workdir, "staged")
         (
             deleted.withColumn(
@@ -961,46 +1014,7 @@ def _bm25_delete_build(spark, corpus):
             os.rename(os.path.join(chunk_dir, part), dst)
             os.utime(dst, (t0 + i * 10, t0 + i * 10))
 
-        def fold(batch_df, epoch_id):
-            # at-least-once replay guard: a re-delivered epoch would
-            # DOUBLE-DECREMENT df and the corpus scalars; recorded
-            # AFTER the writes so a redelivery following a mid-fold
-            # failure re-runs instead of silently skipping
-            if epoch_id <= state["epoch"]:
-                return
-            batch_ids = batch_df.select("doc_id")
-            # the batch's postings: keyed lookup, fan-out = |batch| docs
-            del_tf = tf.join(F.broadcast(batch_ids), "doc_id", "left_semi")
-            df_dec = del_tf.groupBy("term").agg(
-                F.count(F.lit(1)).alias("dec")
-            )
-            df_prev = spark.read.parquet(state["df"])
-            df_new = (
-                df_prev.join(df_dec, "term", "left")
-                .select(
-                    "term",
-                    (
-                        F.col("df") - F.coalesce(F.col("dec"), F.lit(0))
-                    ).alias("df"),
-                )
-                .filter(F.col("df") > 0)
-            )
-            dec_meta = batch_ids.join(dl, "doc_id", "left").agg(
-                F.count(F.lit(1)).cast("long").alias("n_del"),
-                F.coalesce(F.sum("dl"), F.lit(0))
-                .cast("long")
-                .alias("dl_del"),
-            )
-            meta_prev = spark.read.parquet(state["meta"])
-            meta_new = meta_prev.crossJoin(F.broadcast(dec_meta)).select(
-                (F.col("n_docs") - F.col("n_del")).alias("n_docs"),
-                (F.col("sum_dl") - F.col("dl_del")).alias("sum_dl"),
-            )
-            tomb_new = (
-                spark.read.parquet(state["tomb"]).unionByName(batch_ids)
-            )
-            _emit(df_new, meta_new, tomb_new)
-            state["epoch"] = epoch_id
+        fold = _bm25_delete_fold(spark, state, workdir, tf, dl)
 
         q = (
             spark.readStream.format("parquet")
@@ -1203,6 +1217,7 @@ def stream_probe_stats_fold(spark, sf_dir):
     )
     from ffiec_pq_spark.operators.windows import distributed_rank
     from ffiec_pq_spark.session import ensure_session_confs
+    from ffiec_pq_spark.streaming.state import emit_versioned
 
     ensure_session_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings").filter(
@@ -1276,12 +1291,7 @@ def stream_probe_stats_fold(spark, sf_dir):
                             ]
                         )
                     )
-                state["version"] += 1
-                out = os.path.join(
-                    workdir, f"stats_v{state['version']}"
-                )
-                stats_b.write.parquet(out)
-                state["stats"] = out
+                emit_versioned(state, workdir, {"stats": stats_b})
                 state["epoch"] = epoch_id
 
             q = (

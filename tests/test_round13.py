@@ -1,0 +1,214 @@
+"""Round-13 hardening: bounded versioned state for the BM25 folds
+(one state-dir pair at ANY trigger count, serve unchanged) and the
+crash-window / replay contract of the epoch guard ordering."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import ffiec_pq_spark.streaming.state as stmod
+from ffiec_pq_spark.queries.round12b import (
+    _BM25_DEL_MOD,
+    _BM25_DEL_SLOT,
+    _bm25_delete_build,
+    _bm25_delete_fold,
+    _bm25_serve,
+    _bm25_stream_build,
+)
+from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.streaming.state import retire_versions
+
+
+def _version_dirs(workdir, name):
+    return sorted(
+        d for d in os.listdir(workdir)
+        if d.startswith(f"{name}_v") and d[len(name) + 2:].isdigit()
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_retire_versions_window(tmp_path):
+    for v in range(1, 8):
+        os.makedirs(tmp_path / f"df_v{v}")
+    os.makedirs(tmp_path / "df_vx")  # non-numeric: never touched
+    os.makedirs(tmp_path / "dfx_v1")  # different name: never touched
+    retire_versions(str(tmp_path), "df", 7)
+    assert _version_dirs(str(tmp_path), "df") == ["df_v6", "df_v7"]
+    assert (tmp_path / "df_vx").is_dir()
+    assert (tmp_path / "dfx_v1").is_dir()
+
+
+def test_bm25_insert_fold_state_bounded(spark, sf_dir):
+    """~20 triggers leave exactly the current + predecessor state
+    versions on disk, and the maintained index serves the identical
+    relation as a small-trigger build (the fold is key-commutative)."""
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    st20 = _bm25_stream_build(spark, corpus, n_chunks=20)
+    try:
+        for name in ("df", "meta"):
+            vdirs = _version_dirs(st20["workdir"], name)
+            assert len(vdirs) <= 2, (name, vdirs)
+        # the committed pointer is among the retained versions
+        assert os.path.basename(st20["df"]) in _version_dirs(
+            st20["workdir"], "df"
+        )
+        served20 = _rows(_bm25_serve(spark, d, st20))
+    finally:
+        shutil.rmtree(st20["workdir"], ignore_errors=True)
+    st4 = _bm25_stream_build(spark, corpus, n_chunks=4)
+    served4 = _rows(_bm25_serve(spark, d, st4, ephemeral=True))
+    assert served20 == served4 and len(served20) > 0
+
+
+def test_bm25_delete_fold_state_bounded(spark, sf_dir):
+    """The erasure fold under ~12 triggers: constant-bounded version
+    dirs for all three state names, serve identical to the default
+    build."""
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    st12 = _bm25_delete_build(spark, corpus, n_chunks=12)
+    try:
+        for name in ("df", "meta", "tomb"):
+            vdirs = _version_dirs(st12["workdir"], name)
+            assert len(vdirs) <= 2, (name, vdirs)
+        tomb12 = spark.read.parquet(st12["tomb"]).select("doc_id")
+        served12 = _rows(_bm25_serve(spark, d, st12, tomb=tomb12))
+    finally:
+        shutil.rmtree(st12["workdir"], ignore_errors=True)
+    st3 = _bm25_delete_build(spark, corpus, n_chunks=3)
+    try:
+        tomb3 = spark.read.parquet(st3["tomb"]).select("doc_id")
+        served3 = _rows(_bm25_serve(spark, d, st3, tomb=tomb3))
+    finally:
+        shutil.rmtree(st3["workdir"], ignore_errors=True)
+    assert served12 == served3 and len(served12) > 0
+
+
+def test_bm25_delete_fold_crash_replay(spark, sf_dir, tmp_path,
+                                       monkeypatch):
+    """Mid-fold crash contract on the BM25 delete path: a failure
+    after a version write but before the pointers flip leaves the
+    previous state intact AND the epoch unrecorded, so the redelivery
+    RE-RUNS (not skips) and converges to the uncrashed result; the
+    orphan partial version is swept by later retirement."""
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    deleted = corpus.filter(
+        F.col("doc_id") % _BM25_DEL_MOD == _BM25_DEL_SLOT
+    ).select("doc_id")
+    batches = [
+        deleted.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    assert all(b.count() > 0 for b in batches)
+
+    def build_base(workdir):
+        from ffiec_pq_spark.operators.text import tokens
+
+        os.makedirs(workdir, exist_ok=True)
+        tf0 = (
+            corpus.select(
+                "doc_id", F.explode(tokens("text")).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        tf_dir = os.path.join(workdir, "tf")
+        tf0.write.parquet(tf_dir)
+        tf = spark.read.parquet(tf_dir)
+        dl_dir = os.path.join(workdir, "dl")
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).write.parquet(
+            dl_dir
+        )
+        dl = spark.read.parquet(dl_dir)
+        df0 = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        meta0 = corpus.join(dl, "doc_id", "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
+                "sum_dl"
+            ),
+        )
+        state = {
+            "df": None, "meta": None, "tomb": None, "version": 0,
+            "epoch": -1,
+        }
+        stmod.emit_versioned(
+            state, workdir,
+            {
+                "df": df0,
+                "meta": meta0,
+                "tomb": spark.createDataFrame([], "doc_id long"),
+            },
+        )
+        return state, tf, dl
+
+    # control: the uncrashed run
+    ctrl_dir = str(tmp_path / "ctrl")
+    ctrl_state, tf_c, dl_c = build_base(ctrl_dir)
+    ctrl_fold = _bm25_delete_fold(spark, ctrl_state, ctrl_dir, tf_c, dl_c)
+    for e, b in enumerate(batches):
+        ctrl_fold(b, e)
+
+    # crashed run: epoch 1's first delivery dies after writing one
+    # relation's version dir (mirroring emit_versioned's real order:
+    # the version counter increments before any write)
+    crash_dir = str(tmp_path / "crash")
+    state, tf, dl = build_base(crash_dir)
+    real_emit = stmod.emit_versioned
+    flag = {"fail": False}
+
+    def flaky_emit(st, workdir, rels):
+        if flag["fail"]:
+            flag["fail"] = False
+            st["version"] += 1
+            name, rel = next(iter(rels.items()))
+            rel.write.parquet(
+                os.path.join(workdir, f"{name}_v{st['version']}")
+            )
+            raise RuntimeError("injected mid-fold crash")
+        real_emit(st, workdir, rels)
+
+    monkeypatch.setattr(stmod, "emit_versioned", flaky_emit)
+    fold = _bm25_delete_fold(spark, state, crash_dir, tf, dl)
+    fold(batches[0], 0)
+    v_before, ptr_before = state["version"], dict(
+        df=state["df"], meta=state["meta"], tomb=state["tomb"]
+    )
+    flag["fail"] = True
+    with pytest.raises(RuntimeError, match="injected"):
+        fold(batches[1], 1)
+    # crash window: pointers unflipped, previous version intact on
+    # disk, epoch unrecorded -> the guard lets the redelivery through
+    assert state["epoch"] == 0
+    for name, p in ptr_before.items():
+        assert state[name] == p and os.path.isdir(p), name
+    orphan_v = state["version"]
+    assert orphan_v == v_before + 1
+    fold(batches[1], 1)  # redelivery re-runs
+    assert state["epoch"] == 1
+    fold(batches[1], 1)  # true duplicate of a FINISHED epoch: skipped
+    assert state["version"] == orphan_v + 1
+    fold(batches[2], 2)
+    # the orphan partial version was swept by retirement
+    for name in ("df", "meta", "tomb"):
+        vdirs = _version_dirs(crash_dir, name)
+        assert f"{name}_v{orphan_v}" not in vdirs, (name, vdirs)
+        assert len(vdirs) <= 2, (name, vdirs)
+    # end state converges bit-for-bit with the uncrashed control
+    for name in ("df", "meta", "tomb"):
+        got = _rows(spark.read.parquet(state[name]))
+        want = _rows(spark.read.parquet(ctrl_state[name]))
+        assert got == want, name
+    shutil.rmtree(ctrl_dir, ignore_errors=True)
+    shutil.rmtree(crash_dir, ignore_errors=True)
