@@ -11,6 +11,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.functions.hashing import hash60_sql
 from ffiec_pq_spark.operators.dedup import (
     MINHASH_PRIME,
@@ -62,6 +63,9 @@ def clear_component_labels() -> None:
     rewriting a dataset in place).  Same explicit-invalidation
     contract as ``clear_pca_models()`` / ``clear_ivfpq_models()``."""
     _CC_LABELS.clear()
+
+
+register_clear_hook("component_labels", clear_component_labels)
 
 
 def component_labels(spark, sf_dir):

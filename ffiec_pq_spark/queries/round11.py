@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.queries.round8 import _stream_neardup_oracle
 from ffiec_pq_spark.session import load_table
 
@@ -73,6 +74,9 @@ def clear_bounded_neardup_state() -> None:
     """Invalidate the resident bounded near-dup results (call after
     rewriting a dataset in place)."""
     _BOUNDED_NEARDUP_RUNS.clear()
+
+
+register_clear_hook("bounded_neardup_state", clear_bounded_neardup_state)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.session import load_table
 
 # --------------------------------------------------------------------------
@@ -620,6 +621,9 @@ def clear_incremental_state() -> None:
     after rewriting a dataset in place) — the ``clear_pca_models()``
     convention."""
     _INC_STATE.clear()
+
+
+register_clear_hook("incremental_dedup_state", clear_incremental_state)
 
 
 def _inc_corpus_state(spark, sf_dir) -> dict:

@@ -20,6 +20,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.session import load_table
 from ffiec_pq_spark.queries.round12 import _BM25_TOPK_SQL
 from ffiec_pq_spark.operators.linear_probe import (
@@ -191,6 +192,9 @@ def clear_probe_models() -> None:
     """Invalidate every resident probe (call after rewriting a dataset
     in place)."""
     _PROBE_MODELS.clear()
+
+
+register_clear_hook("probe_models", clear_probe_models)
 
 
 @register(
@@ -527,6 +531,9 @@ def clear_bm25_stream_state() -> None:
     for st in _BM25_STREAM_STATE.values():
         shutil.rmtree(st["workdir"], ignore_errors=True)
     _BM25_STREAM_STATE.clear()
+
+
+register_clear_hook("bm25_stream_state", clear_bm25_stream_state)
 
 
 def _bm25_serve(spark, d, st, ephemeral=False, tomb=None):
@@ -881,6 +888,9 @@ def clear_bm25_delete_state() -> None:
     _BM25_DEL_STATE.clear()
 
 
+register_clear_hook("bm25_delete_state", clear_bm25_delete_state)
+
+
 def _bm25_delete_fold(spark, state, workdir, tf, dl):
     """The decrement fold as a module-level factory (testable for
     epoch replay / crash-window behavior): df decrements by the
@@ -1092,6 +1102,9 @@ _PROBE_STATS: dict[str, tuple] = {}
 def clear_probe_stats() -> None:
     """Invalidate the resident probe sufficient statistics."""
     _PROBE_STATS.clear()
+
+
+register_clear_hook("probe_stats", clear_probe_stats)
 
 
 @register(
@@ -1349,3 +1362,6 @@ def clear_probe_stream_state() -> None:
     for st in _PROBE_STREAM_STATE.values():
         shutil.rmtree(st["workdir"], ignore_errors=True)
     _PROBE_STREAM_STATE.clear()
+
+
+register_clear_hook("probe_stream_state", clear_probe_stream_state)

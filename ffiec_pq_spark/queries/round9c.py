@@ -41,6 +41,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.operators.pq import pq_adc_topk, pq_codes, pq_fit
 from ffiec_pq_spark.queries.similarity import _DIM, _PROBE
 from ffiec_pq_spark.session import load_table
@@ -529,6 +530,9 @@ def clear_ivfpq_models() -> None:
     """Invalidate every resident IVF-PQ model (call after rewriting a
     dataset in place)."""
     _IVFPQ_MODELS.clear()
+
+
+register_clear_hook("ivfpq_models", clear_ivfpq_models)
 
 
 def _ivfpq_model(spark, sf_dir):

@@ -9,6 +9,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.operators.similarity import (
     ann_topk_bruteforce,
     cosine_pairs_within,
@@ -507,6 +508,9 @@ def clear_pca_models() -> None:
     """Invalidate every resident PCA model (call after rewriting a
     dataset in place)."""
     _PCA_MODELS.clear()
+
+
+register_clear_hook("pca_models", clear_pca_models)
 
 
 @register("embedding_pca_scores", _pca_sql(iters=5), tags=["similarity", "iterative"])

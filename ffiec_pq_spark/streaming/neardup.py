@@ -19,6 +19,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ffiec_pq_spark.resident import register_clear_hook
+
 # Live stream workdirs keyed by (sf_dir, compact_every): a durable
 # stream's checkpoint + state OUTLIVE any one attach — re-running the
 # same query in the same process RE-ATTACHES to the existing
@@ -37,6 +39,9 @@ def clear_live_runs() -> None:
     for workdir in _LIVE_RUNS.values():
         shutil.rmtree(workdir, ignore_errors=True)
     _LIVE_RUNS.clear()
+
+
+register_clear_hook("neardup_live_runs", clear_live_runs)
 
 
 def _recover_state_swap(state_dir: str) -> None:

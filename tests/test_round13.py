@@ -31,6 +31,77 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_clear_all_resident_state_recertifies(spark, sf_dir):
+    """The unified registry clears EVERY resident cache in one call,
+    and resident-backed queries rebuilt from cold reproduce their
+    pre-clear results exactly (no cache poisoning, no stale serve)."""
+    import ffiec_pq_spark.catalog as catalog
+    import ffiec_pq_spark.queries.dedup as qdedup
+    import ffiec_pq_spark.queries.round12b as r12b
+    import ffiec_pq_spark.queries.similarity as qsim
+    from ffiec_pq_spark.resident import (
+        clear_all_resident_state,
+        registered_hooks,
+    )
+
+    queries = catalog.queries()
+    hooks = registered_hooks()
+    # every per-(session, dataset) cache in the engine has a hook
+    assert set(hooks) >= {
+        "bm25_delete_state", "bm25_stream_state",
+        "bounded_neardup_state", "component_labels",
+        "incremental_dedup_state", "ivfpq_models", "neardup_live_runs",
+        "pca_models", "probe_models", "probe_stats",
+        "probe_stream_state",
+    }
+    sample = [
+        "embedding_probe_train_scores",  # _PROBE_MODELS
+        "stream_bm25_index_fold",        # _BM25_STREAM_STATE
+        "dedup_clusters",                # _CC_LABELS shared labelling
+        "embedding_pca_scores",          # _PCA_MODELS
+    ]
+    before = {n: _rows(queries[n](spark, sf_dir)) for n in sample}
+    caches = [
+        r12b._PROBE_MODELS, r12b._BM25_STREAM_STATE,
+        qdedup._CC_LABELS, qsim._PCA_MODELS,
+    ]
+    assert all(len(c) > 0 for c in caches)
+    cleared = clear_all_resident_state()
+    assert set(cleared) == set(hooks)
+    assert all(len(c) == 0 for c in caches)
+    # the BM25 stream state's backing directory is gone too (a stale
+    # workdir would be silently re-served by a surviving memo)
+    after = {n: _rows(queries[n](spark, sf_dir)) for n in sample}
+    assert all(len(c) > 0 for c in caches)  # rebuilt from cold
+    assert after == before
+
+
+def test_clear_all_sweeps_despite_failing_hook():
+    from ffiec_pq_spark import resident
+
+    calls = []
+    saved = resident.registered_hooks()
+    try:
+        resident._CLEAR_HOOKS.clear()
+        resident.register_clear_hook(
+            "a_ok", lambda: calls.append("a")
+        )
+
+        def boom():
+            raise RuntimeError("hook failure")
+
+        resident.register_clear_hook("b_boom", boom)
+        resident.register_clear_hook(
+            "c_ok", lambda: calls.append("c")
+        )
+        with pytest.raises(RuntimeError, match="hook failure"):
+            resident.clear_all_resident_state()
+        assert calls == ["a", "c"]  # sweep continued past the failure
+    finally:
+        resident._CLEAR_HOOKS.clear()
+        resident._CLEAR_HOOKS.update(saved)
+
+
 def test_retire_versions_window(tmp_path):
     for v in range(1, 8):
         os.makedirs(tmp_path / f"df_v{v}")
