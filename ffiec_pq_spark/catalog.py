@@ -73,6 +73,9 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-13 wave (queries/round13.py, never sampled) ---
+    "doc_kn_trigram",
+    "probe_gate_calibration",
     # --- round-12 second wave (queries/round12b.py, never sampled) ---
     "embedding_probe_train_scores",
     "embedding_probe_heldout_eval",
@@ -258,6 +261,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round13  # noqa: F401
     from ffiec_pq_spark.queries import round12b  # noqa: F401
     from ffiec_pq_spark.queries import round12  # noqa: F401
     from ffiec_pq_spark.queries import round11  # noqa: F401

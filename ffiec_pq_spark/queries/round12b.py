@@ -197,6 +197,31 @@ def clear_probe_models() -> None:
 register_clear_hook("probe_models", clear_probe_models)
 
 
+def probe_corpus(spark, sf_dir):
+    """The probe operators' input contract in one place: non-NULL,
+    non-empty embedding vectors (both engines drop feature-less rows —
+    see ``_probe_ctes``)."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+
+
+def probe_weights(spark, sf_dir):
+    """The full-corpus trained probe, memoized per dataset
+    (``_PROBE_MODELS``) — shared by the batch scorer and the
+    gate-calibration sweep so both serve the SAME resident model."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PROBE_MODELS:
+        emb = probe_corpus(spark, sf_dir)
+        y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+        a, b, n = gram_moment(
+            emb.select("embedding", y.alias("_yy")), "embedding", "_yy",
+            _DIM,
+        )
+        _PROBE_MODELS[key] = probe_fit_int(a, b, n, iters=PROBE_ITERS)
+    return _PROBE_MODELS[key]
+
+
 @register(
     "embedding_probe_train_scores",
     _probe_sql(),
@@ -233,20 +258,12 @@ def embedding_probe_train_scores(spark, sf_dir):
     # them (the oracle's unnest produces no rows for either; the
     # divisor n, the scored row set, and the top-10% cutoff must all
     # agree), so the filter is part of the operator's contract
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
-    )
+    # (probe_corpus)
+    emb = probe_corpus(spark, sf_dir)
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
-    key = os.path.abspath(sf_dir)
-    if key not in _PROBE_MODELS:
-        a, b, n = gram_moment(
-            emb.select("embedding", y.alias("_yy")), "embedding", "_yy",
-            _DIM,
-        )
-        _PROBE_MODELS[key] = probe_fit_int(a, b, n, iters=PROBE_ITERS)
     scored = probe_margins(
         emb.withColumn("_yy", y), "embedding", "vec_id", "_yy",
-        _PROBE_MODELS[key],
+        probe_weights(spark, sf_dir),
     )
     n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
     ranked = distributed_rank(

@@ -124,6 +124,9 @@ NOTES = {
     "doc_kneser_ney_bigram": "Kneser-Ney on duplicate-collapsed content: ONE grouped agg on the persisted bigram-type table yields c(w1 .) AND the forward continuation count; backward continuation a second keyed agg; type total broadcast; copies re-attach by the rep join",
     "dedup_clusters_retract": "right-to-be-forgotten retraction: resident labelling (Scan ExistingRDD) semi-joined against retracted ids -> touched-cluster ids BROADCAST; the pair+CC pipeline re-runs on the touched clusters' surviving members only (no corpus-wide propagation)",
     "embedding_probe_unlearn": "exact unlearning: resident Gram stats minus one deleted-slice aggregation (cost ~ |deleted|) in the builder; shipped plan = survivor margin fold + top-10%% distributed_rank + 1-row count broadcast — identical shape to the train query",
+    # round-13
+    "doc_kn_trigram": "modified-KN trigrams on duplicate-collapsed content: nested zip_with trigram build (no self-joins); keyed aggs on the persisted trigram-type table (top counts, continuation counts, both context rollups); six discounts from two collected 4-int count-of-count rows; scoring = five keyed joins + per-row float tree",
+    "probe_gate_calibration": "trained-probe threshold ladder: margin fold over the resident weights, ONE distributed_rank shared by all rungs, 5-row literal explode, broadcast token-count join, <=5-group rollup",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

@@ -210,6 +210,9 @@ QUERIES = [
     "stream_bm25_delete_fold",
     "embedding_probe_unlearn",
     "stream_probe_stats_fold",
+    # round-13: modified-KN trigrams + trained-probe gate ladder
+    "doc_kn_trigram",
+    "probe_gate_calibration",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
