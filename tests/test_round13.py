@@ -31,6 +31,57 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_kn3_distribution_sums_to_one(spark, sf_dir):
+    """The interpolated modified-KN trigram distribution sums to
+    EXACTLY 1 over the vocabulary for every context — the property
+    that distinguishes a correctly interpolated estimator from a
+    backoff with leaked mass (the bigram pin's trigram twin)."""
+    from ffiec_pq_spark.queries.round13 import _kn3_model
+
+    m = _kn3_model(spark, sf_dir)
+    d1, d2, d3 = m["d"]
+    e1, e2, e3 = m["e"]
+    c3 = {
+        (r["w1"], r["w2"], r["w3"]): r["c3"] for r in m["c3"].collect()
+    }
+    nc = {(r["w2"], r["w3"]): r["nc"] for r in m["nc"].collect()}
+    ctx1 = {
+        r["w2"]: (r["tc"], r["mm1"], r["mm2"], r["mm3"])
+        for r in m["ctx1"].collect()
+    }
+    nu = {r["w3"]: r["nu"] for r in m["nu"].collect()}
+    uu = m["uu"]
+    vocab = list(nu)
+    assert len(vocab) > 10  # the sf0.001 synthetic corpus is ~31 types
+
+    def disc(c, ds):
+        return ds[0] if c == 1 else (ds[1] if c == 2 else ds[2])
+
+    def p_mid(w2, w3):
+        tc, mm1, mm2, mm3 = ctx1[w2]
+        g_mid = (e1 * mm1 + e2 * mm2 + e3 * mm3) / tc
+        c = nc.get((w2, w3), 0)
+        top = (c - disc(c, (e1, e2, e3))) / tc if c > 0 else 0.0
+        return top + g_mid * (nu[w3] / uu)
+
+    # a few contexts spanning the count spectrum
+    ctx_rows = sorted(
+        m["ctx2"].collect(), key=lambda r: (-r["cc"], r["w1"], r["w2"])
+    )
+    picks = [ctx_rows[0], ctx_rows[len(ctx_rows) // 2], ctx_rows[-1]]
+    for r in picks:
+        w1, w2, cc = r["w1"], r["w2"], r["cc"]
+        g_top = (d1 * r["nn1"] + d2 * r["nn2"] + d3 * r["nn3"]) / cc
+        obs = {
+            k[2]: v for k, v in c3.items() if k[0] == w1 and k[1] == w2
+        }
+        total = sum(
+            (c - disc(c, (d1, d2, d3))) / cc for c in obs.values()
+        )
+        total += g_top * sum(p_mid(w2, w3) for w3 in vocab)
+        assert abs(total - 1.0) < 1e-9, (w1, w2, total)
+
+
 def test_clear_all_resident_state_recertifies(spark, sf_dir):
     """The unified registry clears EVERY resident cache in one call,
     and resident-backed queries rebuilt from cold reproduce their
