@@ -261,6 +261,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round13b  # noqa: F401
     from ffiec_pq_spark.queries import round13  # noqa: F401
     from ffiec_pq_spark.queries import round12b  # noqa: F401
     from ffiec_pq_spark.queries import round12  # noqa: F401

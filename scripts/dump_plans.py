@@ -127,6 +127,9 @@ NOTES = {
     # round-13
     "doc_kn_trigram": "modified-KN trigrams on duplicate-collapsed content: nested zip_with trigram build (no self-joins); keyed aggs on the persisted trigram-type table (top counts, continuation counts, both context rollups); six discounts from two collected 4-int count-of-count rows; scoring = five keyed joins + per-row float tree",
     "probe_gate_calibration": "trained-probe threshold ladder: margin fold over the resident weights, ONE distributed_rank shared by all rungs, 5-row literal explode, broadcast token-count join, <=5-group rollup",
+    "doc_moore_lewis_select": "cross-entropy-difference selection: in-domain and general count tables from ONE shared bigram-type stream (two keyed aggs, in-domain weighted by per-rep in-lang copy count); scoring = six LEFT keyed joins + two broadcast scalar totals + the CASE backoff ladder; keep gate = ONE distributed_rank on the rounded score + 1-row count broadcast",
+    "doc_kn_unlearn": "exact LM unlearning: resident full-corpus bigram counts (Scan ExistingRDD) minus one erased-slice aggregation (cost ~ |deleted|) via a keyed LEFT-join subtraction; survivor scoring re-derives context/continuation tables from the corrected integer state — identical shape to the batch KN query",
+    "stream_kn_counts_fold": "drain of the LM count maintenance stream: serve reads the folded versioned count table (parquet scan), derives context/continuation tables with the batch query's exact keyed-agg plan; per-trigger fold was batch bigram counts + vocab-squared-bounded keyed merge",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",
@@ -148,6 +151,19 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         tree = physical_plan(df).split("\n\n")[0].strip()
+        # InMemoryRelation reprints its entire cached subtree at every
+        # scan (nested caches multiply) — a multi-thousand-line section
+        # adds nothing reviewable; keep the head, which holds the
+        # driving plan, and mark the cut
+        lines = tree.split("\n")
+        if len(lines) > 600:
+            kept = lines[:600]
+            kept.append(
+                f"... [{len(lines) - 600} lines of repeated cached "
+                "subtrees truncated — shapes asserted in "
+                "tests/test_plans.py]"
+            )
+            tree = "\n".join(kept)
         out += [
             f"## {name}",
             "",

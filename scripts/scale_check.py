@@ -213,6 +213,11 @@ QUERIES = [
     # round-13: modified-KN trigrams + trained-probe gate ladder
     "doc_kn_trigram",
     "probe_gate_calibration",
+    # round-13 LM-family continuation: Moore-Lewis selection, exact LM
+    # unlearning, streaming count maintenance
+    "doc_moore_lewis_select",
+    "doc_kn_unlearn",
+    "stream_kn_counts_fold",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

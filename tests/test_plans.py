@@ -1120,3 +1120,66 @@ def test_interleave_order_no_single_reducer(spark, sf_dir):
     # single-partition exchanges only for the global rank's tiny
     # (<= n_ranges rows) offset relation — never for doc-sized data
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_moore_lewis_keyed_joins_distributed_rank(spark, sf_dir):
+    """doc_moore_lewis_select: both models attach to the bigram-type
+    stream through KEYED joins only (no cartesian over data
+    relations); the only nested-loop joins are the one-row scalar
+    broadcasts (two type totals + the keep-gate count); the global
+    rank is the distributed_rank construction, never a
+    single-reducer window over the corpus."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["doc_moore_lewis_select"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the scored relation is persisted: all three consumers (keep-gate
+    # count, rank local pass, rank offset pass) read the cache, so the
+    # six-join scoring subtree (with its two in-tree scalar
+    # crossJoins) EXECUTES once — the printed plan repeats the cached
+    # subtree per scan, so assert the reuse, not a textual join count
+    assert plan.count("InMemoryTableScan [doc_id") >= 2, plan
+    assert "row_number() windowspecdefinition(_pid" in plan, plan
+
+
+def test_kn_unlearn_consumes_resident_counts(spark, sf_dir):
+    """doc_kn_unlearn: with the full-corpus count table resident, the
+    plan consumes the checkpointed state (Scan ExistingRDD) and
+    corrects it with a keyed LEFT join against the erased slice's
+    counts — never re-counting the survivors; the only nested-loop
+    join is the one-row type-total broadcast."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+    from ffiec_pq_spark.queries.round13b import _kn_full_counts
+
+    _kn_full_counts(spark, sf_dir)  # ensure resident
+    df = queries()["doc_kn_unlearn"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_kn_stream_serve_scores_from_folded_state(spark, sf_dir):
+    """The LM stream's serve scores the corpus against the FOLDED
+    parquet count table (keyed joins + one scalar broadcast), not a
+    recount of the corpus: the pre-checkpoint plan reads the state
+    directory and contains no cartesian."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+    from ffiec_pq_spark.queries.round13b import (
+        _KN_STREAM_STATE,
+        _bigrams,
+        _kn_scores,
+        stream_kn_counts_fold,
+    )
+    from ffiec_pq_spark.session import load_table
+
+    stream_kn_counts_fold(spark, sf_dir)  # ensure resident state
+    key = (spark.sparkContext.applicationId, __import__("os").path.abspath(sf_dir))
+    st = _KN_STREAM_STATE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    served = _kn_scores(spark.read.parquet(st["c2"]), _bigrams(docs))
+    plan = physical_plan(served)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "Scan parquet" in plan, plan
