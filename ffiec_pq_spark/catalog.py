@@ -73,6 +73,14 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-13 third wave (queries/round13c.py, never sampled) ---
+    "retrieval_rrf_hybrid",
+    "retrieval_ndcg_eval",
+    "kn_gate_calibration",
+    # --- round-13 second wave (queries/round13b.py, never sampled) ---
+    "doc_moore_lewis_select",
+    "stream_kn_counts_fold",
+    "doc_kn_unlearn",
     # --- round-13 wave (queries/round13.py, never sampled) ---
     "doc_kn_trigram",
     "probe_gate_calibration",
@@ -261,6 +269,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round13c  # noqa: F401
     from ffiec_pq_spark.queries import round13b  # noqa: F401
     from ffiec_pq_spark.queries import round13  # noqa: F401
     from ffiec_pq_spark.queries import round12b  # noqa: F401

@@ -1,0 +1,623 @@
+"""Round-13 third wave: the hybrid-retrieval layer.
+
+- ``retrieval_rrf_hybrid`` — reciprocal-rank fusion (Cormack et al.
+  2009, the fusion every production RAG stack ships) of the BM25
+  lexical top-k (the round-12 inverted-index pass, shared verbatim)
+  with an IVF-pruned dense cosine top-k over the embeddings table
+  (``doc_id = vec_id``, the established convention).
+- ``retrieval_ndcg_eval`` — graded nDCG@3 over the FUSED ranking
+  against a deterministic two-level relevance proxy, with true
+  ideal-DCG from collection-wide relevant-counts.  Every DCG term is
+  a PRECOMPUTED integer literal (gain ∈ {0,1,2} × rank ∈ {1,2,3}
+  → six constants embedded in both engines), so the whole eval is
+  exact integer arithmetic — no runtime logs to disagree on.
+- ``kn_gate_calibration`` — the threshold ladder for the modified-KN
+  trigram perplexity filter (``doc_kn_trigram``), completing the
+  gate-calibration family: heuristic score (quality_threshold_sweep),
+  trained probe (probe_gate_calibration), and now the LM scorer —
+  with a diversity-collapse column (distinct sources surviving each
+  rung), the failure mode perplexity filters are audited for.
+
+The reference (iangow/ffiec.pq) has no retrieval surface; these extend
+the mandated training-data-pipeline layer under the established
+certification discipline (strict DuckDB value-hash oracles, shared
+rank/fusion arithmetic in integer micros)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.operators.similarity import cosine, dot, ivf_centroid, norm
+from ffiec_pq_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# retrieval_rrf_hybrid
+
+_RRF_K = 60          # the canonical RRF constant (Cormack et al. 2009)
+_FUSE_TOPK = 3       # fused list depth (matches the BM25 pass's top-3)
+_DENSE_TOPK = 3
+_DIM = 64
+_N_CELLS = 4
+_NPROBE = 2
+
+
+def _dense_ctes() -> str:
+    """Dense-retrieval CTE chain: IVF cell assignment (argmax over the
+    four literal coarse centroids, scores rounded to 6 dp BEFORE the
+    rank so the argmax is engine-independent), per-query top-2 probe
+    cells, candidate generation by cell equi-join, exact cosine
+    re-rank on the candidates only."""
+    cent_rows = ", ".join(
+        f"({j}, {i + 1}, {v!r}::DOUBLE)"
+        for j in range(_N_CELLS)
+        for i, v in enumerate(ivf_centroid(_DIM, j))
+    )
+    return f"""cent AS (SELECT * FROM (VALUES {cent_rows}) AS t(c, i, v)),
+    exq AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    exc AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    qcell AS (
+      SELECT vec_id AS q_id, c FROM (
+        SELECT e.vec_id, c.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(sum(e.x * c.v)
+                   / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.v * c.v))), 6)
+                   DESC, c.c ASC
+               ) AS rn
+        FROM exq e JOIN cent c ON e.i = c.i
+        GROUP BY e.vec_id, c.c
+      ) WHERE rn <= {_NPROBE}
+    ),
+    ccell AS (
+      SELECT vec_id AS doc_id, c FROM (
+        SELECT e.vec_id, c.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(sum(e.x * c.v)
+                   / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.v * c.v))), 6)
+                   DESC, c.c ASC
+               ) AS rn
+        FROM exc e JOIN cent c ON e.i = c.i
+        GROUP BY e.vec_id, c.c
+      ) WHERE rn = 1
+    ),
+    dense_pair AS (
+      SELECT q.q_id, cc.doc_id,
+             round(sum(a.x * b.x)
+               / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6) AS cos
+      FROM qcell q
+      JOIN ccell cc ON cc.c = q.c
+      JOIN exq a ON a.vec_id = q.q_id
+      JOIN exc b ON b.vec_id = cc.doc_id AND b.i = a.i
+      GROUP BY q.q_id, cc.doc_id
+    ),
+    densek AS (
+      SELECT q_id, doc_id, d_rank FROM (
+        SELECT q_id, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos DESC, doc_id ASC
+               ) AS BIGINT) AS d_rank
+        FROM dense_pair
+      ) WHERE d_rank <= {_DENSE_TOPK}
+    )"""
+
+
+def _rrf_sql() -> str:
+    from ffiec_pq_spark.queries.round12 import _BM25_TOPK_SQL
+
+    return f"""
+    WITH lex AS (
+      {_BM25_TOPK_SQL}
+    ),
+    {_dense_ctes()},
+    fused AS (
+      SELECT coalesce(l.q_id, d.q_id) AS q_id,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.rank AS l_rank, d.d_rank AS d_rank
+      FROM lex l
+      FULL JOIN densek d ON d.q_id = l.q_id AND d.doc_id = l.doc_id
+    ),
+    rrf AS (
+      SELECT q_id, doc_id,
+             CAST(coalesce(1000000 // ({_RRF_K} + l_rank), 0)
+                + coalesce(1000000 // ({_RRF_K} + d_rank), 0) AS BIGINT)
+               AS rrf_micro,
+             CAST(CASE WHEN l_rank IS NOT NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS in_lex,
+             CAST(CASE WHEN d_rank IS NOT NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS in_dense
+      FROM fused
+    )
+    SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro,
+           in_lex, in_dense
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC
+      ) AS rank FROM rrf
+    )
+    WHERE rank <= {_FUSE_TOPK}
+    """
+
+
+def _dense_topk_frame(spark, sf_dir):
+    """IVF-pruned dense top-k: corpus vectors carry their single
+    argmax cell, query vectors their top-``_NPROBE`` cells (both from
+    one sorted array of (rounded score, cell) structs — no shuffle,
+    ties break to the lowest cell on both engines), candidates come
+    from a cell equi-join with the QUERY side broadcast (the eval
+    slice is the small side; at 100 TB the corpus side's cell id is a
+    partition column, so the join prunes to nprobe/n_cells of the
+    data), and only candidates pay the exact cosine.  Norms are
+    hoisted to one computation per vector before the join (the
+    ``_pairs_exact`` precedent — ``dot/(nq*nc)`` IS ``cosine``)."""
+
+    def cell_structs(vec):
+        entries = []
+        for j in range(_N_CELLS):
+            cent = F.array(
+                *[F.lit(float(v)) for v in ivf_centroid(_DIM, j)]
+            )
+            entries.append(
+                F.struct(
+                    F.round(cosine(vec, cent), 6).alias("s"),
+                    F.lit(_N_CELLS - 1 - j).alias("negc"),
+                )
+            )
+        return F.sort_array(F.array(*entries), asc=False)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    c = emb.filter(F.col("vec_id") % 10 != 0)
+    qcell = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("_qe"),
+        norm(F.col("embedding")).alias("_nq"),
+        F.explode(
+            F.slice(cell_structs(F.col("embedding")), 1, _NPROBE)
+        ).alias("_sc"),
+    ).select(
+        "q_id", "_qe", "_nq",
+        (F.lit(_N_CELLS - 1) - F.col("_sc.negc")).alias("cell"),
+    )
+    ccell = c.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("_ce"),
+        norm(F.col("embedding")).alias("_nc"),
+        (
+            F.lit(_N_CELLS - 1)
+            - F.element_at(cell_structs(F.col("embedding")), 1)["negc"]
+        ).alias("cell"),
+    )
+    pair = ccell.join(F.broadcast(qcell), "cell").select(
+        "q_id",
+        "doc_id",
+        F.round(
+            dot(F.col("_qe"), F.col("_ce")) / (F.col("_nq") * F.col("_nc")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        pair.withColumn("d_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("d_rank") <= _DENSE_TOPK)
+        .select("q_id", "doc_id", "d_rank")
+    )
+
+
+def _rrf_hybrid_frame(spark, sf_dir):
+    """Shared fusion pass: full-outer merge of the lexical and dense
+    lists on (q_id, doc_id), RRF mass in exact integer micros
+    (``1000000 div (60 + rank)`` — integer division, no floats), fused
+    rank per query."""
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
+
+    lex = _bm25_topk_frame(spark, sf_dir).select(
+        "q_id", "doc_id", F.col("rank").alias("l_rank")
+    )
+    dense = _dense_topk_frame(spark, sf_dir)
+    fused = lex.join(dense, ["q_id", "doc_id"], "full_outer")
+    rrf_micro = (
+        F.coalesce(
+            F.expr(f"1000000 div ({_RRF_K} + l_rank)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"1000000 div ({_RRF_K} + d_rank)"), F.lit(0)
+        )
+    ).cast("long")
+    scored = fused.select(
+        "q_id",
+        "doc_id",
+        rrf_micro.alias("rrf_micro"),
+        F.when(F.col("l_rank").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("in_lex"),
+        F.when(F.col("d_rank").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("in_dense"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _FUSE_TOPK)
+        .select("q_id", "rank", "doc_id", "rrf_micro", "in_lex", "in_dense")
+    )
+
+
+@register(
+    "retrieval_rrf_hybrid", _rrf_sql(), tags=["retrieval", "similarity"]
+)
+def retrieval_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (K=60) of the BM25
+    lexical top-3 with an IVF-pruned dense cosine top-3, per
+    eval-slice query — the candidate union every production RAG stack
+    serves (lexical catches exact-term matches, dense catches
+    paraphrases; RRF needs no score calibration between them, only
+    ranks).
+
+    Plan: the shared round-12 BM25 inverted-index pass (term
+    equi-join, df-cap pruned, never query × corpus) + a dense pass
+    whose only pairwise work is cell-join candidates (corpus side one
+    argmax cell each, query side nprobe cells, query side BROADCAST;
+    at 100 TB the corpus cell id is a partition column and the join
+    is partition pruning); fusion itself is a full-outer merge of two
+    ≤ k·|queries| relations — all rank arithmetic in exact integer
+    micros, both rank windows partitioned by q_id (no global
+    windows)."""
+    return _rrf_hybrid_frame(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# retrieval_ndcg_eval — graded nDCG@3 over the fused ranking.
+#
+# Every DCG term is floor(gain / ln(rank+1) * 1e6 + 0.5) with gain in
+# {1, 2} and rank in {1, 2, 3} — six values, PRECOMPUTED here as
+# Python ints and embedded as literals in BOTH engines, so the whole
+# eval (DCG, ideal DCG, their ratio) is exact integer arithmetic.
+
+_NDCG_K = 3
+_NDCG_BUCKET = 256  # length-bucket width (chars) for the graded proxy
+_G = {
+    (g, r): int(math.floor(g / math.log(r + 1) * 1e6 + 0.5))
+    for g in (1, 2)
+    for r in (1, 2, 3)
+}
+
+
+def _ndcg_sql() -> str:
+    g = _G
+    dcg_case = f"""CASE
+        WHEN gain = 2 THEN CASE rank WHEN 1 THEN {g[(2, 1)]}
+                                     WHEN 2 THEN {g[(2, 2)]}
+                                     ELSE {g[(2, 3)]} END
+        WHEN gain = 1 THEN CASE rank WHEN 1 THEN {g[(1, 1)]}
+                                     WHEN 2 THEN {g[(1, 2)]}
+                                     ELSE {g[(1, 3)]} END
+        ELSE 0 END"""
+    idcg_terms = " + ".join(
+        f"""CASE WHEN t >= {r} THEN {g[(2, r)]}
+             WHEN t + o >= {r} THEN {g[(1, r)]}
+             ELSE 0 END"""
+        for r in (1, 2, 3)
+    )
+    return f"""
+    WITH topk AS (
+      {_rrf_sql()}
+    ),
+    qdim AS (
+      SELECT doc_id AS q_id, source AS q_source, lang AS q_lang,
+             n_chars // {_NDCG_BUCKET} AS q_bucket
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    cdim AS (
+      SELECT doc_id, lang AS c_lang,
+             n_chars // {_NDCG_BUCKET} AS c_bucket
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    gains AS (
+      SELECT t.q_id, t.rank,
+             CASE WHEN q.q_lang = c.c_lang AND q.q_bucket = c.c_bucket
+                  THEN 2
+                  WHEN q.q_lang = c.c_lang THEN 1
+                  ELSE 0 END AS gain
+      FROM topk t
+      JOIN qdim q ON q.q_id = t.q_id
+      JOIN cdim c ON c.doc_id = t.doc_id
+    ),
+    dcg AS (
+      SELECT q_id, CAST(sum({dcg_case}) AS BIGINT) AS dcg_micro
+      FROM gains GROUP BY q_id
+    ),
+    csl AS (
+      SELECT c_lang AS lang, c_bucket AS bucket,
+             CAST(count(*) AS BIGINT) AS n_sl
+      FROM cdim GROUP BY 1, 2
+    ),
+    cs AS (
+      SELECT c_lang AS lang, CAST(count(*) AS BIGINT) AS n_s
+      FROM cdim GROUP BY 1
+    ),
+    per_q AS (
+      SELECT q.q_id, q.q_source,
+             coalesce(d.dcg_micro, 0) AS dcg_micro,
+             least({_NDCG_K}, coalesce(sl.n_sl, 0)) AS t,
+             least({_NDCG_K} - least({_NDCG_K}, coalesce(sl.n_sl, 0)),
+                   coalesce(s.n_s, 0) - coalesce(sl.n_sl, 0)) AS o
+      FROM qdim q
+      LEFT JOIN dcg d ON d.q_id = q.q_id
+      LEFT JOIN csl sl ON sl.lang = q.q_lang AND sl.bucket = q.q_bucket
+      LEFT JOIN cs s ON s.lang = q.q_lang
+    ),
+    scored AS (
+      SELECT q_id, q_source, dcg_micro,
+             CAST({idcg_terms} AS BIGINT) AS idcg_micro
+      FROM per_q
+    )
+    SELECT q_source AS source,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN idcg_micro > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_evaluable,
+           CAST(coalesce(sum(CASE WHEN idcg_micro > 0
+                  THEN dcg_micro * 1000000 // idcg_micro END), 0)
+                AS BIGINT) AS sum_ndcg_micro,
+           CAST(sum(CASE WHEN idcg_micro > 0
+                  AND dcg_micro * 1000000 // idcg_micro = 1000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+    FROM scored
+    GROUP BY q_source
+    """
+
+
+@register(
+    "retrieval_ndcg_eval",
+    _ndcg_sql(),
+    tags=["retrieval", "eval"],
+)
+def retrieval_ndcg_eval(spark, sf_dir):
+    """Graded nDCG@3 of the hybrid (RRF-fused) ranking, per query
+    source: relevance 2 = candidate shares the query doc's language
+    AND length bucket (``n_chars div 256``), 1 = language only, 0
+    otherwise — a deterministic two-level proxy with real coverage on
+    both levels (the ``source`` column is pure doc_id arithmetic,
+    disjoint between the eval and corpus slices, so a source-based
+    grade would be vacuously zero); ideal DCG from COLLECTION-WIDE
+    relevant counts (per-(lang, bucket) corpus totals — true nDCG,
+    not list-local renormalization).
+
+    Cross-engine exactness: the six possible DCG terms (gain 1-2 ×
+    rank 1-3) are precomputed integer literals, ideal DCG is a CASE
+    tree over the same six constants, and the per-query ratio is
+    integer division — the entire eval is int64 arithmetic; no
+    runtime ``ln`` for the engines to disagree on.
+
+    Plan: the fused top-k (≤ 3 rows/query) joins two slim doc-dim
+    projections; ideal counts come from one (source, lang) aggregate
+    — group count = |sources|×|langs|, broadcast back; the final
+    rollup has |sources| groups with map-side partials."""
+    topk = _rrf_hybrid_frame(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"n_chars div {_NDCG_BUCKET}")
+    qdim = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("source").alias("q_source"),
+        F.col("lang").alias("q_lang"),
+        bucket.alias("q_bucket"),
+    )
+    cdim = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.col("lang").alias("c_lang"),
+        bucket.alias("c_bucket"),
+    )
+    gain = (
+        F.when(
+            (F.col("q_lang") == F.col("c_lang"))
+            & (F.col("q_bucket") == F.col("c_bucket")),
+            F.lit(2),
+        )
+        .when(F.col("q_lang") == F.col("c_lang"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    g = _G
+    term = (
+        F.when(
+            F.col("gain") == 2,
+            F.when(F.col("rank") == 1, F.lit(g[(2, 1)]))
+            .when(F.col("rank") == 2, F.lit(g[(2, 2)]))
+            .otherwise(F.lit(g[(2, 3)])),
+        )
+        .when(
+            F.col("gain") == 1,
+            F.when(F.col("rank") == 1, F.lit(g[(1, 1)]))
+            .when(F.col("rank") == 2, F.lit(g[(1, 2)]))
+            .otherwise(F.lit(g[(1, 3)])),
+        )
+        .otherwise(F.lit(0))
+    )
+    dcg = (
+        topk.join(qdim, "q_id")
+        .join(cdim, "doc_id")
+        .select("q_id", "rank", gain.alias("gain"))
+        .groupBy("q_id")
+        .agg(F.sum(term).cast("long").alias("dcg_micro"))
+    )
+    csl = cdim.groupBy(
+        F.col("c_lang").alias("q_lang"), F.col("c_bucket").alias("q_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_sl"))
+    cs = cdim.groupBy(F.col("c_lang").alias("q_lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    t_col = F.least(
+        F.lit(_NDCG_K).cast("long"), F.coalesce(F.col("n_sl"), F.lit(0))
+    )
+    per_q = (
+        qdim.join(dcg, "q_id", "left")
+        .join(F.broadcast(csl), ["q_lang", "q_bucket"], "left")
+        .join(F.broadcast(cs), ["q_lang"], "left")
+        .withColumn("dcg_micro", F.coalesce(F.col("dcg_micro"), F.lit(0)))
+        .withColumn("t", t_col)
+        .withColumn(
+            "o",
+            F.least(
+                F.lit(_NDCG_K) - F.col("t"),
+                F.coalesce(F.col("n_s"), F.lit(0))
+                - F.coalesce(F.col("n_sl"), F.lit(0)),
+            ),
+        )
+    )
+    idcg = sum(
+        (
+            F.when(F.col("t") >= r, F.lit(g[(2, r)]))
+            .when(F.col("t") + F.col("o") >= r, F.lit(g[(1, r)]))
+            .otherwise(F.lit(0))
+            for r in (1, 2, 3)
+        ),
+        F.lit(0),
+    ).cast("long")
+    scored = per_q.withColumn("idcg_micro", idcg).withColumn(
+        "ndcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.expr("(dcg_micro * 1000000) div idcg_micro"),
+        ),
+    )
+    return scored.groupBy(F.col("q_source").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(
+            F.when(F.col("idcg_micro") > 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_evaluable"),
+        F.coalesce(F.sum("ndcg_micro"), F.lit(0))
+        .cast("long")
+        .alias("sum_ndcg_micro"),
+        F.sum(
+            F.when(F.col("ndcg_micro") == 1000000, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("n_perfect"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kn_gate_calibration — the perplexity-filter threshold ladder.
+
+_KN_GATE_PCTS = (5, 10, 20, 30, 50)
+
+
+def _kn_gate_sql() -> str:
+    from ffiec_pq_spark.queries.round13 import _KN3_SQL
+
+    pcts = ", ".join(str(p) for p in _KN_GATE_PCTS)
+    return f"""
+    WITH kn AS (
+      {_KN3_SQL}
+    ),
+    ranked AS (
+      SELECT doc_id, n_trigrams,
+             row_number() OVER (
+               ORDER BY avg_kn3_logprob DESC, doc_id ASC
+             ) AS rank
+      FROM kn
+    ),
+    nn AS (SELECT count(*) AS n FROM kn),
+    rung AS (SELECT unnest(CAST([{pcts}] AS BIGINT[])) AS thr_pct),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT thr_pct,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+           CAST(sum(CASE WHEN kept THEN n_trigrams ELSE 0 END) AS BIGINT)
+             AS trigrams_kept,
+           CAST(count(DISTINCT CASE WHEN kept THEN source END) AS BIGINT)
+             AS n_sources_kept
+    FROM (
+      SELECT r.thr_pct, ra.n_trigrams, s.source,
+             ra.rank <= greatest((nn.n * r.thr_pct) // 100, 1) AS kept
+      FROM ranked ra CROSS JOIN rung r CROSS JOIN nn
+      JOIN src s ON s.doc_id = ra.doc_id
+    )
+    GROUP BY thr_pct
+    """
+
+
+@register(
+    "kn_gate_calibration",
+    _kn_gate_sql(),
+    tags=["lm", "quality", "curation"],
+)
+def kn_gate_calibration(spark, sf_dir):
+    """Gate-calibration ladder for the modified-KN trigram perplexity
+    filter: at each candidate keep-percentile (top 5/10/20/30/50% by
+    mean trigram log-probability — the CCNet-style fluency cut), the
+    keep rate, the surviving trigram budget, and the number of
+    DISTINCT SOURCES still represented — the diversity-collapse
+    signal perplexity filters are audited for (a fluency cut that
+    silently drops whole domains is worse than no cut).  Completes
+    the calibration family: ``quality_threshold_sweep`` (heuristic),
+    ``probe_gate_calibration`` (trained probe), this (LM scorer).
+
+    Ranking is on the already-certified 6 dp-rounded
+    ``avg_kn3_logprob`` (ties → doc_id), so rank parity costs nothing
+    new; the ladder itself is the shared pattern — ONE
+    :func:`distributed_rank` over the scores feeding every rung, a
+    5-row literal explode, and a ≤ 5-group final aggregate.  Only
+    documents with ≥ 3 tokens score (they are the model's population
+    on both engines)."""
+    from ffiec_pq_spark.operators.windows import distributed_rank
+    from ffiec_pq_spark.queries.round13 import doc_kn_trigram
+
+    scored = doc_kn_trigram(spark, sf_dir)
+    ranked = distributed_rank(
+        scored,
+        [F.col("avg_kn3_logprob").desc(), F.col("doc_id").asc()],
+        rank_col="rank",
+    )
+    n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lad = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .join(src, "doc_id")
+        .withColumn(
+            "thr_pct",
+            F.explode(
+                F.array(*[F.lit(p).cast("long") for p in _KN_GATE_PCTS])
+            ),
+        )
+        .withColumn(
+            "kept",
+            F.col("rank")
+            <= F.greatest(
+                (F.col("_n") * F.col("thr_pct") / F.lit(100)).cast("long"),
+                F.lit(1),
+            ),
+        )
+    )
+    kept_l = F.col("kept").cast("long")
+    return lad.groupBy("thr_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(kept_l).alias("n_kept"),
+        F.round(
+            F.sum(kept_l) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("keep_rate"),
+        F.sum(
+            F.when(F.col("kept"), F.col("n_trigrams")).otherwise(F.lit(0))
+        ).cast("long").alias("trigrams_kept"),
+        F.countDistinct(F.when(F.col("kept"), F.col("source")))
+        .cast("long")
+        .alias("n_sources_kept"),
+    )

@@ -130,6 +130,10 @@ NOTES = {
     "doc_moore_lewis_select": "cross-entropy-difference selection: in-domain and general count tables from ONE shared bigram-type stream (two keyed aggs, in-domain weighted by per-rep in-lang copy count); scoring = six LEFT keyed joins + two broadcast scalar totals + the CASE backoff ladder; keep gate = ONE distributed_rank on the rounded score + 1-row count broadcast",
     "doc_kn_unlearn": "exact LM unlearning: resident full-corpus bigram counts (Scan ExistingRDD) minus one erased-slice aggregation (cost ~ |deleted|) via a keyed LEFT-join subtraction; survivor scoring re-derives context/continuation tables from the corrected integer state — identical shape to the batch KN query",
     "stream_kn_counts_fold": "drain of the LM count maintenance stream: serve reads the folded versioned count table (parquet scan), derives context/continuation tables with the batch query's exact keyed-agg plan; per-trigger fold was batch bigram counts + vocab-squared-bounded keyed merge",
+    # round-13 third wave
+    "retrieval_rrf_hybrid": "RRF fusion: the shared BM25 inverted-index pass (df-cap-pruned term equi-join) FULL-OUTER-merged with the dense list (corpus argmax cell from one sorted struct array — no shuffle; query probe cells BROADCAST to the cell equi-join; exact cosine only on cell candidates); both rank windows partitioned by q_id; fusion arithmetic integer div",
+    "retrieval_ndcg_eval": "graded nDCG: fused top-k joins two slim doc-dim projections; the six DCG terms are integer LITERALS (no runtime ln); ideal-DCG counts from one (lang,bucket) aggregate broadcast back; |sources|-group rollup with map-side partials",
+    "kn_gate_calibration": "LM-scorer threshold ladder: the certified KN3 scoring pass, ONE distributed_rank on (rounded logprob, doc_id) shared by all rungs, 5-row literal explode, source join, <=5-group rollup",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

@@ -218,6 +218,11 @@ QUERIES = [
     "doc_moore_lewis_select",
     "doc_kn_unlearn",
     "stream_kn_counts_fold",
+    # round-13 third wave: hybrid retrieval + its graded eval + the
+    # LM gate ladder
+    "retrieval_rrf_hybrid",
+    "retrieval_ndcg_eval",
+    "kn_gate_calibration",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

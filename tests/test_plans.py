@@ -1183,3 +1183,55 @@ def test_kn_stream_serve_scores_from_folded_state(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "Scan parquet" in plan, plan
+
+
+def test_rrf_hybrid_no_cartesian_keyed_windows(spark, sf_dir):
+    """retrieval_rrf_hybrid: the lexical side is the shared BM25
+    inverted-index pass and the dense side reaches candidates through
+    the cell equi-join with the query side broadcast — no cartesian
+    over data relations anywhere, the only nested-loop join is the
+    one-row BM25 stats broadcast, and every rank window keys on q_id
+    (never a global window)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["retrieval_rrf_hybrid"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition(q_id" in plan, plan
+    # the only single-partition exchange is the BM25 pass's one-row
+    # stats rollup (the docs_bm25_topk pin's allowance) — never fact
+    # data
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_ndcg_eval_integer_terms_broadcast_counts(spark, sf_dir):
+    """retrieval_ndcg_eval: no runtime logarithm may appear anywhere
+    in the plan (every DCG term is a precomputed integer literal),
+    the ideal-count relations join by broadcast, and no cartesian
+    beyond the fused pass's one-row stats broadcast."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["retrieval_ndcg_eval"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LOG(" not in plan and "ln(" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kn_gate_single_rank_pass(spark, sf_dir):
+    """kn_gate_calibration: one distributed_rank over the certified
+    KN3 scores feeds every rung — the rank is the _pid-keyed local
+    row_number construction, never a single-reducer window over the
+    corpus, and the 5-rung explode adds no data-sized shuffle
+    (single-partition exchanges only for the rank's offset relation
+    and the 1-row count broadcast)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["kn_gate_calibration"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "row_number() windowspecdefinition(_pid" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan

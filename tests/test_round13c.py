@@ -1,0 +1,148 @@
+"""Round-13 third wave contracts: the RRF fusion reproduces an
+independent pure-Python merge of its two input lists, the graded nDCG
+reproduces a pure-Python per-query eval (second oracle besides DuckDB),
+and the KN gate ladder is monotone in the threshold."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.queries.round13c import (
+    _FUSE_TOPK,
+    _G,
+    _NDCG_BUCKET,
+    _NDCG_K,
+    _RRF_K,
+    _dense_topk_frame,
+    _rrf_hybrid_frame,
+)
+from ffiec_pq_spark.session import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_rrf_fusion_matches_pure_python_merge(spark, sf_dir):
+    """The fused ranking equals an independent dict-based RRF merge of
+    the two constituent lists (collected separately): per (q, doc),
+    rrf_micro = 1e6 div (60+lex_rank) + 1e6 div (60+dense_rank) with
+    missing-list contributions zero, fused rank by (-rrf, doc_id)."""
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
+
+    lex = {
+        (r["q_id"], r["doc_id"]): r["rank"]
+        for r in _bm25_topk_frame(spark, sf_dir).collect()
+    }
+    dense = {
+        (r["q_id"], r["doc_id"]): r["d_rank"]
+        for r in _dense_topk_frame(spark, sf_dir).collect()
+    }
+    scores = {}
+    for (q, d), rk in lex.items():
+        scores[(q, d)] = scores.get((q, d), 0) + 1000000 // (_RRF_K + rk)
+    for (q, d), rk in dense.items():
+        scores[(q, d)] = scores.get((q, d), 0) + 1000000 // (_RRF_K + rk)
+    by_q = {}
+    for (q, d), s in scores.items():
+        by_q.setdefault(q, []).append((-s, d))
+    expected = []
+    for q, lst in by_q.items():
+        for i, (neg_s, d) in enumerate(sorted(lst)[:_FUSE_TOPK], 1):
+            expected.append(
+                (
+                    q,
+                    i,
+                    d,
+                    -neg_s,
+                    1 if (q, d) in lex else 0,
+                    1 if (q, d) in dense else 0,
+                )
+            )
+    got = _rows(_rrf_hybrid_frame(spark, sf_dir))
+    assert got == sorted(expected)
+    # the fusion is genuinely hybrid on this corpus: some fused rows
+    # come from each list alone and at least one from both
+    assert any(r[4] == 1 and r[5] == 0 for r in got)
+    assert any(r[4] == 0 and r[5] == 1 for r in got)
+
+
+def test_ndcg_matches_pure_python_eval(spark, sf_dir):
+    """retrieval_ndcg_eval equals a from-scratch Python eval: graded
+    gains from the doc dims, DCG/IDCG from the same six precomputed
+    integer terms, per-query integer-division ratio, source rollup."""
+    from ffiec_pq_spark.catalog import queries
+
+    docs = {
+        r["doc_id"]: (r["source"], r["lang"], r["n_chars"] // _NDCG_BUCKET)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    corpus = {d: v for d, v in docs.items() if d % 10 != 0}
+    topk = {}
+    for r in _rrf_hybrid_frame(spark, sf_dir).collect():
+        topk.setdefault(r["q_id"], []).append((r["rank"], r["doc_id"]))
+    per_source = {}
+    for q, (q_src, q_lang, q_b) in docs.items():
+        if q % 10 != 0:
+            continue
+        n_sl = sum(
+            1 for (lg, b) in ((v[1], v[2]) for v in corpus.values())
+            if lg == q_lang and b == q_b
+        )
+        n_s = sum(1 for v in corpus.values() if v[1] == q_lang)
+        t = min(_NDCG_K, n_sl)
+        o = min(_NDCG_K - t, n_s - n_sl)
+        idcg = sum(
+            _G[(2, r)] if t >= r else (_G[(1, r)] if t + o >= r else 0)
+            for r in (1, 2, 3)
+        )
+        dcg = 0
+        for rank, d in topk.get(q, []):
+            c_lang, c_b = corpus[d][1], corpus[d][2]
+            gain = 2 if (c_lang, c_b) == (q_lang, q_b) else (
+                1 if c_lang == q_lang else 0
+            )
+            if gain:
+                dcg += _G[(gain, rank)]
+        agg = per_source.setdefault(q_src, [0, 0, 0, 0])
+        agg[0] += 1
+        if idcg > 0:
+            ndcg = dcg * 1000000 // idcg
+            agg[1] += 1
+            agg[2] += ndcg
+            agg[3] += 1 if ndcg == 1000000 else 0
+    expected = sorted(
+        (s, a[0], a[1], a[2], a[3]) for s, a in per_source.items()
+    )
+    got = _rows(queries()["retrieval_ndcg_eval"](spark, sf_dir))
+    assert got == expected
+    # the proxy is non-degenerate on this corpus: something evaluable,
+    # something scored above zero
+    assert sum(r[2] for r in got) > 0
+    assert sum(r[3] for r in got) > 0
+
+
+def test_kn_gate_ladder_is_monotone(spark, sf_dir):
+    """Widening the keep percentile can only add documents: n_kept,
+    trigrams_kept and n_sources_kept are nondecreasing in thr_pct, and
+    every rung keeps at least one document (the greatest(..., 1)
+    floor)."""
+    from ffiec_pq_spark.catalog import queries
+
+    rows = {
+        r["thr_pct"]: r
+        for r in queries()["kn_gate_calibration"](spark, sf_dir).collect()
+    }
+    pcts = sorted(rows)
+    assert pcts == [5, 10, 20, 30, 50]
+    for lo, hi in zip(pcts, pcts[1:]):
+        assert rows[lo]["n_kept"] <= rows[hi]["n_kept"]
+        assert rows[lo]["trigrams_kept"] <= rows[hi]["trigrams_kept"]
+        assert rows[lo]["n_sources_kept"] <= rows[hi]["n_sources_kept"]
+    assert rows[5]["n_kept"] >= 1
+    n_total = rows[5]["n_total"]
+    for p in pcts:
+        assert rows[p]["n_total"] == n_total
+        assert math.isclose(
+            rows[p]["keep_rate"], round(rows[p]["n_kept"] / n_total, 6)
+        )
