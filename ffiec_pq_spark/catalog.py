@@ -73,6 +73,9 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-13 fourth wave (queries/round13c.py, never sampled) ---
+    "retrieval_fusion_gain",
+    "gate_agreement_matrix",
     # --- round-13 third wave (queries/round13c.py, never sampled) ---
     "retrieval_rrf_hybrid",
     "retrieval_ndcg_eval",

@@ -17,6 +17,15 @@
   trained probe (probe_gate_calibration), and now the LM scorer —
   with a diversity-collapse column (distinct sources surviving each
   rung), the failure mode perplexity filters are audited for.
+- ``retrieval_fusion_gain`` — the ablation the fusion exists for:
+  MRR of the lexical arm alone, the dense arm alone, and the fused
+  list, under ONE strict relevance label, so the hybrid's gain (or
+  loss) over its constituents is a single three-row readout.
+- ``gate_agreement_matrix`` — Cohen's kappa between the three
+  quality gates (heuristic / trained probe / LM) at an equal 20%
+  keep budget over the SHARED scoreable population: the redundancy
+  audit that decides whether stacking filters buys anything beyond
+  any one of them.
 
 The reference (iangow/ffiec.pq) has no retrieval surface; these extend
 the mandated training-data-pipeline layer under the established
@@ -114,11 +123,13 @@ def _dense_ctes() -> str:
     )"""
 
 
-def _rrf_sql() -> str:
+def _hybrid_ctes() -> str:
+    """The full fusion CTE chain (lexical list, dense list, RRF merge,
+    fused top-k as ``hybrid``) — shared by the fusion query itself and
+    every downstream eval that compares the arms."""
     from ffiec_pq_spark.queries.round12 import _BM25_TOPK_SQL
 
-    return f"""
-    WITH lex AS (
+    return f"""lex AS (
       {_BM25_TOPK_SQL}
     ),
     {_dense_ctes()},
@@ -139,15 +150,23 @@ def _rrf_sql() -> str:
              CAST(CASE WHEN d_rank IS NOT NULL THEN 1 ELSE 0 END
                   AS BIGINT) AS in_dense
       FROM fused
-    )
-    SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro,
-           in_lex, in_dense
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC
-      ) AS rank FROM rrf
-    )
-    WHERE rank <= {_FUSE_TOPK}
+    ),
+    hybrid AS (
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro,
+             in_lex, in_dense
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC
+        ) AS rank FROM rrf
+      )
+      WHERE rank <= {_FUSE_TOPK}
+    )"""
+
+
+def _rrf_sql() -> str:
+    return f"""
+    WITH {_hybrid_ctes()}
+    SELECT q_id, rank, doc_id, rrf_micro, in_lex, in_dense FROM hybrid
     """
 
 
@@ -620,4 +639,371 @@ def kn_gate_calibration(spark, sf_dir):
         F.countDistinct(F.when(F.col("kept"), F.col("source")))
         .cast("long")
         .alias("n_sources_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# retrieval_fusion_gain — the hybrid ablation: each arm's MRR under
+# one strict relevance label, so the fusion's contribution over its
+# constituents is a direct three-row comparison.
+
+
+def _fusion_gain_sql() -> str:
+    return f"""
+    WITH {_hybrid_ctes()},
+    arms AS (
+      SELECT 'lex' AS arm, q_id, CAST(rank AS BIGINT) AS rank, doc_id
+      FROM lex
+      UNION ALL
+      SELECT 'dense' AS arm, q_id, d_rank AS rank, doc_id FROM densek
+      UNION ALL
+      SELECT 'hybrid' AS arm, q_id, rank, doc_id FROM hybrid
+    ),
+    qdim AS (
+      SELECT doc_id AS q_id, lang AS q_lang,
+             n_chars // {_NDCG_BUCKET} AS q_bucket
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    cdim AS (
+      SELECT doc_id, lang AS c_lang, n_chars // {_NDCG_BUCKET} AS c_bucket
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    firstrel AS (
+      SELECT a.arm, a.q_id,
+             min(CASE WHEN q.q_lang = c.c_lang
+                       AND q.q_bucket = c.c_bucket THEN a.rank END)
+               AS first_rel
+      FROM arms a
+      JOIN qdim q ON q.q_id = a.q_id
+      JOIN cdim c ON c.doc_id = a.doc_id
+      GROUP BY a.arm, a.q_id
+    ),
+    armlist AS (SELECT unnest(['dense', 'hybrid', 'lex']) AS arm)
+    SELECT al.arm,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN fr.first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(coalesce(sum(1000000 // fr.first_rel), 0) AS BIGINT)
+             AS sum_rr_micro
+    FROM qdim q CROSS JOIN armlist al
+    LEFT JOIN firstrel fr ON fr.arm = al.arm AND fr.q_id = q.q_id
+    GROUP BY al.arm
+    """
+
+
+@register(
+    "retrieval_fusion_gain",
+    _fusion_gain_sql(),
+    tags=["retrieval", "eval"],
+)
+def retrieval_fusion_gain(spark, sf_dir):
+    """The fusion ablation: MRR@3 (integer-micro reciprocal-rank
+    mass, ``1000000 div first_relevant_rank``) of the lexical arm,
+    the dense arm, and the RRF-fused list, all under the STRICT
+    relevance level of the nDCG eval (candidate shares the query
+    doc's language AND length bucket) — the single readout that says
+    whether fusing bought recall over the better constituent or just
+    averaged two orderings.  Every eval-slice query counts in
+    ``n_queries`` for every arm (left join), so arms are compared on
+    one denominator.
+
+    Plan: the two constituent lists and the fused list are the
+    already-pinned passes (BM25 inverted-index term equi-join; dense
+    cell equi-join with the query side broadcast; fusion full-outer
+    merge of two ≤ k·|queries| relations); the arms union is
+    by-name, the label join touches two slim doc-dim projections,
+    and the rollup is 3 groups with map-side partials."""
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
+
+    lex = _bm25_topk_frame(spark, sf_dir).select(
+        F.lit("lex").alias("arm"),
+        "q_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+    )
+    dense = _dense_topk_frame(spark, sf_dir).select(
+        F.lit("dense").alias("arm"),
+        "q_id",
+        F.col("d_rank").alias("rank"),
+        "doc_id",
+    )
+    hyb = _rrf_hybrid_frame(spark, sf_dir).select(
+        F.lit("hybrid").alias("arm"), "q_id", "rank", "doc_id"
+    )
+    arms = lex.unionByName(dense).unionByName(hyb)
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"n_chars div {_NDCG_BUCKET}")
+    qdim = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("lang").alias("q_lang"),
+        bucket.alias("q_bucket"),
+    )
+    cdim = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.col("lang").alias("c_lang"),
+        bucket.alias("c_bucket"),
+    )
+    rel = (F.col("q_lang") == F.col("c_lang")) & (
+        F.col("q_bucket") == F.col("c_bucket")
+    )
+    firstrel = (
+        arms.join(qdim, "q_id")
+        .join(cdim, "doc_id")
+        .groupBy("arm", "q_id")
+        .agg(F.min(F.when(rel, F.col("rank"))).alias("first_rel"))
+    )
+    base = qdim.select("q_id").withColumn(
+        "arm",
+        F.explode(F.array(F.lit("dense"), F.lit("hybrid"), F.lit("lex"))),
+    )
+    return (
+        base.join(firstrel, ["arm", "q_id"], "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("first_rel").isNotNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("n_hits"),
+            F.coalesce(F.sum(F.expr("1000000 div first_rel")), F.lit(0))
+            .cast("long")
+            .alias("sum_rr_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# gate_agreement_matrix — pairwise Cohen's kappa between the three
+# quality gates at one keep budget over the shared population.
+
+_AGREE_PCT = 20
+
+
+def _agree_sql() -> str:
+    from ffiec_pq_spark.operators.text import quality_score_sql
+    from ffiec_pq_spark.queries.round12b import _probe_ctes
+    from ffiec_pq_spark.queries.round13 import _KN3_SQL
+
+    ctes, last = _probe_ctes()
+    ctes.append(
+        f"""pmarg AS (
+      SELECT ex.vec_id, CAST(sum(ex.xq * w.v) AS BIGINT) AS margin_micro
+      FROM ex JOIN {last} w USING (i)
+      GROUP BY ex.vec_id
+    )"""
+    )
+    ctes.append(f"knd AS ({_KN3_SQL})")
+    ctes.append(
+        f"""hq AS (
+      SELECT doc_id, {quality_score_sql()} AS quality FROM documents
+    )"""
+    )
+    ctes.append(
+        """pop AS (
+      SELECT h.doc_id, h.quality, p.margin_micro, k.avg_kn3_logprob
+      FROM hq h JOIN pmarg p ON p.vec_id = h.doc_id
+                JOIN knd k ON k.doc_id = h.doc_id
+    )"""
+    )
+    ctes.append(
+        f"""popn AS (
+      SELECT CAST(greatest((count(*) * {_AGREE_PCT}) // 100, 1)
+                  AS BIGINT) AS kb
+      FROM pop
+    )"""
+    )
+    for nm, key in (
+        ("rh", "quality"),
+        ("rp", "margin_micro"),
+        ("rk", "avg_kn3_logprob"),
+    ):
+        ctes.append(
+            f"""{nm} AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY {key} DESC, doc_id ASC) AS r
+      FROM pop
+    )"""
+        )
+    ctes.append(
+        """gates AS (
+      SELECT p.doc_id, rh.r <= popn.kb AS g_h, rp.r <= popn.kb AS g_p,
+             rk.r <= popn.kb AS g_k
+      FROM pop p JOIN rh ON rh.doc_id = p.doc_id
+                 JOIN rp ON rp.doc_id = p.doc_id
+                 JOIN rk ON rk.doc_id = p.doc_id
+      CROSS JOIN popn
+    )"""
+    )
+    ctes.append(
+        """prs AS (
+      SELECT 'heuristic~probe' AS pair, g_h AS a, g_p AS b FROM gates
+      UNION ALL
+      SELECT 'heuristic~kn' AS pair, g_h AS a, g_k AS b FROM gates
+      UNION ALL
+      SELECT 'probe~kn' AS pair, g_p AS a, g_k AS b FROM gates
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT pair, n, n_kept, n_both_kept, n_both_dropped, n_disagree,
+           CASE WHEN n_kept = 0 OR n_kept = n THEN NULL
+                ELSE round(
+                  ((n_both_kept + n_both_dropped) / CAST(n AS DOUBLE)
+                   - (CAST(n_kept AS DOUBLE) * n_kept
+                      + CAST(n - n_kept AS DOUBLE) * (n - n_kept))
+                     / (CAST(n AS DOUBLE) * n))
+                  / (1.0 - (CAST(n_kept AS DOUBLE) * n_kept
+                            + CAST(n - n_kept AS DOUBLE) * (n - n_kept))
+                       / (CAST(n AS DOUBLE) * n)), 6)
+           END AS kappa
+    FROM (
+      SELECT pair,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both_kept,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both_dropped,
+             CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disagree
+      FROM prs GROUP BY pair
+    )
+    """
+    )
+
+
+@register(
+    "gate_agreement_matrix",
+    _agree_sql(),
+    tags=["quality", "curation", "eval"],
+)
+def gate_agreement_matrix(spark, sf_dir):
+    """Pairwise Cohen's kappa between the three quality gates —
+    heuristic score, trained linear probe, and modified-KN trigram
+    LM — each keeping its top 20% of the SHARED scoreable population
+    (documents that have a quality score, a non-empty embedding, and
+    ≥ 3 tokens), ties broken by doc_id.  Equal budgets make the
+    marginals identical, so kappa reduces to how far the overlap
+    exceeds the hypergeometric chance overlap: the redundancy audit
+    that decides whether stacking a second filter buys independent
+    signal (kappa ≈ 0) or re-applies the first one (kappa ≈ 1).
+
+    Cross-engine exactness: all three scores are already engine-exact
+    (6 dp-rounded heuristic, integer probe margin, 6 dp-rounded KN
+    log-prob), every rank is a total order with a doc_id tiebreak,
+    and the confusion counts are integers; kappa itself is one double
+    expression over those integers, rounded to 6 dp identically in
+    both engines.
+
+    Plan: the shared population is built once and persisted (the KN
+    scoring pass is the expensive input; it must not re-run per
+    rank); THREE :func:`distributed_rank` passes — one per score,
+    never a single-partition window — join back on doc_id; the
+    budget is a 1-row broadcast; the pair explode is a 3-literal
+    array; the final aggregate has 3 groups with map-side
+    partials."""
+    from ffiec_pq_spark.operators.linear_probe import probe_margins
+    from ffiec_pq_spark.operators.text import quality_score_tok, tokens
+    from ffiec_pq_spark.operators.windows import distributed_rank
+    from ffiec_pq_spark.queries.round12b import probe_corpus, probe_weights
+    from ffiec_pq_spark.queries.round13 import doc_kn_trigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    hq = docs.select(
+        "doc_id", quality_score_tok(tokens("text"), "text").alias("quality")
+    )
+    emb = probe_corpus(spark, sf_dir)
+    y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+    pm = probe_margins(
+        emb.withColumn("_yy", y), "embedding", "vec_id", "_yy",
+        probe_weights(spark, sf_dir),
+    ).select(F.col("vec_id").alias("doc_id"), "margin_micro")
+    kn = doc_kn_trigram(spark, sf_dir).select("doc_id", "avg_kn3_logprob")
+    pop = hq.join(pm, "doc_id").join(kn, "doc_id").persist()
+    popn = pop.agg(F.count(F.lit(1)).cast("long").alias("_n")).select(
+        F.greatest(
+            F.expr(f"(_n * {_AGREE_PCT}) div 100"), F.lit(1).cast("long")
+        ).alias("kb")
+    )
+    ranks = []
+    for rc, key in (
+        ("r_h", "quality"),
+        ("r_p", "margin_micro"),
+        ("r_k", "avg_kn3_logprob"),
+    ):
+        ranks.append(
+            distributed_rank(
+                pop.select("doc_id", key),
+                [F.col(key).desc(), F.col("doc_id").asc()],
+                rank_col=rc,
+            ).select("doc_id", rc)
+        )
+    gated = (
+        pop.select("doc_id")
+        .join(ranks[0], "doc_id")
+        .join(ranks[1], "doc_id")
+        .join(ranks[2], "doc_id")
+        .crossJoin(F.broadcast(popn))
+        .select(
+            (F.col("r_h") <= F.col("kb")).alias("g_h"),
+            (F.col("r_p") <= F.col("kb")).alias("g_p"),
+            (F.col("r_k") <= F.col("kb")).alias("g_k"),
+        )
+    )
+    prs = gated.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("heuristic~probe").alias("pair"),
+                    F.col("g_h").alias("a"),
+                    F.col("g_p").alias("b"),
+                ),
+                F.struct(
+                    F.lit("heuristic~kn").alias("pair"),
+                    F.col("g_h").alias("a"),
+                    F.col("g_k").alias("b"),
+                ),
+                F.struct(
+                    F.lit("probe~kn").alias("pair"),
+                    F.col("g_p").alias("a"),
+                    F.col("g_k").alias("b"),
+                ),
+            )
+        ).alias("pr")
+    ).select("pr.pair", "pr.a", "pr.b")
+    g = prs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a").cast("long")).cast("long").alias("n_kept"),
+        F.sum((F.col("a") & F.col("b")).cast("long"))
+        .cast("long")
+        .alias("n_both_kept"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("long"))
+        .cast("long")
+        .alias("n_both_dropped"),
+        F.sum((F.col("a") != F.col("b")).cast("long"))
+        .cast("long")
+        .alias("n_disagree"),
+    )
+    n_d = F.col("n").cast("double")
+    k_d = F.col("n_kept").cast("double")
+    nk = F.col("n") - F.col("n_kept")
+    pe = (k_d * F.col("n_kept") + nk.cast("double") * nk) / (n_d * F.col("n"))
+    po = (F.col("n_both_kept") + F.col("n_both_dropped")) / n_d
+    return g.select(
+        "pair",
+        "n",
+        "n_kept",
+        "n_both_kept",
+        "n_both_dropped",
+        "n_disagree",
+        F.when(
+            (F.col("n_kept") == 0) | (F.col("n_kept") == F.col("n")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("kappa"),
     )

@@ -134,6 +134,9 @@ NOTES = {
     "retrieval_rrf_hybrid": "RRF fusion: the shared BM25 inverted-index pass (df-cap-pruned term equi-join) FULL-OUTER-merged with the dense list (corpus argmax cell from one sorted struct array — no shuffle; query probe cells BROADCAST to the cell equi-join; exact cosine only on cell candidates); both rank windows partitioned by q_id; fusion arithmetic integer div",
     "retrieval_ndcg_eval": "graded nDCG: fused top-k joins two slim doc-dim projections; the six DCG terms are integer LITERALS (no runtime ln); ideal-DCG counts from one (lang,bucket) aggregate broadcast back; |sources|-group rollup with map-side partials",
     "kn_gate_calibration": "LM-scorer threshold ladder: the certified KN3 scoring pass, ONE distributed_rank on (rounded logprob, doc_id) shared by all rungs, 5-row literal explode, source join, <=5-group rollup",
+    # round-13 fourth wave
+    "retrieval_fusion_gain": "fusion ablation: the three pinned list passes union by name (each <= k rows/query), ONE label join against two slim doc-dim projections, per-(arm,q) min, 3-literal arm explode on the query base, 3-group rollup — all rank mass integer micros",
+    "gate_agreement_matrix": "gate redundancy audit: shared population persisted ONCE (the KN pass is the expensive input), THREE distributed_rank passes (one per score, never a global window) joined back on doc_id, 1-row budget broadcast, 3-literal pair explode, 3-group rollup; kappa one double expression over integer confusion counts",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

