@@ -137,6 +137,10 @@ NOTES = {
     # round-13 fourth wave
     "retrieval_fusion_gain": "fusion ablation: the three pinned list passes union by name (each <= k rows/query), ONE label join against two slim doc-dim projections, per-(arm,q) min, 3-literal arm explode on the query base, 3-group rollup — all rank mass integer micros",
     "gate_agreement_matrix": "gate redundancy audit: shared population persisted ONCE (the KN pass is the expensive input), THREE distributed_rank passes (one per score, never a global window) joined back on doc_id, 1-row budget broadcast, 3-literal pair explode, 3-group rollup; kappa one double expression over integer confusion counts",
+    # round-13 fifth wave
+    "embedding_dim_ablation": "Matryoshka truncation curve: ONE corpus projection computes all four truncated cosines (slice + fold, JVM-side), slim (vec_id,dim,cos) relation persisted, every top-k a TakeOrderedAndProject over it (a PARTITION BY dim window would put the corpus in 4 reducers), 10-row ground-truth broadcast join",
+    "corpus_shard_assignment": "deterministic hash-sharding audit: one scan computes shard id + token count JVM-side, 16-group aggregate with map-side partials, 1-row total broadcast; at scale the shard expression IS the write's repartition key",
+    "retrieval_rrf_weight_sweep": "weighted-RRF ladder: the pinned full-outer fusion relation crossed with a 5-row literal weight relation, every rank window keyed on (w_pct,q_id), label join on two slim dim projections, <=5-group rollup — all mass integer micros x integer percents",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

@@ -227,6 +227,11 @@ QUERIES = [
     # audit
     "retrieval_fusion_gain",
     "gate_agreement_matrix",
+    # round-13 fifth wave: dim ablation, shard audit, fusion-weight
+    # sweep
+    "embedding_dim_ablation",
+    "corpus_shard_assignment",
+    "retrieval_rrf_weight_sweep",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

@@ -1273,3 +1273,50 @@ def test_gate_agreement_three_distributed_ranks(spark, sf_dir):
     assert plan.count("row_number() windowspecdefinition(_pid") == 3, plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 4, plan
+
+
+def test_dim_ablation_single_scan_take_ordered(spark, sf_dir):
+    """embedding_dim_ablation: the four truncated cosines come from
+    ONE corpus projection (the persisted slim relation appears as an
+    InMemoryRelation reused by every arm), every top-k is a
+    TakeOrderedAndProject (no global sort, no PARTITION BY dim window
+    that would put the corpus in 4 reducers), and the ground-truth
+    join is a broadcast."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["embedding_dim_ablation"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition(dim" not in plan, plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_shard_assignment_one_agg_one_broadcast(spark, sf_dir):
+    """corpus_shard_assignment: one data-sized aggregate (16 groups,
+    map-side partials), the corpus total is a 1-row broadcast
+    nested-loop cross, and nothing else is single-partition."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["corpus_shard_assignment"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_weight_sweep_keyed_windows_no_cartesian(spark, sf_dir):
+    """retrieval_rrf_weight_sweep: the rank window keys on
+    (w_pct, q_id) — never a global window — the weight rungs are a
+    literal explode (no data-sized cross join), and the only
+    single-partition exchange is the BM25 pass's one-row stats
+    rollup."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["retrieval_rrf_weight_sweep"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(w_pct" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
