@@ -1,0 +1,311 @@
+"""Round-13 sixth wave: the source scorecard, the cross-shard
+duplicate audit, and the epoch token-budget planner.
+
+- ``source_quality_scorecard`` — per-source rollup of the three
+  certified quality scores (heuristic, trained-probe margin,
+  modified-KN trigram log-prob) plus doc/token mass: the one-page
+  scorecard a data lead reads before setting per-source treatment.
+- ``dedup_cross_shard_rate`` — how the certified MinHash near-dup
+  pairs straddle the deterministic training shards
+  (``corpus_shard_assignment``'s hash): the within- vs cross-shard
+  pair split.  The number that says how much a shard-LOCAL dedup
+  pass under-deletes — the reason dedup must run before (or across)
+  sharding at 100 TB.
+- ``epoch_token_budget`` — the sampling plan: temperature-smoothed
+  source weights (alpha 0.3, the ``corpus_sampling_temperature``
+  convention) allocated against a fixed multi-epoch token budget,
+  with per-source repeat factors and the >4-repeats exhaustion flag
+  (the data-constrained-scaling rule of thumb for when repeating
+  unique tokens stops helping).
+
+All three reuse already-certified building blocks (scores, shard
+hash, temperature weights) so their cross-engine exactness rests on
+pinned contracts; new arithmetic is integer or rounds once at the
+end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# source_quality_scorecard
+
+
+def _scorecard_sql() -> str:
+    from ffiec_pq_spark.operators.text import quality_score_sql
+    from ffiec_pq_spark.queries.round12b import _probe_ctes
+    from ffiec_pq_spark.queries.round13 import _KN3_SQL
+
+    tok = r"len(string_split_regex(trim(text), '\s+'))"
+    ctes, last = _probe_ctes()
+    ctes.append(
+        f"""pmarg AS (
+      SELECT ex.vec_id, CAST(sum(ex.xq * w.v) AS BIGINT) AS margin_micro
+      FROM ex JOIN {last} w USING (i)
+      GROUP BY ex.vec_id
+    )"""
+    )
+    ctes.append(f"knd AS ({_KN3_SQL})")
+    ctes.append(
+        f"""base AS (
+      SELECT d.source, {tok} AS n_tok,
+             {quality_score_sql()} AS quality,
+             p.margin_micro, k.avg_kn3_logprob
+      FROM documents d
+      LEFT JOIN pmarg p ON p.vec_id = d.doc_id
+      LEFT JOIN knd k ON k.doc_id = d.doc_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(avg(quality), 6) AS mean_quality,
+           CAST(count(margin_micro) AS BIGINT) AS n_probe,
+           round(avg(margin_micro), 6) AS mean_margin_micro,
+           CAST(count(avg_kn3_logprob) AS BIGINT) AS n_kn,
+           round(avg(avg_kn3_logprob), 6) AS mean_kn_logprob
+    FROM base
+    GROUP BY source
+    """
+    )
+
+
+@register(
+    "source_quality_scorecard",
+    _scorecard_sql(),
+    tags=["quality", "curation", "corpus"],
+)
+def source_quality_scorecard(spark, sf_dir):
+    """Per-source scorecard: document and token mass plus the mean of
+    each certified quality score — the heuristic composite (all
+    docs), the trained probe's exact integer margin (docs with a
+    non-empty embedding), and the modified-KN trigram log-prob (docs
+    with ≥ 3 tokens) — with per-scorer coverage counts so a source
+    whose docs systematically miss a scorer is visible.  This is the
+    one-page readout a data lead reads before deciding per-source
+    keep rates, upsampling, or exclusion.
+
+    Cross-engine exactness: each per-doc score is already pinned
+    (6 dp heuristic, integer margin, 6 dp KN log-prob); the per-source
+    means round once at the end; coverage counts are integers.
+
+    Plan: the three scoring passes are the certified ones (one scan +
+    keyed aggregates each); the scorecard itself is two LEFT hash
+    joins on doc_id and ONE |sources|-group aggregate with map-side
+    partials — nothing new grows with the corpus."""
+    from ffiec_pq_spark.operators.linear_probe import probe_margins
+    from ffiec_pq_spark.operators.text import (
+        quality_score_tok,
+        token_count,
+        tokens,
+    )
+    from ffiec_pq_spark.queries.round12b import probe_corpus, probe_weights
+    from ffiec_pq_spark.queries.round13 import doc_kn_trigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+    pm = probe_margins(
+        probe_corpus(spark, sf_dir).withColumn("_yy", y),
+        "embedding", "vec_id", "_yy",
+        probe_weights(spark, sf_dir),
+    ).select(F.col("vec_id").alias("doc_id"), "margin_micro")
+    kn = doc_kn_trigram(spark, sf_dir).select("doc_id", "avg_kn3_logprob")
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            token_count("text").alias("n_tok"),
+            quality_score_tok(tokens("text"), "text").alias("quality"),
+        )
+        .join(pm, "doc_id", "left")
+        .join(kn, "doc_id", "left")
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.count("margin_micro").cast("long").alias("n_probe"),
+        F.round(F.avg("margin_micro"), 6).alias("mean_margin_micro"),
+        F.count("avg_kn3_logprob").cast("long").alias("n_kn"),
+        F.round(F.avg("avg_kn3_logprob"), 6).alias("mean_kn_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_cross_shard_rate
+
+
+def _cross_shard_sql() -> str:
+    from ffiec_pq_spark.functions.hashing import hash60_sql
+    from ffiec_pq_spark.queries.dedup import _minhash_oracle
+    from ffiec_pq_spark.queries.round13d import _N_SHARDS, _SHARD_SEED
+
+    h = hash60_sql("doc_id", seed=_SHARD_SEED)
+    return f"""
+    WITH pairs AS (
+      {_minhash_oracle()}
+    ),
+    shards AS (
+      SELECT doc_id AS id, ({h} % {_N_SHARDS}) AS shard FROM documents
+    )
+    SELECT CASE WHEN sa.shard = sb.shard THEN 'within' ELSE 'cross' END
+             AS locality,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(p.jaccard), 6) AS avg_jaccard
+    FROM pairs p
+    JOIN shards sa ON sa.id = p.id_a
+    JOIN shards sb ON sb.id = p.id_b
+    GROUP BY 1
+    """
+
+
+@register(
+    "dedup_cross_shard_rate",
+    _cross_shard_sql(),
+    tags=["dedup", "corpus"],
+)
+def dedup_cross_shard_rate(spark, sf_dir):
+    """How the certified MinHash near-dup pairs
+    (``dedup_minhash_lsh``'s exact contract: 32 perms, 8x4 banding,
+    exact-Jaccard verification at 0.2) fall against the deterministic
+    training shards of ``corpus_shard_assignment``: pairs whose two
+    docs share a shard (a shard-LOCAL dedup pass would catch them)
+    vs pairs that straddle shards (it would NOT).  With a 1/16
+    uniform hash, ~15/16 of pairs land cross-shard — this query
+    measures the actual split, the quantified argument that dedup
+    must run globally before sharding at 100 TB.
+
+    Cross-engine exactness: the pair relation is the already-pinned
+    minhash contract; shard ids are the portable hash; the rollup is
+    integer counts plus one end-rounded mean.
+
+    Plan: the pair pass is the pinned LSH shape (band equi-join on
+    representatives, never all-pairs); the locality join hits a slim
+    (id, shard) projection twice by hash join; the rollup is a
+    2-group aggregate with map-side partials."""
+    from ffiec_pq_spark.functions.hashing import hash60
+    from ffiec_pq_spark.operators.dedup import minhash_near_dups
+    from ffiec_pq_spark.queries.dedup import (
+        _K,
+        _N_BANDS,
+        _N_PERM,
+        _THRESHOLD,
+    )
+    from ffiec_pq_spark.queries.round13d import _N_SHARDS, _SHARD_SEED
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, k=_K, n_perm=_N_PERM, n_bands=_N_BANDS, threshold=_THRESHOLD
+    )
+    shards = docs.select(
+        F.col("doc_id").alias("id"),
+        (hash60("doc_id", seed=_SHARD_SEED) % _N_SHARDS).alias("shard"),
+    )
+    sa = shards.select(
+        F.col("id").alias("id_a"), F.col("shard").alias("shard_a")
+    )
+    sb = shards.select(
+        F.col("id").alias("id_b"), F.col("shard").alias("shard_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.when(F.col("shard_a") == F.col("shard_b"), F.lit("within"))
+            .otherwise(F.lit("cross"))
+            .alias("locality")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# epoch_token_budget
+
+_ETB_ALPHA = 0.3
+_ETB_EPOCHS = 4.0       # budget = 4 x the unique corpus tokens
+_ETB_MAX_REPEAT = 4.0   # the data-constrained rule-of-thumb ceiling
+
+
+def _etb_sql() -> str:
+    tok = r"len(string_split_regex(trim(text), '\s+'))"
+    a = _ETB_ALPHA
+    return f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum({tok}) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS n,
+             sum(pow(n_tok, {a})) AS z
+      FROM per_src
+    )
+    SELECT source, n_tok,
+           round(pow(n_tok, {a}) / z, 6) AS q_weight,
+           CAST(floor(round(pow(n_tok, {a}) / z, 6)
+                      * ({_ETB_EPOCHS} * n)) AS BIGINT) AS alloc_tokens,
+           round(round(pow(n_tok, {a}) / z, 6) * ({_ETB_EPOCHS} * n)
+                 / n_tok, 4) AS repeat_factor,
+           (round(round(pow(n_tok, {a}) / z, 6) * ({_ETB_EPOCHS} * n)
+                  / n_tok, 4) > {_ETB_MAX_REPEAT}) AS exhausted
+    FROM per_src CROSS JOIN tot
+    """
+
+
+@register(
+    "epoch_token_budget",
+    _etb_sql(),
+    tags=["corpus", "sampling", "curation"],
+)
+def epoch_token_budget(spark, sf_dir):
+    """The sampling plan a pretraining run is configured from:
+    temperature-smoothed source weights (alpha 0.3, the
+    ``corpus_sampling_temperature`` convention) allocated against a
+    fixed budget of 4x the unique corpus tokens, reported per source
+    as the weight, the allocated token count, the implied repeat
+    factor over the source's unique tokens, and the exhaustion flag
+    at > 4 repeats — the data-constrained-scaling rule of thumb for
+    where repeating stops substituting for fresh data.  Exhausted
+    sources are where a data lead either caps the weight or goes
+    sourcing.
+
+    Cross-engine exactness: the smoothed weight is rounded to 6 dp
+    once and every downstream number (floor for the allocation,
+    4 dp repeat, the flag) derives from that pinned double with
+    literal multipliers.
+
+    Plan: per-source token counts are one grouped sum with map-side
+    partials (token counting is a JVM expression); the normalizer is
+    a 1-row broadcast; the plan math is a narrow projection.  Nothing
+    grows faster than the scan."""
+    from ffiec_pq_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tok")
+    )
+    tot = per_src.agg(
+        F.sum("n_tok").cast("long").alias("n"),
+        F.sum(F.pow("n_tok", F.lit(_ETB_ALPHA))).alias("z"),
+    )
+    q = F.round(F.pow("n_tok", F.lit(_ETB_ALPHA)) / F.col("z"), 6)
+    budget = F.lit(_ETB_EPOCHS) * F.col("n")
+    rf = F.round(q * budget / F.col("n_tok"), 4)
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        q.alias("q_weight"),
+        F.floor(q * budget).cast("long").alias("alloc_tokens"),
+        rf.alias("repeat_factor"),
+        (rf > F.lit(_ETB_MAX_REPEAT)).alias("exhausted"),
+    )

@@ -141,6 +141,10 @@ NOTES = {
     "embedding_dim_ablation": "Matryoshka truncation curve: ONE corpus projection computes all four truncated cosines (slice + fold, JVM-side), slim (vec_id,dim,cos) relation persisted, every top-k a TakeOrderedAndProject over it (a PARTITION BY dim window would put the corpus in 4 reducers), 10-row ground-truth broadcast join",
     "corpus_shard_assignment": "deterministic hash-sharding audit: one scan computes shard id + token count JVM-side, 16-group aggregate with map-side partials, 1-row total broadcast; at scale the shard expression IS the write's repartition key",
     "retrieval_rrf_weight_sweep": "weighted-RRF ladder: the pinned full-outer fusion relation crossed with a 5-row literal weight relation, every rank window keyed on (w_pct,q_id), label join on two slim dim projections, <=5-group rollup — all mass integer micros x integer percents",
+    # round-13 sixth wave
+    "source_quality_scorecard": "per-source scorecard: the three certified scoring passes feed two LEFT hash joins on doc_id + ONE |sources|-group aggregate with map-side partials; means round once at the end",
+    "dedup_cross_shard_rate": "cross-shard dup audit: the pinned LSH pair pass (band equi-join on representatives) + two hash joins against a slim (id,shard) projection + a 2-group rollup",
+    "epoch_token_budget": "sampling plan: one grouped token sum (map-side partials), 1-row normalizer broadcast, narrow projection — q_weight rounded once, every downstream number derived from the pinned double",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

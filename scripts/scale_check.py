@@ -232,6 +232,11 @@ QUERIES = [
     "embedding_dim_ablation",
     "corpus_shard_assignment",
     "retrieval_rrf_weight_sweep",
+    # round-13 sixth wave: source scorecard, cross-shard dup audit,
+    # token-budget planner
+    "source_quality_scorecard",
+    "dedup_cross_shard_rate",
+    "epoch_token_budget",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

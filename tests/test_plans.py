@@ -1320,3 +1320,48 @@ def test_weight_sweep_keyed_windows_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition(w_pct" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_scorecard_two_left_joins_one_rollup(spark, sf_dir):
+    """source_quality_scorecard: the scorecard layer adds only two
+    LEFT hash joins on doc_id and one |sources|-group aggregate with
+    map-side partials over the certified scoring passes — no
+    cartesian, and the only windows are the KN pass's keyed
+    duplicate-collapse windows (_chash), never a global one."""
+    import re
+
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["source_quality_scorecard"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    for key in re.findall(r"windowspecdefinition\((\w+)", plan):
+        assert key == "_chash", plan
+
+
+def test_cross_shard_rate_keeps_the_lsh_shape(spark, sf_dir):
+    """dedup_cross_shard_rate: the pair pass keeps the pinned LSH
+    shape (band equi-join, no CartesianProduct), the locality join is
+    a hash join against the slim (id, shard) projection, and the
+    rollup is 2 groups."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["dedup_cross_shard_rate"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_epoch_budget_one_agg_one_broadcast(spark, sf_dir):
+    """epoch_token_budget: one data-sized grouped sum (map-side
+    partials), a 1-row normalizer broadcast, then a narrow
+    projection."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["epoch_token_budget"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "partial_sum" in plan, plan
