@@ -73,6 +73,9 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-13 seventh wave (queries/round13f.py, never sampled) ---
+    "stream_scorecard_fold",
+    "scorecard_unlearn",
     # --- round-13 sixth wave (queries/round13e.py, never sampled) ---
     "source_quality_scorecard",
     "dedup_cross_shard_rate",
@@ -280,6 +283,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round13f  # noqa: F401
     from ffiec_pq_spark.queries import round13e  # noqa: F401
     from ffiec_pq_spark.queries import round13d  # noqa: F401
     from ffiec_pq_spark.queries import round13c  # noqa: F401

@@ -1,0 +1,293 @@
+"""Round-13 seventh wave: per-source quality telemetry as a MAINTAINED
+asset — the ``source_quality_scorecard``'s heuristic layer carried by
+the same streaming-fold / exact-unlearning lifecycle as the BM25
+index, the KN counts, and the linear probe.
+
+- ``stream_scorecard_fold`` — documents arrive as micro-batches; each
+  ``foreachBatch`` fold merges the batch's per-source sufficient
+  statistics (doc count, token count, quality mass in integer micros)
+  into the maintained |sources|-row table.  Integer sums are
+  commutative, so the drained serve certifies against the same batch
+  oracle under ANY arrival order.
+- ``scorecard_unlearn`` — the deletion twin: an erased slice's
+  statistics SUBTRACT out of the resident table (cost ∝ |deleted|),
+  and because the state is exact integers the corrected scorecard is
+  bit-for-bit what recomputing over the survivors yields — which is
+  exactly what the strict oracle does.
+
+Quality mass is held as ``round(quality · 1e6)`` int64 micros (the
+per-doc score is already 6 dp, so the micro value is exact), making
+every fold/unlearn a pure keyed integer merge and the served mean one
+double division both engines perform identically."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.resident import register_clear_hook
+from ffiec_pq_spark.session import load_table
+
+_SC_OUT_SCHEMA = (
+    "source string, n_docs long, n_tokens long, mean_quality double"
+)
+
+
+def _sc_stats(docs):
+    """Per-source sufficient statistics of the heuristic quality layer:
+    (source, n_docs, n_tok, q_micro) — all int64, all mergeable by
+    keyed addition."""
+    from ffiec_pq_spark.operators.text import (
+        quality_score_tok,
+        token_count,
+        tokens,
+    )
+
+    q_micro = (
+        F.round(quality_score_tok(tokens("text"), "text") * 1e6, 0)
+        .cast("long")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tok"),
+        F.sum(q_micro).cast("long").alias("q_micro"),
+    )
+
+
+def _sc_serve(stats):
+    """The scorecard readout from a statistics table: the mean is ONE
+    double division of two exact integers, rounded once."""
+    return stats.filter(F.col("n_docs") > 0).select(
+        "source",
+        "n_docs",
+        F.col("n_tok").alias("n_tokens"),
+        F.round(
+            F.col("q_micro") / (F.lit(1000000.0) * F.col("n_docs")), 6
+        ).alias("mean_quality"),
+    )
+
+
+def _sc_oracle(where: str = "") -> str:
+    from ffiec_pq_spark.operators.text import quality_score_sql
+
+    tok = r"len(string_split_regex(trim(text), '\s+'))"
+    return f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({tok}) AS BIGINT) AS n_tokens,
+           round(sum(CAST(round({quality_score_sql()} * 1000000, 0)
+                          AS BIGINT))
+                 / (1000000.0 * count(*)), 6) AS mean_quality
+    FROM documents
+    {where}
+    GROUP BY source
+    """
+
+
+# --------------------------------------------------------------------------
+# stream_scorecard_fold
+
+_SC_STREAM_STATE: dict = {}
+
+
+def clear_sc_stream_state() -> None:
+    import shutil
+
+    for st in _SC_STREAM_STATE.values():
+        shutil.rmtree(st["workdir"], ignore_errors=True)
+    _SC_STREAM_STATE.clear()
+
+
+register_clear_hook("scorecard_stream_state", clear_sc_stream_state)
+
+
+def _sc_insert_fold(spark, state, workdir):
+    """Per-trigger fold: the batch's per-source statistics merge into
+    the maintained |sources|-row table by keyed integer addition
+    (versioned-parquet MERGE-INTO stand-in; superseded versions
+    retired).  Work per trigger ∝ batch + |sources| — never the
+    accumulated corpus.  Module-level factory so tests can drive
+    epochs directly (replay / crash-window)."""
+    from ffiec_pq_spark.streaming.state import emit_versioned
+
+    def fold(batch_df, epoch_id):
+        # at-least-once: a replayed epoch must not double-count; the
+        # guard records the epoch only AFTER the write commits
+        if epoch_id <= state["epoch"]:
+            return
+        st_b = _sc_stats(batch_df)
+        if state["stats"] is not None:
+            st_b = (
+                spark.read.parquet(state["stats"])
+                .unionByName(st_b)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("n_tok").cast("long").alias("n_tok"),
+                    F.sum("q_micro").cast("long").alias("q_micro"),
+                )
+            )
+        emit_versioned(state, workdir, {"stats": st_b})
+        state["epoch"] = epoch_id
+
+    return fold
+
+
+def _sc_stream_build(spark, corpus, chunk_order=None, n_chunks=4):
+    """Drain the ingest stream; return ``{workdir, stats}``."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="stream_scorecard_")
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        staged = os.path.join(workdir, "staged")
+        (
+            corpus.withColumn(
+                "_chunk",
+                F.pmod(F.col("doc_id"), F.lit(n_chunks)).cast("int"),
+            )
+            .repartition(n_chunks, "_chunk")
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        t0 = 1_700_000_000
+        order = list(chunk_order) if chunk_order else list(range(n_chunks))
+        for pos, i in enumerate(order):
+            chunk_dir = os.path.join(staged, f"_chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                continue
+            part = next(
+                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{pos:04d}.parquet")
+            os.rename(os.path.join(chunk_dir, part), dst)
+            os.utime(dst, (t0 + pos * 10, t0 + pos * 10))
+        state = {"stats": None, "version": 0, "epoch": -1}
+        fold = _sc_insert_fold(spark, state, workdir)
+        q = (
+            spark.readStream.format("parquet")
+            .schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {"workdir": workdir, "stats": state["stats"]}
+    except BaseException:
+        shutil.rmtree(workdir, ignore_errors=True)
+        raise
+
+
+@register(
+    "stream_scorecard_fold",
+    _sc_oracle(),
+    tags=["streaming", "quality", "corpus"],
+)
+def stream_scorecard_fold(spark, sf_dir, chunk_order=None):
+    """STREAMING per-source quality telemetry: documents arrive as
+    micro-batches and each ``foreachBatch`` fold merges the batch's
+    per-source sufficient statistics — doc count, token count, and
+    quality mass in exact integer micros — into the maintained
+    |sources|-row table (keyed integer addition: commutative, so the
+    drained serve certifies under ANY arrival order; the permuted
+    drain is pinned in tests).  The serve is one projection over the
+    folded table; the **strict oracle** recomputes the identical
+    statistics over the full corpus, proving the incremental
+    maintenance changes nothing.
+
+    This is the quality dashboard a live ingest keeps current: at
+    100 TB per-trigger cost ∝ batch + |sources| (never the
+    accumulated corpus), the state table is |sources| rows of int64,
+    and the fold inherits the BM25/KN crash/replay contract
+    (versioned write-all-then-flip + after-commit epoch guard +
+    version retirement via
+    :func:`~ffiec_pq_spark.streaming.state.emit_versioned`).
+
+    Resident per (session, dataset) (``_SC_STREAM_STATE``, clear hook
+    registered): repeat calls pay only the serve; an explicit
+    ``chunk_order`` folds fresh and cleans up after itself."""
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    st = _SC_STREAM_STATE.get(key) if chunk_order is None else None
+    if st is None:
+        if docs.isEmpty():
+            return spark.createDataFrame([], _SC_OUT_SCHEMA)
+        st = _sc_stream_build(spark, docs, chunk_order)
+        if chunk_order is None:
+            _SC_STREAM_STATE[key] = st
+    served = _sc_serve(spark.read.parquet(st["stats"]))
+    if chunk_order is not None:
+        import shutil
+
+        served = served.localCheckpoint(eager=True)
+        shutil.rmtree(st["workdir"], ignore_errors=True)
+    return served
+
+
+# --------------------------------------------------------------------------
+# scorecard_unlearn — exact per-source telemetry correction on erasure.
+
+_SC_FORGET_MOD = 9
+_SC_FORGET_SLOT = 4
+
+
+@register(
+    "scorecard_unlearn",
+    _sc_oracle(
+        f"WHERE NOT (doc_id % {_SC_FORGET_MOD} = {_SC_FORGET_SLOT})"
+    ),
+    tags=["quality", "corpus", "curation"],
+)
+def scorecard_unlearn(spark, sf_dir):
+    """EXACT unlearning for the per-source quality telemetry: an
+    erased slice's sufficient statistics (doc count, token count,
+    quality micros — all int64) SUBTRACT out of the full-corpus
+    table, so the corrected scorecard is bit-for-bit what recomputing
+    over the survivors yields — which is exactly what the **strict
+    oracle** does.  Completes the telemetry asset's lifecycle (batch
+    readout / streaming fold / exact delete), the
+    ``doc_kn_unlearn`` / ``embedding_probe_unlearn`` contract.
+
+    Cost ∝ |deleted| for the erased-slice aggregation plus a
+    |sources|-row keyed LEFT-join subtraction; the corpus is never
+    re-scanned.  Sources whose every doc was erased drop out (their
+    count reaches zero), matching the survivors-only recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = _sc_stats(docs)
+    erased = _sc_stats(
+        docs.filter(
+            F.col("doc_id") % _SC_FORGET_MOD == F.lit(_SC_FORGET_SLOT)
+        )
+    ).select(
+        "source",
+        F.col("n_docs").alias("_dd"),
+        F.col("n_tok").alias("_dt"),
+        F.col("q_micro").alias("_dq"),
+    )
+    corrected = (
+        full.join(erased, "source", "left")
+        .select(
+            "source",
+            (F.col("n_docs") - F.coalesce(F.col("_dd"), F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("n_tok") - F.coalesce(F.col("_dt"), F.lit(0)))
+            .cast("long")
+            .alias("n_tok"),
+            (F.col("q_micro") - F.coalesce(F.col("_dq"), F.lit(0)))
+            .cast("long")
+            .alias("q_micro"),
+        )
+    )
+    return _sc_serve(corrected)

@@ -145,6 +145,9 @@ NOTES = {
     "source_quality_scorecard": "per-source scorecard: the three certified scoring passes feed two LEFT hash joins on doc_id + ONE |sources|-group aggregate with map-side partials; means round once at the end",
     "dedup_cross_shard_rate": "cross-shard dup audit: the pinned LSH pair pass (band equi-join on representatives) + two hash joins against a slim (id,shard) projection + a 2-group rollup",
     "epoch_token_budget": "sampling plan: one grouped token sum (map-side partials), 1-row normalizer broadcast, narrow projection — q_weight rounded once, every downstream number derived from the pinned double",
+    # round-13 seventh wave
+    "stream_scorecard_fold": "drain of the telemetry maintenance stream: serve is one projection over the folded |sources|-row parquet state; per-trigger fold was batch stats + a |sources|-bounded keyed integer merge (emit_versioned crash/replay contract)",
+    "scorecard_unlearn": "exact telemetry correction: full per-source stats LEFT-join the erased slice's stats (cost ~ |deleted|) and subtract int64 fields; serve projection identical to the fold's",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

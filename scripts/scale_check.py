@@ -237,6 +237,9 @@ QUERIES = [
     "source_quality_scorecard",
     "dedup_cross_shard_rate",
     "epoch_token_budget",
+    # round-13 seventh wave: the telemetry maintenance lifecycle
+    "stream_scorecard_fold",
+    "scorecard_unlearn",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

@@ -1365,3 +1365,30 @@ def test_epoch_budget_one_agg_one_broadcast(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "partial_sum" in plan, plan
+
+
+def test_sc_stream_serve_reads_folded_state(spark, sf_dir):
+    """stream_scorecard_fold: the serve is one projection over the
+    folded |sources|-row parquet state — a parquet scan, no window,
+    no join, no data-sized shuffle."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["stream_scorecard_fold"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan parquet" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_scorecard_unlearn_is_keyed_subtraction(spark, sf_dir):
+    """scorecard_unlearn: full stats LEFT-join erased-slice stats on
+    the source key (a hash join over |sources| rows), no cartesian,
+    no window."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["scorecard_unlearn"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
