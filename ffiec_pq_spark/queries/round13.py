@@ -71,12 +71,15 @@ def _kn3_counts_sql(corpus: str = "documents") -> str:
     ),
     disc AS (
       SELECT
-        CASE WHEN n1 = 0 THEN 0.0
-             ELSE 1.0 - 2.0 * y * (CAST(n2 AS DOUBLE) / n1) END AS d1,
-        CASE WHEN n2 = 0 THEN 0.0
-             ELSE 2.0 - 3.0 * y * (CAST(n3 AS DOUBLE) / n2) END AS d2,
-        CASE WHEN n3 = 0 THEN 0.0
-             ELSE 3.0 - 4.0 * y * (CAST(n4 AS DOUBLE) / n3) END AS d3
+        least(greatest(CASE WHEN n1 = 0 THEN 0.0
+             ELSE 1.0 - 2.0 * y * (CAST(n2 AS DOUBLE) / n1) END,
+             0.0), 1.0) AS d1,
+        least(greatest(CASE WHEN n2 = 0 THEN 0.0
+             ELSE 2.0 - 3.0 * y * (CAST(n3 AS DOUBLE) / n2) END,
+             0.0), 2.0) AS d2,
+        least(greatest(CASE WHEN n3 = 0 THEN 0.0
+             ELSE 3.0 - 4.0 * y * (CAST(n4 AS DOUBLE) / n3) END,
+             0.0), 3.0) AS d3
       FROM disc0
     ),
     ctx2 AS (
@@ -104,12 +107,15 @@ def _kn3_counts_sql(corpus: str = "documents") -> str:
     ),
     mdisc AS (
       SELECT
-        CASE WHEN n1 = 0 THEN 0.0
-             ELSE 1.0 - 2.0 * y * (CAST(n2 AS DOUBLE) / n1) END AS e1,
-        CASE WHEN n2 = 0 THEN 0.0
-             ELSE 2.0 - 3.0 * y * (CAST(n3 AS DOUBLE) / n2) END AS e2,
-        CASE WHEN n3 = 0 THEN 0.0
-             ELSE 3.0 - 4.0 * y * (CAST(n4 AS DOUBLE) / n3) END AS e3
+        least(greatest(CASE WHEN n1 = 0 THEN 0.0
+             ELSE 1.0 - 2.0 * y * (CAST(n2 AS DOUBLE) / n1) END,
+             0.0), 1.0) AS e1,
+        least(greatest(CASE WHEN n2 = 0 THEN 0.0
+             ELSE 2.0 - 3.0 * y * (CAST(n3 AS DOUBLE) / n2) END,
+             0.0), 2.0) AS e2,
+        least(greatest(CASE WHEN n3 = 0 THEN 0.0
+             ELSE 3.0 - 4.0 * y * (CAST(n4 AS DOUBLE) / n3) END,
+             0.0), 3.0) AS e3
       FROM mdisc0
     ),
     ctx1 AS (
@@ -147,12 +153,24 @@ _KN3_SQL = f"""
 def _mkn_discounts(n1: int, n2: int, n3: int, n4: int) -> tuple:
     """(D1, D2, D3+) from count-of-counts — Python floats whose op
     sequence mirrors the oracle's SQL doubles EXACTLY (same guards,
-    same association), so both engines hold bit-identical discounts."""
+    same association), so both engines hold bit-identical discounts.
+
+    Each D_k is clamped into [0, k] (``least(greatest(·,0),k)`` on the
+    oracle side): the Chen-Goodman closed form assumes roughly
+    monotone count-of-counts, and on corpora where n3 > n2 (heavy
+    repetition at higher counts) the raw estimate goes negative —
+    which would make the backoff mass negative and some probabilities
+    < 0 (ln explodes).  The interpolated sum-to-1 identity holds for
+    ANY clamped D, and within-range corpora are untouched."""
     y = float(n1) / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.0
     d1 = 1.0 - 2.0 * y * (float(n2) / n1) if n1 > 0 else 0.0
     d2 = 2.0 - 3.0 * y * (float(n3) / n2) if n2 > 0 else 0.0
     d3 = 3.0 - 4.0 * y * (float(n4) / n3) if n3 > 0 else 0.0
-    return d1, d2, d3
+    return (
+        min(max(d1, 0.0), 1.0),
+        min(max(d2, 0.0), 2.0),
+        min(max(d3, 0.0), 3.0),
+    )
 
 
 def _coc_row(df, col: str) -> tuple:

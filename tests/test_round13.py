@@ -334,3 +334,19 @@ def test_bm25_delete_fold_crash_replay(spark, sf_dir, tmp_path,
         assert got == want, name
     shutil.rmtree(ctrl_dir, ignore_errors=True)
     shutil.rmtree(crash_dir, ignore_errors=True)
+
+
+def test_mkn_discounts_clamped_on_nonmonotone_coc():
+    """The sf0.1 regression: trigram count-of-counts (207, 121, 354,
+    700) are non-monotone (n3 > n2), so raw Chen-Goodman D2/D3 go
+    negative — which made backoff mass negative and some modified-KN
+    probabilities < 0 (the oracle's ln threw).  The clamp pins every
+    D_k into [0, k]; in-range estimates (the sf0.01 certification
+    corpus) are untouched."""
+    from ffiec_pq_spark.queries.round13 import _mkn_discounts
+
+    d1, d2, d3 = _mkn_discounts(207, 121, 354, 700)
+    assert 0.0 <= d1 <= 1.0 and 0.0 <= d2 <= 2.0 and 0.0 <= d3 <= 3.0
+    assert d2 == 0.0 and d3 == 0.0  # the clamp is genuinely active
+    i1, i2, i3 = _mkn_discounts(100, 50, 20, 10)  # monotone: untouched
+    assert 0.0 < i1 < 1.0 and 0.0 < i2 < 2.0 and 0.0 < i3 < 3.0
