@@ -96,6 +96,15 @@ HEAVY = [
     # deployment whose ingest stream runs continuously)
     "embedding_probe_train_scores",
     "stream_bm25_index_fold",
+    # round-13: the three newest families get trend lines — the
+    # modified-KN trigram scorer (duplicate-collapsed estimation;
+    # cold = count-of-count discount fit), the hybrid RRF fusion
+    # (BM25 + IVF-dense, the retrieval layer's flagship), and the
+    # gate-agreement audit (three distributed ranks over one
+    # persisted scored population; cold = probe training + KN pass)
+    "doc_kn_trigram",
+    "retrieval_rrf_hybrid",
+    "gate_agreement_matrix",
 ]
 
 # NOT in the headline set by design: ffiec_etl_end_to_end / the bulk
@@ -129,6 +138,11 @@ BUILD_TIMED = {
     # returning a materialized localCheckpoint either way
     "embedding_probe_train_scores",
     "stream_bm25_index_fold",
+    # count-of-count rows collect in the builder (the discount fit);
+    # the agreement matrix trains/persists in the builder (probe
+    # weights memo + the persisted shared population)
+    "doc_kn_trigram",
+    "gate_agreement_matrix",
 }
 
 

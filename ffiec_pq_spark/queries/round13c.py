@@ -1007,3 +1007,139 @@ def gate_agreement_matrix(spark, sf_dir):
         .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
         .alias("kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_recall_eval — per-arm recall@k, completing the eval triad
+# (MRR = first-hit quality, nDCG = graded ordering quality, recall =
+# coverage of the relevant set).
+
+
+def _recall_eval_sql() -> str:
+    return f"""
+    WITH {_hybrid_ctes()},
+    arms AS (
+      SELECT 'lex' AS arm, q_id, doc_id FROM lex
+      UNION ALL
+      SELECT 'dense' AS arm, q_id, doc_id FROM densek
+      UNION ALL
+      SELECT 'hybrid' AS arm, q_id, doc_id FROM hybrid
+    ),
+    qdim AS (
+      SELECT doc_id AS q_id, lang AS q_lang,
+             n_chars // {_NDCG_BUCKET} AS q_bucket
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    cdim AS (
+      SELECT doc_id, lang AS c_lang, n_chars // {_NDCG_BUCKET} AS c_bucket
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    hits AS (
+      SELECT a.arm, a.q_id, CAST(count(*) AS BIGINT) AS n_found
+      FROM arms a
+      JOIN qdim q ON q.q_id = a.q_id
+      JOIN cdim c ON c.doc_id = a.doc_id
+      WHERE q.q_lang = c.c_lang AND q.q_bucket = c.c_bucket
+      GROUP BY 1, 2
+    ),
+    csl AS (
+      SELECT c_lang, c_bucket, CAST(count(*) AS BIGINT) AS n_sl
+      FROM cdim GROUP BY 1, 2
+    ),
+    armlist AS (SELECT unnest(['dense', 'hybrid', 'lex']) AS arm)
+    SELECT al.arm,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN coalesce(sl.n_sl, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_evaluable,
+           CAST(coalesce(sum(CASE WHEN sl.n_sl > 0
+                  THEN coalesce(h.n_found, 0) * 1000000
+                       // least({_FUSE_TOPK}, sl.n_sl) END), 0)
+                AS BIGINT) AS sum_recall_micro
+    FROM qdim q CROSS JOIN armlist al
+    LEFT JOIN csl sl ON sl.c_lang = q.q_lang AND sl.c_bucket = q.q_bucket
+    LEFT JOIN hits h ON h.arm = al.arm AND h.q_id = q.q_id
+    GROUP BY al.arm
+    """
+
+
+@register(
+    "retrieval_recall_eval",
+    _recall_eval_sql(),
+    tags=["retrieval", "eval"],
+)
+def retrieval_recall_eval(spark, sf_dir):
+    """Recall@3 per retrieval arm under the strict relevance label:
+    per query, the fraction of the ACHIEVABLE relevant set the arm's
+    top-3 covered (``found / min(3, |relevant|)`` in exact integer
+    micros), rolled up per arm on one shared denominator with
+    evaluability counts.  Completes the eval triad — MRR
+    (``retrieval_fusion_gain``) grades the first hit, nDCG
+    (``retrieval_ndcg_eval``) the graded ordering, recall the
+    coverage — the three curves a retrieval change is actually
+    reviewed on.
+
+    Plan: the three pinned list passes union by name; the hit count
+    is one label join + a (arm, q) aggregate; the achievable-set
+    sizes come from one (lang, bucket) corpus aggregate broadcast
+    back; the rollup is 3 groups with map-side partials."""
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
+
+    lex = _bm25_topk_frame(spark, sf_dir).select(
+        F.lit("lex").alias("arm"), "q_id", "doc_id"
+    )
+    dense = _dense_topk_frame(spark, sf_dir).select(
+        F.lit("dense").alias("arm"), "q_id", "doc_id"
+    )
+    hyb = _rrf_hybrid_frame(spark, sf_dir).select(
+        F.lit("hybrid").alias("arm"), "q_id", "doc_id"
+    )
+    arms = lex.unionByName(dense).unionByName(hyb)
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"n_chars div {_NDCG_BUCKET}")
+    qdim = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("lang").alias("q_lang"),
+        bucket.alias("q_bucket"),
+    )
+    cdim = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.col("lang").alias("c_lang"),
+        bucket.alias("c_bucket"),
+    )
+    hits = (
+        arms.join(qdim, "q_id")
+        .join(cdim, "doc_id")
+        .filter(
+            (F.col("q_lang") == F.col("c_lang"))
+            & (F.col("q_bucket") == F.col("c_bucket"))
+        )
+        .groupBy("arm", "q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    )
+    csl = cdim.groupBy(
+        F.col("c_lang").alias("q_lang"), F.col("c_bucket").alias("q_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_sl"))
+    base = qdim.withColumn(
+        "arm",
+        F.explode(F.array(F.lit("dense"), F.lit("hybrid"), F.lit("lex"))),
+    )
+    lad = base.join(F.broadcast(csl), ["q_lang", "q_bucket"], "left").join(
+        hits, ["arm", "q_id"], "left"
+    )
+    rec_micro = F.when(
+        F.col("n_sl") > 0,
+        F.expr(
+            f"(coalesce(n_found, 0) * 1000000)"
+            f" div least({_FUSE_TOPK}, n_sl)"
+        ),
+    )
+    return lad.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(
+            F.when(F.coalesce(F.col("n_sl"), F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("n_evaluable"),
+        F.coalesce(F.sum(rec_micro), F.lit(0))
+        .cast("long")
+        .alias("sum_recall_micro"),
+    )

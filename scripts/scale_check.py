@@ -240,6 +240,8 @@ QUERIES = [
     # round-13 seventh wave: the telemetry maintenance lifecycle
     "stream_scorecard_fold",
     "scorecard_unlearn",
+    # round-13 eighth wave: the recall arm of the eval triad
+    "retrieval_recall_eval",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

@@ -1392,3 +1392,18 @@ def test_scorecard_unlearn_is_keyed_subtraction(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_recall_eval_no_cartesian_keyed_windows(spark, sf_dir):
+    """retrieval_recall_eval: the three arm passes keep their pinned
+    shapes, the achievable-set join is a broadcast, every window keys
+    on q_id, and only the BM25 one-row stats rollups (once per
+    lexical pass: standalone + inside hybrid) are single-partition."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["retrieval_recall_eval"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition(q_id" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan

@@ -227,3 +227,55 @@ def test_kn_gate_ladder_is_monotone(spark, sf_dir):
         assert math.isclose(
             rows[p]["keep_rate"], round(rows[p]["n_kept"] / n_total, 6)
         )
+
+
+def test_recall_eval_matches_pure_python(spark, sf_dir):
+    """retrieval_recall_eval equals a from-scratch Python recall@3:
+    per (arm, query), found strict-relevant in the top-3 over the
+    achievable set min(3, |relevant|), integer micros; the hybrid arm
+    is never strictly below both constituents."""
+    from ffiec_pq_spark.catalog import queries
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
+    from ffiec_pq_spark.queries.round13c import _FUSE_TOPK
+
+    docs = {
+        r["doc_id"]: (r["lang"], r["n_chars"] // _NDCG_BUCKET)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    q_ids = [d for d in docs if d % 10 == 0]
+    n_sl = {}
+    for d, key in docs.items():
+        if d % 10 != 0:
+            n_sl[key] = n_sl.get(key, 0) + 1
+    arms = {
+        "lex": [
+            (r["q_id"], r["doc_id"])
+            for r in _bm25_topk_frame(spark, sf_dir).collect()
+        ],
+        "dense": [
+            (r["q_id"], r["doc_id"])
+            for r in _dense_topk_frame(spark, sf_dir).collect()
+        ],
+        "hybrid": [
+            (r["q_id"], r["doc_id"])
+            for r in _rrf_hybrid_frame(spark, sf_dir).collect()
+        ],
+    }
+    expected = []
+    for arm, lst in arms.items():
+        found = {}
+        for q, d in lst:
+            if d % 10 != 0 and docs[d] == docs[q]:
+                found[q] = found.get(q, 0) + 1
+        n_eval = sum(1 for q in q_ids if n_sl.get(docs[q], 0) > 0)
+        s = sum(
+            found.get(q, 0) * 1000000
+            // min(_FUSE_TOPK, n_sl[docs[q]])
+            for q in q_ids
+            if n_sl.get(docs[q], 0) > 0
+        )
+        expected.append((arm, len(q_ids), n_eval, s))
+    got = _rows(queries()["retrieval_recall_eval"](spark, sf_dir))
+    assert got == sorted(expected)
+    by = {r[0]: r[3] for r in got}
+    assert by["hybrid"] >= min(by["lex"], by["dense"])
