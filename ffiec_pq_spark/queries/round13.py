@@ -11,9 +11,12 @@ every pre-``ln`` double is bit-identical."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.session import load_table
 
 # --------------------------------------------------------------------------
@@ -449,6 +452,23 @@ def probe_gate_calibration(spark, sf_dir):
     )
 
 
+# ONE scored relation per (session, dataset) — the resident-labelling
+# convention of dedup.component_labels: the estimation + scoring
+# passes run once (the bench's COLD column), every later consumer
+# (the gate ladder, the agreement matrix, the scorecard) reads the
+# eagerly-checkpointed relation.  applicationId in the key drops
+# entries from stopped sessions; the clear hook joins the
+# clear_all_resident_state() registry.
+_KN3_SCORES: dict = {}
+
+
+def clear_kn3_scores() -> None:
+    _KN3_SCORES.clear()
+
+
+register_clear_hook("kn3_scores", clear_kn3_scores)
+
+
 @register("doc_kn_trigram", _KN3_SQL, tags=["lm", "quality", "text"])
 def doc_kn_trigram(spark, sf_dir):
     """Per-document mean log-probability under an interpolated
@@ -476,7 +496,14 @@ def doc_kn_trigram(spark, sf_dir):
     At 100 TB: every stage is a keyed aggregation or keyed join on
     n-gram types (shuffle ∝ distinct trigrams, not corpus tokens);
     the only collects are two 4-integer count-of-count rows; a d-way
-    duplicated corpus costs ~1x the distinct corpus."""
+    duplicated corpus costs ~1x the distinct corpus.  The scored
+    relation is RESIDENT per (session, dataset) — estimation runs
+    once (the cold column), every repeat call and every downstream
+    consumer serves the checkpointed relation."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _KN3_SCORES.get(key)
+    if cached is not None:
+        return cached
     m = _kn3_model(spark, sf_dir)
     rep_scores = (
         m["tg"]
@@ -493,10 +520,13 @@ def doc_kn_trigram(spark, sf_dir):
             ),
         )
     )
-    return (
+    scored = (
         m["groups"].select("id", "rep")
         .join(rep_scores.withColumnRenamed("doc_id", "rep"), "rep")
         .select(
             F.col("id").alias("doc_id"), "n_trigrams", "avg_kn3_logprob"
         )
+        .localCheckpoint(eager=True)
     )
+    _KN3_SCORES[key] = scored
+    return scored

@@ -125,7 +125,7 @@ NOTES = {
     "dedup_clusters_retract": "right-to-be-forgotten retraction: resident labelling (Scan ExistingRDD) semi-joined against retracted ids -> touched-cluster ids BROADCAST; the pair+CC pipeline re-runs on the touched clusters' surviving members only (no corpus-wide propagation)",
     "embedding_probe_unlearn": "exact unlearning: resident Gram stats minus one deleted-slice aggregation (cost ~ |deleted|) in the builder; shipped plan = survivor margin fold + top-10%% distributed_rank + 1-row count broadcast — identical shape to the train query",
     # round-13
-    "doc_kn_trigram": "modified-KN trigrams on duplicate-collapsed content: nested zip_with trigram build (no self-joins); keyed aggs on the persisted trigram-type table (top counts, continuation counts, both context rollups); six discounts from two collected 4-int count-of-count rows; scoring = five keyed joins + per-row float tree",
+    "doc_kn_trigram": "modified-KN trigrams on duplicate-collapsed content: nested zip_with trigram build (no self-joins); keyed aggs on the persisted trigram-type table (top counts, continuation counts, both context rollups); six discounts (clamped into [0,k]) from two collected 4-int count-of-count rows; scoring = five keyed joins + per-row float tree; scored relation RESIDENT per (session,dataset) — estimation once (cold), repeat calls + downstream consumers serve the checkpoint",
     "probe_gate_calibration": "trained-probe threshold ladder: margin fold over the resident weights, ONE distributed_rank shared by all rungs, 5-row literal explode, broadcast token-count join, <=5-group rollup",
     "doc_moore_lewis_select": "cross-entropy-difference selection: in-domain and general count tables from ONE shared bigram-type stream (two keyed aggs, in-domain weighted by per-rep in-lang copy count); scoring = six LEFT keyed joins + two broadcast scalar totals + the CASE backoff ladder; keep gate = ONE distributed_rank on the rounded score + 1-row count broadcast",
     "doc_kn_unlearn": "exact LM unlearning: resident full-corpus bigram counts (Scan ExistingRDD) minus one erased-slice aggregation (cost ~ |deleted|) via a keyed LEFT-join subtraction; survivor scoring re-derives context/continuation tables from the corrected integer state — identical shape to the batch KN query",

@@ -1272,7 +1272,17 @@ def test_gate_agreement_three_distributed_ranks(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("row_number() windowspecdefinition(_pid") == 3, plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
-    assert plan.count("Exchange SinglePartition") <= 4, plan
+    # allowed single-partition exchanges: the 3 rank offset relations
+    # + the 1-row budget; AQE's runtime bloom-filter merges (one-row
+    # sketch state per join) are excluded from the count
+    lines = plan.splitlines()
+    singles = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln and not any(
+            "bloom_filter_agg" in nx for nx in lines[i + 1 : i + 3]
+        ):
+            singles += 1
+    assert singles <= 4, plan
 
 
 def test_dim_ablation_single_scan_take_ordered(spark, sf_dir):
