@@ -309,3 +309,134 @@ def epoch_token_budget(spark, sf_dir):
         rf.alias("repeat_factor"),
         (rf > F.lit(_ETB_MAX_REPEAT)).alias("exhausted"),
     )
+
+
+# --------------------------------------------------------------------------
+# mixture_realized_counts — materialize the epoch_token_budget plan with
+# deterministic per-document sampling and audit realized vs planned.
+
+_MIX_GRID = 1 << 20
+_MIX_SEED = 31
+
+
+def _mix_sql() -> str:
+    from ffiec_pq_spark.functions.hashing import hash60_sql
+
+    tok = r"len(string_split_regex(trim(text), '\s+'))"
+    a = _ETB_ALPHA
+    h = hash60_sql("doc_id", seed=_MIX_SEED)
+    rf = (
+        f"round(round(pow(n_tok, {a}) / z, 6) * ({_ETB_EPOCHS} * n)"
+        f" / n_tok, 4)"
+    )
+    return f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum({tok}) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS n,
+             sum(pow(n_tok, {a})) AS z
+      FROM per_src
+    ),
+    plan AS (
+      SELECT source, n_tok AS src_tokens,
+             CAST(floor(round(pow(n_tok, {a}) / z, 6)
+                        * ({_ETB_EPOCHS} * n)) AS BIGINT)
+               AS planned_tokens,
+             CAST(floor({rf}) AS BIGINT) AS base_rep,
+             CAST(floor(({rf} - floor({rf})) * {_MIX_GRID}) AS BIGINT)
+               AS thr
+      FROM per_src CROSS JOIN tot
+    )
+    SELECT p.source, p.src_tokens, p.planned_tokens,
+           CAST(sum((p.base_rep
+                     + CASE WHEN ({h} % {_MIX_GRID}) < p.thr
+                            THEN 1 ELSE 0 END) * {tok}) AS BIGINT)
+             AS realized_tokens,
+           CASE WHEN p.planned_tokens = 0 THEN NULL
+                ELSE round(sum((p.base_rep
+                       + CASE WHEN ({h} % {_MIX_GRID}) < p.thr
+                              THEN 1 ELSE 0 END) * {tok})
+                     / CAST(p.planned_tokens AS DOUBLE), 4)
+           END AS realized_ratio
+    FROM documents d JOIN plan p ON p.source = d.source
+    GROUP BY p.source, p.src_tokens, p.planned_tokens
+    """
+
+
+@register(
+    "mixture_realized_counts",
+    _mix_sql(),
+    tags=["corpus", "sampling", "curation"],
+)
+def mixture_realized_counts(spark, sf_dir):
+    """Materialize the ``epoch_token_budget`` plan: every document
+    repeats ``floor(repeat_factor)`` times plus one more epoch behind
+    a deterministic hash gate with probability ``frac(repeat_factor)``
+    (Bernoulli-rounded repetition — the standard way a sampler
+    realizes a fractional epoch count without coordination), then
+    audit realized against planned tokens per source.  A ratio far
+    from 1.0 flags sources whose within-source token distribution
+    makes the gate a biased estimator of the fractional epoch — the
+    check a data lead runs BEFORE launching the tokenizer job.
+
+    Cross-engine exactness: the repeat factor is the planner's pinned
+    4 dp value; the gate threshold is ``floor(frac · 2^20)`` of that
+    pinned double; the gate itself is the portable 60-bit hash — so
+    the realized counts are integers both engines agree on exactly.
+
+    Plan: the |sources|-row plan relation (one grouped sum + 1-row
+    normalizer) broadcasts against the corpus scan; the realization
+    is a narrow projection (hash + integer arithmetic, no explode —
+    repetition is counted, not materialized); the audit rollup has
+    |sources| groups with map-side partials."""
+    from ffiec_pq_spark.functions.hashing import hash60
+    from ffiec_pq_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tok")
+    )
+    tot = per_src.agg(
+        F.sum("n_tok").cast("long").alias("n"),
+        F.sum(F.pow("n_tok", F.lit(_ETB_ALPHA))).alias("z"),
+    )
+    q = F.round(F.pow("n_tok", F.lit(_ETB_ALPHA)) / F.col("z"), 6)
+    budget = F.lit(_ETB_EPOCHS) * F.col("n")
+    rf = F.round(q * budget / F.col("n_tok"), 4)
+    plan = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_tok").alias("src_tokens"),
+        F.floor(q * budget).cast("long").alias("planned_tokens"),
+        F.floor(rf).cast("long").alias("base_rep"),
+        F.floor((rf - F.floor(rf)) * F.lit(_MIX_GRID))
+        .cast("long")
+        .alias("thr"),
+    )
+    gate = (
+        hash60("doc_id", seed=_MIX_SEED) % _MIX_GRID < F.col("thr")
+    ).cast("long")
+    realized = (F.col("base_rep") + gate) * token_count("text")
+    return (
+        docs.join(F.broadcast(plan), "source")
+        .groupBy("source", "src_tokens", "planned_tokens")
+        .agg(F.sum(realized).cast("long").alias("realized_tokens"))
+        .select(
+            "source",
+            "src_tokens",
+            "planned_tokens",
+            "realized_tokens",
+            F.when(
+                F.col("planned_tokens") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.col("realized_tokens")
+                    / F.col("planned_tokens").cast("double"),
+                    4,
+                )
+            )
+            .alias("realized_ratio"),
+        )
+    )

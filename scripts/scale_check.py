@@ -242,6 +242,8 @@ QUERIES = [
     "scorecard_unlearn",
     # round-13 eighth wave: the recall arm of the eval triad
     "retrieval_recall_eval",
+    # round-13 ninth wave: the realized sampling mix
+    "mixture_realized_counts",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

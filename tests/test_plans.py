@@ -1417,3 +1417,18 @@ def test_recall_eval_no_cartesian_keyed_windows(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition(q_id" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_mixture_realization_broadcast_plan_no_explode(spark, sf_dir):
+    """mixture_realized_counts: the |sources|-row plan relation
+    broadcasts against the corpus scan, repetition is counted (not
+    materialized — no Generate/explode in the plan), and the audit is
+    one grouped aggregate with map-side partials."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["mixture_realized_counts"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Generate" not in plan, plan
+    assert "partial_sum" in plan, plan

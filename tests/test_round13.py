@@ -104,17 +104,25 @@ def test_clear_all_resident_state_recertifies(spark, sf_dir):
         "incremental_dedup_state", "ivfpq_models", "neardup_live_runs",
         "pca_models", "probe_models", "probe_stats",
         "probe_stream_state",
+        # round-13 resident assets
+        "kn_stream_state", "kn3_scores", "scorecard_stream_state",
     }
     sample = [
         "embedding_probe_train_scores",  # _PROBE_MODELS
         "stream_bm25_index_fold",        # _BM25_STREAM_STATE
         "dedup_clusters",                # _CC_LABELS shared labelling
         "embedding_pca_scores",          # _PCA_MODELS
+        "doc_kn_trigram",                # _KN3_SCORES (round 13)
+        "stream_scorecard_fold",         # _SC_STREAM_STATE (round 13)
     ]
+    import ffiec_pq_spark.queries.round13 as r13
+    import ffiec_pq_spark.queries.round13f as r13f
+
     before = {n: _rows(queries[n](spark, sf_dir)) for n in sample}
     caches = [
         r12b._PROBE_MODELS, r12b._BM25_STREAM_STATE,
         qdedup._CC_LABELS, qsim._PCA_MODELS,
+        r13._KN3_SCORES, r13f._SC_STREAM_STATE,
     ]
     assert all(len(c) > 0 for c in caches)
     cleared = clear_all_resident_state()

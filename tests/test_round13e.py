@@ -113,3 +113,63 @@ def test_epoch_budget_is_conserved_and_flags_correctly(spark, sf_dir):
     assert any(r["exhausted"] for r in rows) or all(
         r["repeat_factor"] <= _ETB_MAX_REPEAT for r in rows
     )
+
+
+def test_mixture_realization_matches_pure_python(spark, sf_dir):
+    """mixture_realized_counts equals a from-scratch Python
+    realization (pinned 4dp repeat factors, floor(frac*2^20) gate
+    thresholds, the portable hash), and the realized total tracks the
+    planned budget within the Bernoulli-rounding band."""
+    import hashlib
+
+    from ffiec_pq_spark.catalog import queries
+    from ffiec_pq_spark.queries.round13e import (
+        _ETB_ALPHA,
+        _MIX_GRID,
+        _MIX_SEED,
+    )
+
+    docs = [
+        (r["doc_id"], r["source"], len(r["text"].strip().split()))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    per_src = {}
+    for _, s, t in docs:
+        per_src[s] = per_src.get(s, 0) + t
+    n = sum(per_src.values())
+    z = sum(v ** _ETB_ALPHA for v in per_src.values())
+    plan = {}
+    for s, t in per_src.items():
+        q = round(t ** _ETB_ALPHA / z, 6)
+        alloc = math.floor(q * (_ETB_EPOCHS * n))
+        rf = round(q * (_ETB_EPOCHS * n) / t, 4)
+        plan[s] = (t, alloc, math.floor(rf),
+                   math.floor((rf - math.floor(rf)) * _MIX_GRID))
+
+    def h60(doc_id):
+        return int(
+            hashlib.md5(f"s{_MIX_SEED}:{doc_id}".encode()).hexdigest()[:15],
+            16,
+        )
+
+    realized = {}
+    for d, s, t in docs:
+        base, thr = plan[s][2], plan[s][3]
+        rep = base + (1 if h60(d) % _MIX_GRID < thr else 0)
+        realized[s] = realized.get(s, 0) + rep * t
+    expected = sorted(
+        (
+            s,
+            plan[s][0],
+            plan[s][1],
+            realized.get(s, 0),
+            round(realized.get(s, 0) / plan[s][1], 4)
+            if plan[s][1] else None,
+        )
+        for s in per_src
+    )
+    got = _rows(queries()["mixture_realized_counts"](spark, sf_dir))
+    assert got == expected
+    planned_total = sum(r[2] for r in got)
+    realized_total = sum(r[3] for r in got)
+    assert abs(realized_total - planned_total) < 0.2 * planned_total
