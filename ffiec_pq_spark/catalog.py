@@ -73,6 +73,8 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-13 tenth wave (round13c.py addition, never sampled) ---
+    "gate_stack_yield",
     # --- round-13 ninth wave (round13e.py addition, never sampled) ---
     "mixture_realized_counts",
     # --- round-13 eighth wave (round13c.py addition, never sampled) ---

@@ -34,6 +34,7 @@ rank/fusion arithmetic in integer micros)."""
 
 from __future__ import annotations
 
+import functools
 import math
 
 from pyspark.sql import Window
@@ -780,7 +781,12 @@ def retrieval_fusion_gain(spark, sf_dir):
 _AGREE_PCT = 20
 
 
-def _agree_sql() -> str:
+def _gate_ctes() -> list:
+    """The shared gate construction (CTE list through ``gates``):
+    shared scoreable population, equal 20% budget, three total-order
+    ranks, one boolean per gate per doc — used by the agreement
+    matrix and the stack-yield audit so the two views can never
+    disagree on what a 'gate' is."""
     from ffiec_pq_spark.operators.text import quality_score_sql
     from ffiec_pq_spark.queries.round12b import _probe_ctes
     from ffiec_pq_spark.queries.round13 import _KN3_SQL
@@ -835,6 +841,11 @@ def _agree_sql() -> str:
       CROSS JOIN popn
     )"""
     )
+    return ctes
+
+
+def _agree_sql() -> str:
+    ctes = _gate_ctes()
     ctes.append(
         """prs AS (
       SELECT 'heuristic~probe' AS pair, g_h AS a, g_p AS b FROM gates
@@ -876,36 +887,12 @@ def _agree_sql() -> str:
     )
 
 
-@register(
-    "gate_agreement_matrix",
-    _agree_sql(),
-    tags=["quality", "curation", "eval"],
-)
-def gate_agreement_matrix(spark, sf_dir):
-    """Pairwise Cohen's kappa between the three quality gates —
-    heuristic score, trained linear probe, and modified-KN trigram
-    LM — each keeping its top 20% of the SHARED scoreable population
-    (documents that have a quality score, a non-empty embedding, and
-    ≥ 3 tokens), ties broken by doc_id.  Equal budgets make the
-    marginals identical, so kappa reduces to how far the overlap
-    exceeds the hypergeometric chance overlap: the redundancy audit
-    that decides whether stacking a second filter buys independent
-    signal (kappa ≈ 0) or re-applies the first one (kappa ≈ 1).
-
-    Cross-engine exactness: all three scores are already engine-exact
-    (6 dp-rounded heuristic, integer probe margin, 6 dp-rounded KN
-    log-prob), every rank is a total order with a doc_id tiebreak,
-    and the confusion counts are integers; kappa itself is one double
-    expression over those integers, rounded to 6 dp identically in
-    both engines.
-
-    Plan: the shared population is built once and persisted (the KN
-    scoring pass is the expensive input; it must not re-run per
-    rank); THREE :func:`distributed_rank` passes — one per score,
-    never a single-partition window — join back on doc_id; the
-    budget is a 1-row broadcast; the pair explode is a 3-literal
-    array; the final aggregate has 3 groups with map-side
-    partials."""
+def _gated_frame(spark, sf_dir):
+    """The shared Spark-side gate construction: (doc_id, g_h, g_p,
+    g_k) over the shared scoreable population — one persisted
+    population, three :func:`distributed_rank` passes, a 1-row budget
+    broadcast.  Mirrors :func:`_gate_ctes` exactly; used by the
+    agreement matrix and the stack-yield audit."""
     from ffiec_pq_spark.operators.linear_probe import probe_margins
     from ffiec_pq_spark.operators.text import quality_score_tok, tokens
     from ffiec_pq_spark.operators.windows import distributed_rank
@@ -942,19 +929,52 @@ def gate_agreement_matrix(spark, sf_dir):
                 rank_col=rc,
             ).select("doc_id", rc)
         )
-    gated = (
+    return (
         pop.select("doc_id")
         .join(ranks[0], "doc_id")
         .join(ranks[1], "doc_id")
         .join(ranks[2], "doc_id")
         .crossJoin(F.broadcast(popn))
         .select(
+            "doc_id",
             (F.col("r_h") <= F.col("kb")).alias("g_h"),
             (F.col("r_p") <= F.col("kb")).alias("g_p"),
             (F.col("r_k") <= F.col("kb")).alias("g_k"),
         )
     )
-    prs = gated.select(
+
+
+@register(
+    "gate_agreement_matrix",
+    _agree_sql(),
+    tags=["quality", "curation", "eval"],
+)
+def gate_agreement_matrix(spark, sf_dir):
+    """Pairwise Cohen's kappa between the three quality gates —
+    heuristic score, trained linear probe, and modified-KN trigram
+    LM — each keeping its top 20% of the SHARED scoreable population
+    (documents that have a quality score, a non-empty embedding, and
+    ≥ 3 tokens), ties broken by doc_id.  Equal budgets make the
+    marginals identical, so kappa reduces to how far the overlap
+    exceeds the hypergeometric chance overlap: the redundancy audit
+    that decides whether stacking a second filter buys independent
+    signal (kappa ≈ 0) or re-applies the first one (kappa ≈ 1).
+
+    Cross-engine exactness: all three scores are already engine-exact
+    (6 dp-rounded heuristic, integer probe margin, 6 dp-rounded KN
+    log-prob), every rank is a total order with a doc_id tiebreak,
+    and the confusion counts are integers; kappa itself is one double
+    expression over those integers, rounded to 6 dp identically in
+    both engines.
+
+    Plan: the shared population is built once and persisted (the KN
+    scoring pass is the expensive input; it must not re-run per
+    rank); THREE :func:`distributed_rank` passes — one per score,
+    never a single-partition window — join back on doc_id; the
+    budget is a 1-row broadcast; the pair explode is a 3-literal
+    array; the final aggregate has 3 groups with map-side
+    partials."""
+    prs = _gated_frame(spark, sf_dir).select("g_h", "g_p", "g_k").select(
         F.explode(
             F.array(
                 F.struct(
@@ -1142,4 +1162,125 @@ def retrieval_recall_eval(spark, sf_dir):
         F.coalesce(F.sum(rec_micro), F.lit(0))
         .cast("long")
         .alias("sum_recall_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gate_stack_yield — what stacking the gates actually buys: keep rate
+# and surviving token budget for each single gate, each pairwise
+# intersection, the triple intersection, and the union.
+
+_STACK_COMBOS = (
+    ("heuristic", ("g_h",)),
+    ("probe", ("g_p",)),
+    ("kn", ("g_k",)),
+    ("heuristic&probe", ("g_h", "g_p")),
+    ("heuristic&kn", ("g_h", "g_k")),
+    ("probe&kn", ("g_p", "g_k")),
+    ("all3", ("g_h", "g_p", "g_k")),
+)
+
+
+def _stack_sql() -> str:
+    ctes = _gate_ctes()
+    tok = r"len(string_split_regex(trim(text), '\s+'))"
+    ctes.append(
+        f"""gt AS (
+      SELECT g.doc_id, g.g_h, g.g_p, g.g_k, {tok} AS n_tok
+      FROM gates g JOIN documents d ON d.doc_id = g.doc_id
+    )"""
+    )
+    # ONE scan of gt: DuckDB zips parallel unnests of equal length, so
+    # the 8 combos expand row-wise without re-referencing the CTE (a
+    # UNION ALL of 8 arms inlined the whole gate chain 8 times —
+    # measured 318 s vs ~40 s for the agreement oracle)
+    names = ", ".join(
+        f"'{name}'" for name, _ in _STACK_COMBOS
+    ) + ", 'any'"
+    flags = ", ".join(
+        "(" + " AND ".join(cols) + ")" for _, cols in _STACK_COMBOS
+    ) + ", (g_h OR g_p OR g_k)"
+    ctes.append(
+        f"""combos AS (
+      SELECT unnest([{names}]) AS combo,
+             unnest([{flags}]) AS kept,
+             n_tok
+      FROM gt
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT combo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+           CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM combos GROUP BY combo
+    """
+    )
+
+
+@register(
+    "gate_stack_yield",
+    _stack_sql(),
+    tags=["quality", "curation", "eval"],
+)
+def gate_stack_yield(spark, sf_dir):
+    """What stacking the three quality gates actually buys: for each
+    single gate, each pairwise intersection, the triple intersection,
+    and the union — the keep rate and the surviving TOKEN budget over
+    the shared scoreable population.  This is the decision view the
+    agreement matrix (``gate_agreement_matrix``) sets up: near-zero
+    kappa predicts the intersection keep rate ≈ the product of the
+    budgets (independent filters genuinely compound), kappa ≈ 1
+    predicts intersections that keep ≈ one budget (a stacked filter
+    that buys nothing).  Token yield is the number the training-mix
+    planner consumes downstream.
+
+    Plan: the shared gate construction (:func:`_gated_frame` — one
+    persisted population, three distributed ranks, 1-row budget
+    broadcast) joins the per-doc token counts by hash join, the
+    8-combo explode is a literal array (repetition counted per
+    combo, no data growth beyond ×8 slim booleans), and the rollup
+    has 8 groups with map-side partials."""
+    from ffiec_pq_spark.operators.text import token_count
+
+    gated = _gated_frame(spark, sf_dir)
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    gt = gated.join(tok, "doc_id")
+    entries = [
+        F.struct(
+            F.lit(name).alias("combo"),
+            functools.reduce(
+                lambda a, b: a & b, [F.col(c) for c in cols]
+            ).alias("kept"),
+        )
+        for name, cols in _STACK_COMBOS
+    ]
+    entries.append(
+        F.struct(
+            F.lit("any").alias("combo"),
+            (F.col("g_h") | F.col("g_p") | F.col("g_k")).alias("kept"),
+        )
+    )
+    lad = gt.select(
+        "n_tok", F.explode(F.array(*entries)).alias("c")
+    ).select("n_tok", "c.combo", "c.kept")
+    kept_l = F.col("kept").cast("long")
+    return lad.groupBy("combo").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(kept_l).alias("n_kept"),
+        F.round(
+            F.sum(kept_l) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("keep_rate"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
     )

@@ -150,6 +150,7 @@ NOTES = {
     "scorecard_unlearn": "exact telemetry correction: full per-source stats LEFT-join the erased slice's stats (cost ~ |deleted|) and subtract int64 fields; serve projection identical to the fold's",
     "retrieval_recall_eval": "recall@3 per arm: the three pinned list passes union by name, one label join + (arm,q) count, achievable-set sizes from one (lang,bucket) aggregate broadcast back, 3-group rollup — recall micros integer div",
     "mixture_realized_counts": "realize the sampling plan: |sources|-row plan relation (grouped sum + 1-row normalizer) broadcast against the corpus scan; repetition counted not materialized (no Generate); gate = portable hash vs floor(frac*2^20) of the pinned 4dp repeat; |sources|-group audit rollup",
+    "gate_stack_yield": "stack ROI: the SHARED gate construction (one persisted population, three distributed ranks, 1-row budget broadcast) + token join + 8-combo literal explode over slim booleans + 8-group rollup; oracle expands combos by zipped unnest (ONE gt scan — a UNION ALL inlined the gate chain 8x, 318 s vs 13 s)",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

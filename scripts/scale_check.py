@@ -244,6 +244,8 @@ QUERIES = [
     "retrieval_recall_eval",
     # round-13 ninth wave: the realized sampling mix
     "mixture_realized_counts",
+    # round-13 tenth wave: the gate-stack ROI view
+    "gate_stack_yield",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

@@ -1432,3 +1432,16 @@ def test_mixture_realization_broadcast_plan_no_explode(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "Generate" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_gate_stack_shares_the_gate_construction(spark, sf_dir):
+    """gate_stack_yield: the gate construction is the shared one
+    (three _pid-keyed distributed ranks), the combo expansion is a
+    literal explode over slim booleans, the rollup has 8 groups —
+    no cartesian, no global window."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["gate_stack_yield"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("row_number() windowspecdefinition(_pid") == 3, plan

@@ -279,3 +279,50 @@ def test_recall_eval_matches_pure_python(spark, sf_dir):
     assert got == sorted(expected)
     by = {r[0]: r[3] for r in got}
     assert by["hybrid"] >= min(by["lex"], by["dense"])
+
+
+def test_gate_stack_yield_consistency(spark, sf_dir):
+    """gate_stack_yield reconciles with the agreement matrix and with
+    set algebra: single gates keep exactly the shared budget,
+    pairwise intersections equal the matrix's n_both_kept, the union
+    obeys inclusion-exclusion bounds, and all3 <= every pairwise."""
+    from ffiec_pq_spark.catalog import queries
+
+    rows = {
+        r["combo"]: r
+        for r in queries()["gate_stack_yield"](spark, sf_dir).collect()
+    }
+    agree = {
+        r["pair"]: r
+        for r in queries()["gate_agreement_matrix"](spark, sf_dir).collect()
+    }
+    n = rows["heuristic"]["n"]
+    kb = agree["heuristic~probe"]["n_kept"]
+    for g in ("heuristic", "probe", "kn"):
+        assert rows[g]["n"] == n
+        assert rows[g]["n_kept"] == kb
+    assert (
+        rows["heuristic&probe"]["n_kept"]
+        == agree["heuristic~probe"]["n_both_kept"]
+    )
+    assert (
+        rows["heuristic&kn"]["n_kept"]
+        == agree["heuristic~kn"]["n_both_kept"]
+    )
+    assert rows["probe&kn"]["n_kept"] == agree["probe~kn"]["n_both_kept"]
+    inter = max(
+        rows["heuristic&probe"]["n_kept"],
+        rows["heuristic&kn"]["n_kept"],
+        rows["probe&kn"]["n_kept"],
+    )
+    assert rows["all3"]["n_kept"] <= min(
+        rows["heuristic&probe"]["n_kept"],
+        rows["heuristic&kn"]["n_kept"],
+        rows["probe&kn"]["n_kept"],
+    )
+    assert rows["any"]["n_kept"] >= kb and rows["any"]["n_kept"] <= 3 * kb
+    assert inter <= kb
+    # token yields are consistent with keeps (kept docs carry tokens)
+    for c, r in rows.items():
+        if r["n_kept"] > 0:
+            assert r["tokens_kept"] > 0, c
