@@ -258,6 +258,18 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(out, f, indent=1)
+    # ALSO write the round-stamped copy: BENCH_FULL.json is overwritten
+    # in place every run, and round 12's truncation already destroyed
+    # one round's per-query history — the per-round file is what the
+    # delta trend reads, so one more in-place overwrite can never again
+    # erase the previous round's numbers.  The round number is inferred
+    # as (latest committed driver artifact) + 1: the driver writes
+    # BENCH_r{N}.json AFTER this script runs in round N.
+    with open(
+        os.path.join(here, f"BENCH_FULL_r{_this_round(here):02d}.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=1)
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -288,6 +300,27 @@ def main() -> None:
     spark.stop()
 
 
+def _bench_rounds(here: str, pattern: str) -> list[tuple[int, str]]:
+    """(round, path) pairs for committed bench artifacts, ascending."""
+    import glob
+    import re
+
+    out = []
+    for p in glob.glob(os.path.join(here, pattern)):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def _this_round(here: str) -> int:
+    """The round this bench run belongs to: the driver records
+    BENCH_r{N}.json after the builder's session, so the latest existing
+    driver artifact is round N-1."""
+    rounds = _bench_rounds(here, "BENCH_r*.json")
+    return (rounds[-1][0] + 1) if rounds else 1
+
+
 def delta_vs_prev(
     timings: dict[str, float],
     total: float,
@@ -306,18 +339,18 @@ def delta_vs_prev(
     delta reproduces as ``this_round[q] / prev_round[q] - 1`` from the
     two committed files.  Skipped entirely when the previous artifact
     ran at a different scale factor (cross-SF drift is meaningless)."""
-    import glob
-    import re
-
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    # prefer the round-stamped FULL payload (always carries queries_cold
+    # and never truncates); fall back to the driver artifact for rounds
+    # before the full copies existed
+    benches = (
+        _bench_rounds(here, "BENCH_FULL_r*.json")
+        or _bench_rounds(here, "BENCH_r*.json")
     )
     if not benches:
         return {}
     try:
-        with open(benches[-1]) as f:
+        with open(benches[-1][1]) as f:
             prev = json.load(f)
     except (OSError, ValueError):
         return {}
@@ -341,7 +374,7 @@ def delta_vs_prev(
     if shared_prev:
         delta["_total"] = round(shared_this / shared_prev - 1.0, 3)
         delta["_total_basis"] = f"{sum(1 for n in timings if prev_q.get(n))} shared queries"
-    delta["_prev"] = os.path.basename(benches[-1])
+    delta["_prev"] = os.path.basename(benches[-1][1])
     delta["_unit"] = "fraction_of_prev (sec_this/sec_prev - 1)"
     return delta
 

@@ -425,10 +425,12 @@ def probe_gate_calibration(spark, sf_dir):
         .join(F.broadcast(tok), "vec_id", "left")
         .withColumn(
             "kept",
+            # exact integer floor on both engines (`div`, matching the
+            # oracle's `//` — never a double divide-then-truncate)
             F.col("rank")
             <= F.greatest(
-                (F.col("_n") * F.col("thr_pct") / F.lit(100)).cast("long"),
-                F.lit(1),
+                F.expr("(_n * thr_pct) div 100"),
+                F.lit(1).cast("long"),
             ),
         )
     )

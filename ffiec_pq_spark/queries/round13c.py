@@ -620,10 +620,14 @@ def kn_gate_calibration(spark, sf_dir):
         )
         .withColumn(
             "kept",
+            # exact integer floor on both engines (the _gated_frame
+            # `div` convention — a double divide-then-truncate can
+            # disagree with the oracle's `//` once n*pct exceeds the
+            # double mantissa)
             F.col("rank")
             <= F.greatest(
-                (F.col("_n") * F.col("thr_pct") / F.lit(100)).cast("long"),
-                F.lit(1),
+                F.expr("(_n * thr_pct) div 100"),
+                F.lit(1).cast("long"),
             ),
         )
     )

@@ -66,11 +66,19 @@ def _scorecard_sql() -> str:
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           round(avg(quality), 6) AS mean_quality,
+           round(sum(CAST(round(quality * 1000000, 0) AS BIGINT))
+                 / (count(*) * 1000000.0), 6) AS mean_quality,
            CAST(count(margin_micro) AS BIGINT) AS n_probe,
-           round(avg(margin_micro), 6) AS mean_margin_micro,
+           CASE WHEN count(margin_micro) = 0 THEN NULL
+                ELSE round(sum(margin_micro)
+                           / CAST(count(margin_micro) AS DOUBLE), 6)
+           END AS mean_margin_micro,
            CAST(count(avg_kn3_logprob) AS BIGINT) AS n_kn,
-           round(avg(avg_kn3_logprob), 6) AS mean_kn_logprob
+           CASE WHEN count(avg_kn3_logprob) = 0 THEN NULL
+                ELSE round(sum(CAST(round(avg_kn3_logprob * 1000000, 0)
+                                    AS BIGINT))
+                           / (count(avg_kn3_logprob) * 1000000.0), 6)
+           END AS mean_kn_logprob
     FROM base
     GROUP BY source
     """
@@ -93,8 +101,13 @@ def source_quality_scorecard(spark, sf_dir):
     keep rates, upsampling, or exclusion.
 
     Cross-engine exactness: each per-doc score is already pinned
-    (6 dp heuristic, integer margin, 6 dp KN log-prob); the per-source
-    means round once at the end; coverage counts are integers.
+    (6 dp heuristic, integer margin, 6 dp KN log-prob); each mean is
+    accumulated as an exact INT64 micro sum (the ``round13f``
+    sufficient-statistics pattern — the pinned per-doc double maps to
+    one integer, summation order cannot drift) and divided ONCE by the
+    integer count, so the only double op per cell is that final
+    division of two exactly-representable integers; coverage counts
+    are integers.
 
     Plan: the three scoring passes are the certified ones (one scan +
     keyed aggregates each); the scorecard itself is two LEFT hash
@@ -122,19 +135,42 @@ def source_quality_scorecard(spark, sf_dir):
             "doc_id",
             "source",
             token_count("text").alias("n_tok"),
-            quality_score_tok(tokens("text"), "text").alias("quality"),
+            F.round(
+                quality_score_tok(tokens("text"), "text") * F.lit(1e6), 0
+            )
+            .cast("long")
+            .alias("q_micro"),
         )
         .join(pm, "doc_id", "left")
-        .join(kn, "doc_id", "left")
+        .join(
+            kn.select(
+                "doc_id",
+                F.round(F.col("avg_kn3_logprob") * F.lit(1e6), 0)
+                .cast("long")
+                .alias("kn_micro"),
+            ),
+            "doc_id",
+            "left",
+        )
     )
+    n_probe = F.count("margin_micro")
+    n_kn = F.count("kn_micro")
     return base.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
-        F.round(F.avg("quality"), 6).alias("mean_quality"),
-        F.count("margin_micro").cast("long").alias("n_probe"),
-        F.round(F.avg("margin_micro"), 6).alias("mean_margin_micro"),
-        F.count("avg_kn3_logprob").cast("long").alias("n_kn"),
-        F.round(F.avg("avg_kn3_logprob"), 6).alias("mean_kn_logprob"),
+        F.round(
+            F.sum("q_micro") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6
+        ).alias("mean_quality"),
+        n_probe.cast("long").alias("n_probe"),
+        F.when(n_probe == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.sum("margin_micro") / n_probe.cast("double"), 6)
+        )
+        .alias("mean_margin_micro"),
+        n_kn.cast("long").alias("n_kn"),
+        F.when(n_kn == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum("kn_micro") / (n_kn * F.lit(1000000.0)), 6))
+        .alias("mean_kn_logprob"),
     )
 
 
