@@ -1259,16 +1259,22 @@ def test_fusion_gain_no_cartesian_keyed_everything(spark, sf_dir):
 
 
 def test_gate_agreement_three_distributed_ranks(spark, sf_dir):
-    """gate_agreement_matrix: all three ranks are the _pid-keyed
+    """The gate CONSTRUCTION (shared by gate_agreement_matrix /
+    gate_stack_yield / the ensemble trainer, now checkpoint-memoized
+    per session+dataset): all three ranks are the _pid-keyed
     distributed construction (exactly three of them), the budget is a
     broadcast, there is no corpus-sized single-partition exchange
     (the allowed ones are the three rank offset relations + the 1-row
     budget), and the shared population is reused via InMemoryRelation
-    rather than re-running the KN scoring pass per rank."""
+    rather than re-running the KN scoring pass per rank.  The
+    CONSUMER plan then reads the checkpointed relation (no rank
+    windows re-planned per consumer)."""
     from ffiec_pq_spark.plans.audit import physical_plan
+    from ffiec_pq_spark.queries.round13c import _gated_frame_build
 
-    df = queries()["gate_agreement_matrix"](spark, sf_dir)
-    plan = physical_plan(df)
+    pop, built = _gated_frame_build(spark, sf_dir)
+    plan = physical_plan(built)
+    pop.unpersist()
     assert "CartesianProduct" not in plan, plan
     assert plan.count("row_number() windowspecdefinition(_pid") == 3, plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
@@ -1283,6 +1289,12 @@ def test_gate_agreement_three_distributed_ranks(spark, sf_dir):
         ):
             singles += 1
     assert singles <= 4, plan
+    # consumer serve: the matrix reads the resident checkpointed
+    # relation — no rank window, no KN pass in ITS plan
+    cplan = physical_plan(queries()["gate_agreement_matrix"](spark, sf_dir))
+    assert "CartesianProduct" not in cplan, cplan
+    assert "Scan ExistingRDD" in cplan, cplan
+    assert "row_number() windowspecdefinition(_pid" not in cplan, cplan
 
 
 def test_dim_ablation_single_scan_take_ordered(spark, sf_dir):
@@ -1435,13 +1447,17 @@ def test_mixture_realization_broadcast_plan_no_explode(spark, sf_dir):
 
 
 def test_gate_stack_shares_the_gate_construction(spark, sf_dir):
-    """gate_stack_yield: the gate construction is the shared one
-    (three _pid-keyed distributed ranks), the combo expansion is a
-    literal explode over slim booleans, the rollup has 8 groups —
-    no cartesian, no global window."""
+    """gate_stack_yield: the gate construction is the SHARED resident
+    one (its plan reads the checkpointed relation — the ranks run in
+    the memoized build, pinned by
+    test_gate_agreement_three_distributed_ranks, never re-planned per
+    consumer), the combo expansion is a literal explode over slim
+    booleans — no cartesian, no rank window in the consumer plan."""
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["gate_stack_yield"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("row_number() windowspecdefinition(_pid") == 3, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "row_number() windowspecdefinition(_pid" not in plan, plan
+    assert "Generate explode" in plan, plan

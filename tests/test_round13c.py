@@ -326,3 +326,89 @@ def test_gate_stack_yield_consistency(spark, sf_dir):
     for c, r in rows.items():
         if r["n_kept"] > 0:
             assert r["tokens_kept"] > 0, c
+
+
+def _dense_oracle_rows(sf_dir):
+    """DuckDB replay of the dense CTE chain (the second engine for the
+    dense arm alone — the registered oracles only exercise it inside
+    the full fusion SQL)."""
+    import duckdb
+
+    from ffiec_pq_spark.queries.round13c import _dense_ctes
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rows = con.execute(
+        f"WITH {_dense_ctes()} SELECT q_id, doc_id, d_rank FROM densek"
+    ).fetchall()
+    con.close()
+    return sorted(tuple(r) for r in rows)
+
+
+def test_dense_arm_drops_empty_and_zero_vectors(spark, tmp_path):
+    """The vector contract (NULL / empty / zero-norm embeddings are
+    excluded on BOTH engines): a corpus with one of each must yield
+    the identical dense top-k from the Spark frame and the DuckDB CTE
+    chain, with none of the degenerate ids present — DuckDB's unnest
+    silently drops empty arrays, so an unguarded Spark fold would keep
+    them as phantom NULL-cosine rows ranked into the top-k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 64
+
+    def vec(seed):
+        return [((seed * (i + 3)) % 17 - 8) / 8.0 for i in range(dim)]
+
+    rows = [
+        # queries (vec_id % 10 == 0): one real, one EMPTY, one NULL
+        (10, vec(7), 0),
+        (20, [], 0),
+        (30, None, 0),
+        # corpus: three real, one empty, one zero-norm
+        (1, vec(2), 1),
+        (2, vec(3), 1),
+        (3, vec(5), 1),
+        (4, [], 1),
+        (5, [0.0] * dim, 1),
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    d = tmp_path / "dense_contract"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    got = _rows(_dense_topk_frame(spark, str(d)))
+    want = _dense_oracle_rows(str(d))
+    assert got == want
+    ids_in_lists = {r[0] for r in got} | {r[1] for r in got}
+    assert not ids_in_lists & {20, 30, 4, 5}, (
+        "degenerate vectors leaked into the dense top-k"
+    )
+    # the real query found real candidates
+    assert {r[0] for r in got} == {10}
+
+
+def test_dense_cells_env_scales_geometry(spark, sf_dir, monkeypatch):
+    """FFIEC_PQ_DENSE_CELLS re-parameterizes BOTH engines at call time
+    (the scale harness runs the replicated pass at ~sqrt(N) cells):
+    at 8 cells the Spark frame still strict-matches the DuckDB CTE
+    chain and keeps the top-k contract (ranks 1..k per query)."""
+    monkeypatch.setenv("FFIEC_PQ_DENSE_CELLS", "8")
+    got = _rows(_dense_topk_frame(spark, sf_dir))
+    want = _dense_oracle_rows(sf_dir)
+    assert got == want and got
+    by_q = {}
+    for q, _, rk in got:
+        by_q.setdefault(q, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
