@@ -528,6 +528,48 @@ NOTES = {
         "same NB scoring pass + a per-row 5-element array_sort and one "
         "<=10-group aggregate; linear in test docs"
     ),
+    # round-14: the dense-arm geometry claim is now MEASURED, not
+    # asserted.  The harness runs the replicated pass at sqrt-scaled
+    # cells (RETRIEVAL_DENSE above); scripts/ivf_scale_bench.py
+    # separates the two growth axes the harness conflates (min-of-3,
+    # 8x sf0.1): query set held FIXED (the production shape — a corpus
+    # 8x-ing does not 8x the query set) -> dense arm 3.03s -> 4.22s
+    # (x1.39) with candidate pairs 181k -> 534k (the sqrt(8) per-query
+    # growth); replicating the eval slice too (the harness's shape) ->
+    # 8.24s with pairs 4.27M — exactly 8x the fixed-query pairs, i.e.
+    # the residual >2 wall is the benchmark's replicated query set,
+    # not a plan property a deployment sees.
+    "retrieval_rrf_hybrid": (
+        "output-driven at 8x (fused rows 600 -> 4800 = 8.0x >= wall "
+        "ratio) AND geometry-measured: sqrt-scaled cells (11 at 8x via "
+        "FFIEC_PQ_DENSE_CELLS; both engines generate centroids from "
+        "the same ivf_centroid call); with the query set fixed the "
+        "dense arm is x1.39 at 8x corpus "
+        "(scripts/ivf_scale_bench.py)"
+    ),
+    "retrieval_ndcg_eval": (
+        "constant output (2 rows): the 8x wall is the harness's "
+        "both-sides replication — 8x eval queries x sqrt-scaled "
+        "per-query candidates; query-set-fixed dense arm measures "
+        "x1.39 at 8x (scripts/ivf_scale_bench.py)"
+    ),
+    "retrieval_fusion_gain": (
+        "constant output (3 rows): each arm now builds ONCE and is "
+        "persisted (round-14 — the r13 double dense pass is gone); "
+        "the remaining 8x wall is the harness's replicated eval slice "
+        "(see ivf_scale_bench: pairs x8 purely from 8x queries; "
+        "query-set-fixed dense arm x1.39)"
+    ),
+    "retrieval_recall_eval": (
+        "shares fusion_gain's single-build persisted arms (round-14); "
+        "x1.24 at 8x with sqrt-scaled cells"
+    ),
+    "retrieval_rrf_weight_sweep": (
+        "constant output (5 rungs): one fused relation crossed with a "
+        "5-row literal weight ladder; the 8x wall is the harness's "
+        "replicated eval slice (query-set-fixed dense arm x1.39 — "
+        "scripts/ivf_scale_bench.py)"
+    ),
 }
 
 
