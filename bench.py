@@ -105,6 +105,12 @@ HEAVY = [
     "doc_kn_trigram",
     "retrieval_rrf_hybrid",
     "gate_agreement_matrix",
+    # round-14: the fused-retrieval maintenance fold — cold = full
+    # ingest-stream replay (both arms folded per trigger) + fused
+    # serve, warm = the fused serve against the resident index state
+    # (the per-query cost of a deployment whose ingest stream runs
+    # continuously; the same convention as stream_bm25_index_fold)
+    "stream_rrf_fold",
 ]
 
 # NOT in the headline set by design: ffiec_etl_end_to_end / the bulk
@@ -143,6 +149,9 @@ BUILD_TIMED = {
     # weights memo + the persisted shared population)
     "doc_kn_trigram",
     "gate_agreement_matrix",
+    # the stream fold drains in the builder (cold) and serves the
+    # resident fused state (warm), returning an eager localCheckpoint
+    "stream_rrf_fold",
 }
 
 

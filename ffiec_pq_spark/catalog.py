@@ -73,6 +73,9 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-14 first wave (queries/round14.py, never sampled) ---
+    "stream_rrf_fold",
+    "retrieval_unlearn",
     # --- round-13 tenth wave (round13c.py addition, never sampled) ---
     "gate_stack_yield",
     # --- round-13 ninth wave (round13e.py addition, never sampled) ---
@@ -289,6 +292,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round14  # noqa: F401
     from ffiec_pq_spark.queries import round13f  # noqa: F401
     from ffiec_pq_spark.queries import round13e  # noqa: F401
     from ffiec_pq_spark.queries import round13d  # noqa: F401

@@ -76,14 +76,15 @@ def _n_cells() -> int:
     return max(1, int(os.environ.get("FFIEC_PQ_DENSE_CELLS", _N_CELLS)))
 
 
-def _dense_ctes() -> str:
+def _dense_ctes(corpus_pred: str = "vec_id % 10 <> 0") -> str:
     """Dense-retrieval CTE chain: IVF cell assignment (argmax over the
     literal coarse centroids, scores rounded to 6 dp BEFORE the rank so
     the argmax is engine-independent), per-query top-2 probe cells,
     candidate generation by cell equi-join, exact cosine re-rank on the
     candidates only.  Vectors violating ``_EMB_PRED`` (or with zero
     norm) are excluded by contract on both engines; every norm product
-    still carries a nullif guard."""
+    still carries a nullif guard.  ``corpus_pred`` parameterizes the
+    corpus slice (the unlearn oracle further excludes erased ids)."""
     nc = _n_cells()
     cent_rows = ", ".join(
         f"({j}, {i + 1}, {v!r}::DOUBLE)"
@@ -99,7 +100,7 @@ def _dense_ctes() -> str:
     exc AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              unnest(embedding)::DOUBLE AS x
-      FROM embeddings WHERE vec_id % 10 <> 0 AND {_EMB_PRED}
+      FROM embeddings WHERE ({corpus_pred}) AND {_EMB_PRED}
     ),
     qcell AS (
       SELECT vec_id AS q_id, c FROM (
@@ -153,16 +154,20 @@ def _dense_ctes() -> str:
     )"""
 
 
-def _hybrid_ctes() -> str:
+def _hybrid_ctes(
+    corpus_where: str = "WHERE doc_id % 10 <> 0",
+    dense_pred: str = "vec_id % 10 <> 0",
+) -> str:
     """The full fusion CTE chain (lexical list, dense list, RRF merge,
-    fused top-k as ``hybrid``) — shared by the fusion query itself and
-    every downstream eval that compares the arms."""
-    from ffiec_pq_spark.queries.round12 import _BM25_TOPK_SQL
+    fused top-k as ``hybrid``) — shared by the fusion query itself,
+    every downstream eval that compares the arms, and (with the
+    corpus-slice parameters) the unlearn oracle's survivor replay."""
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_sql
 
     return f"""lex AS (
-      {_BM25_TOPK_SQL}
+      {_bm25_topk_sql(corpus_where)}
     ),
-    {_dense_ctes()},
+    {_dense_ctes(dense_pred)},
     fused AS (
       SELECT coalesce(l.q_id, d.q_id) AS q_id,
              coalesce(l.doc_id, d.doc_id) AS doc_id,
@@ -193,11 +198,97 @@ def _hybrid_ctes() -> str:
     )"""
 
 
-def _rrf_sql() -> str:
+def _rrf_sql(
+    corpus_where: str = "WHERE doc_id % 10 <> 0",
+    dense_pred: str = "vec_id % 10 <> 0",
+) -> str:
     return f"""
-    WITH {_hybrid_ctes()}
+    WITH {_hybrid_ctes(corpus_where, dense_pred)}
     SELECT q_id, rank, doc_id, rrf_micro, in_lex, in_dense FROM hybrid
     """
+
+
+def _valid_vectors(df):
+    """The Spark half of ``_EMB_PRED``: drop NULL/empty embeddings."""
+    return df.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+
+
+def _cell_structs(vec, nc):
+    """Sorted (rounded cosine-to-centroid, negated cell) structs — the
+    argmax/top-nprobe cell assignment as ONE array expression, ties
+    breaking to the LOWEST cell index on both engines (hence the
+    negated cell in the descending sort)."""
+    entries = []
+    for j in range(nc):
+        cent = F.array(*[F.lit(float(v)) for v in ivf_centroid(_DIM, j)])
+        entries.append(
+            F.struct(
+                F.round(cosine(vec, cent), 6).alias("s"),
+                F.lit(nc - 1 - j).alias("negc"),
+            )
+        )
+    return F.sort_array(F.array(*entries), asc=False)
+
+
+def _query_cells(q, nc):
+    """(q_id, _qe, _nq, cell): top-``_NPROBE`` probe cells per query
+    vector, zero-norm vectors excluded."""
+    return (
+        q.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("_qe"),
+            norm(F.col("embedding")).alias("_nq"),
+            F.explode(
+                F.slice(_cell_structs(F.col("embedding"), nc), 1, _NPROBE)
+            ).alias("_sc"),
+        )
+        .filter(F.col("_nq") > 0)
+        .select(
+            "q_id", "_qe", "_nq",
+            (F.lit(nc - 1) - F.col("_sc.negc")).alias("cell"),
+        )
+    )
+
+
+def _corpus_cells(c, nc):
+    """(doc_id, _ce, _nc, cell): single argmax cell per corpus vector,
+    zero-norm vectors excluded.  A pure per-row function of the
+    embedding — which is what makes the streaming fold's cell rows
+    final on arrival (append-only maintenance, no merge)."""
+    return c.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("_ce"),
+        norm(F.col("embedding")).alias("_nc"),
+        (
+            F.lit(nc - 1)
+            - F.element_at(_cell_structs(F.col("embedding"), nc), 1)["negc"]
+        ).alias("cell"),
+    ).filter(F.col("_nc") > 0)
+
+
+def _dense_rank_cells(qcell, ccell):
+    """Score + rank candidates against an existing cell assignment —
+    shared verbatim by the batch pass (which derives cells from the
+    table) and the streaming fold's serve (which reads the RESIDENT
+    cell state), so both produce the identical physical plan (the
+    ``_bm25_rank_postings`` convention)."""
+    pair = ccell.join(F.broadcast(qcell), "cell").select(
+        "q_id",
+        "doc_id",
+        F.round(
+            dot(F.col("_qe"), F.col("_ce"))
+            / F.nullif(F.col("_nq") * F.col("_nc"), F.lit(0.0)),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        pair.withColumn("d_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("d_rank") <= _DENSE_TOPK)
+        .select("q_id", "doc_id", "d_rank")
+    )
 
 
 def _dense_topk_frame(spark, sf_dir):
@@ -220,77 +311,22 @@ def _dense_topk_frame(spark, sf_dir):
     count resolves at call time (:func:`_n_cells`) so the scale
     harness can measure the sqrt(N)-cells geometry."""
     nc = _n_cells()
-
-    def cell_structs(vec):
-        entries = []
-        for j in range(nc):
-            cent = F.array(
-                *[F.lit(float(v)) for v in ivf_centroid(_DIM, j)]
-            )
-            entries.append(
-                F.struct(
-                    F.round(cosine(vec, cent), 6).alias("s"),
-                    F.lit(nc - 1 - j).alias("negc"),
-                )
-            )
-        return F.sort_array(F.array(*entries), asc=False)
-
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
-    )
-    q = emb.filter(F.col("vec_id") % 10 == 0)
-    c = emb.filter(F.col("vec_id") % 10 != 0)
-    qcell = q.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("_qe"),
-        norm(F.col("embedding")).alias("_nq"),
-        F.explode(
-            F.slice(cell_structs(F.col("embedding")), 1, _NPROBE)
-        ).alias("_sc"),
-    ).filter(F.col("_nq") > 0).select(
-        "q_id", "_qe", "_nq",
-        (F.lit(nc - 1) - F.col("_sc.negc")).alias("cell"),
-    )
-    ccell = c.select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("embedding").alias("_ce"),
-        norm(F.col("embedding")).alias("_nc"),
-        (
-            F.lit(nc - 1)
-            - F.element_at(cell_structs(F.col("embedding")), 1)["negc"]
-        ).alias("cell"),
-    ).filter(F.col("_nc") > 0)
-    pair = ccell.join(F.broadcast(qcell), "cell").select(
-        "q_id",
-        "doc_id",
-        F.round(
-            dot(F.col("_qe"), F.col("_ce"))
-            / F.nullif(F.col("_nq") * F.col("_nc"), F.lit(0.0)),
-            6,
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("doc_id"))
-    return (
-        pair.withColumn("d_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("d_rank") <= _DENSE_TOPK)
-        .select("q_id", "doc_id", "d_rank")
-    )
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    qcell = _query_cells(emb.filter(F.col("vec_id") % 10 == 0), nc)
+    ccell = _corpus_cells(emb.filter(F.col("vec_id") % 10 != 0), nc)
+    return _dense_rank_cells(qcell, ccell)
 
 
-def _rrf_hybrid_frame(spark, sf_dir, lex=None, dense=None):
-    """Shared fusion pass: full-outer merge of the lexical and dense
-    lists on (q_id, doc_id), RRF mass in exact integer micros
+def _rrf_fuse(lex, dense):
+    """The fusion step alone: full-outer merge of a lexical list
+    ``(q_id, doc_id, rank, ...)`` and a dense list ``(q_id, doc_id,
+    d_rank)`` on (q_id, doc_id), RRF mass in exact integer micros
     (``1000000 div (60 + rank)`` — integer division, no floats), fused
-    rank per query.  Callers that ALSO consume an arm standalone pass
-    the prebuilt (persisted) frame via ``lex``/``dense`` so the arm's
-    pass runs once per query, never twice."""
-    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
-
-    if lex is None:
-        lex = _bm25_topk_frame(spark, sf_dir)
+    rank per query.  Shared verbatim by the batch fusion and the
+    streaming fold's serve (which fuses lists scored from the RESIDENT
+    index state)."""
     lex = lex.select("q_id", "doc_id", F.col("rank").alias("l_rank"))
-    if dense is None:
-        dense = _dense_topk_frame(spark, sf_dir)
+    dense = dense.select("q_id", "doc_id", "d_rank")
     fused = lex.join(dense, ["q_id", "doc_id"], "full_outer")
     rrf_micro = (
         F.coalesce(
@@ -321,6 +357,20 @@ def _rrf_hybrid_frame(spark, sf_dir, lex=None, dense=None):
         .filter(F.col("rank") <= _FUSE_TOPK)
         .select("q_id", "rank", "doc_id", "rrf_micro", "in_lex", "in_dense")
     )
+
+
+def _rrf_hybrid_frame(spark, sf_dir, lex=None, dense=None):
+    """The batch hybrid pass: build (or accept prebuilt) arm lists and
+    fuse them (:func:`_rrf_fuse`).  Callers that ALSO consume an arm
+    standalone pass the persisted frame via ``lex``/``dense`` so the
+    arm's pass runs once per query, never twice."""
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
+
+    if lex is None:
+        lex = _bm25_topk_frame(spark, sf_dir)
+    if dense is None:
+        dense = _dense_topk_frame(spark, sf_dir)
+    return _rrf_fuse(lex, dense)
 
 
 @register(
@@ -834,12 +884,11 @@ def retrieval_fusion_gain(spark, sf_dir):
 _AGREE_PCT = 20
 
 
-def _gate_ctes() -> list:
-    """The shared gate construction (CTE list through ``gates``):
-    shared scoreable population, equal 20% budget, three total-order
-    ranks, one boolean per gate per doc — used by the agreement
-    matrix and the stack-yield audit so the two views can never
-    disagree on what a 'gate' is."""
+def _pop_ctes() -> list:
+    """The shared scoreable-population CTE chain (through ``pop``:
+    doc_id, quality, margin_micro, avg_kn3_logprob) — the sub-chain
+    the gate construction AND the ensemble trainer build on, so every
+    consumer scores the identical population."""
     from ffiec_pq_spark.operators.text import quality_score_sql
     from ffiec_pq_spark.queries.round12b import _probe_ctes
     from ffiec_pq_spark.queries.round13 import _KN3_SQL
@@ -865,6 +914,16 @@ def _gate_ctes() -> list:
                 JOIN knd k ON k.doc_id = h.doc_id
     )"""
     )
+    return ctes
+
+
+def _gate_ctes() -> list:
+    """The shared gate construction (CTE list through ``gates``):
+    shared scoreable population, equal 20% budget, three total-order
+    ranks, one boolean per gate per doc — used by the agreement
+    matrix and the stack-yield audit so the two views can never
+    disagree on what a 'gate' is."""
+    ctes = _pop_ctes()
     ctes.append(
         f"""popn AS (
       SELECT CAST(greatest((count(*) * {_AGREE_PCT}) // 100, 1)

@@ -246,6 +246,9 @@ QUERIES = [
     "mixture_realized_counts",
     # round-13 tenth wave: the gate-stack ROI view
     "gate_stack_yield",
+    # round-14: the fused-retrieval maintenance lifecycle
+    "stream_rrf_fold",
+    "retrieval_unlearn",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -300,6 +303,8 @@ RETRIEVAL_DENSE = {
     "retrieval_fusion_gain",
     "retrieval_recall_eval",
     "retrieval_rrf_weight_sweep",
+    "stream_rrf_fold",
+    "retrieval_unlearn",
 }
 _BASE_CELLS = 4
 
@@ -569,6 +574,21 @@ NOTES = {
         "5-row literal weight ladder; the 8x wall is the harness's "
         "replicated eval slice (query-set-fixed dense arm x1.39 — "
         "scripts/ivf_scale_bench.py)"
+    ),
+    "stream_rrf_fold": (
+        "output-driven (fused rows 600 -> 4800 = 8.0x >= wall ratio): "
+        "the serve scores the 8x-replicated eval slice against the "
+        "maintained state; the fold itself is per-batch work "
+        "(idempotent per-epoch appends + keyed df/meta merges) and "
+        "the dense geometry claim is the measured ivf_scale_bench "
+        "x1.39 (query set fixed)"
+    ),
+    "retrieval_unlearn": (
+        "output-driven (fused rows 600 -> 4800 = 8.0x >= wall ratio): "
+        "erasure is a broadcast tombstone anti-join on both arms + "
+        "keyed df/meta decrements sized by the erasure batch; the "
+        "remaining wall is the replicated eval slice's serve (see "
+        "retrieval_rrf_hybrid / ivf_scale_bench)"
     ),
 }
 
