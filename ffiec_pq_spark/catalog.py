@@ -76,6 +76,7 @@ _NEVER_SAMPLED_FIRST = [
     # --- round-14 first wave (queries/round14.py, never sampled) ---
     "stream_rrf_fold",
     "retrieval_unlearn",
+    "gate_ensemble_calibration",
     # --- round-13 tenth wave (round13c.py addition, never sampled) ---
     "gate_stack_yield",
     # --- round-13 ninth wave (round13e.py addition, never sampled) ---

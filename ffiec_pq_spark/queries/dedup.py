@@ -65,7 +65,7 @@ def clear_component_labels() -> None:
     _CC_LABELS.clear()
 
 
-register_clear_hook("component_labels", clear_component_labels)
+register_clear_hook("component_labels", clear_component_labels, state=_CC_LABELS)
 
 
 def component_labels(spark, sf_dir):

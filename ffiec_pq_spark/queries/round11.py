@@ -76,7 +76,10 @@ def clear_bounded_neardup_state() -> None:
     _BOUNDED_NEARDUP_RUNS.clear()
 
 
-register_clear_hook("bounded_neardup_state", clear_bounded_neardup_state)
+register_clear_hook(
+    "bounded_neardup_state", clear_bounded_neardup_state,
+    state=_BOUNDED_NEARDUP_RUNS,
+)
 
 
 # ---------------------------------------------------------------------------

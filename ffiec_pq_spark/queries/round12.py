@@ -623,7 +623,9 @@ def clear_incremental_state() -> None:
     _INC_STATE.clear()
 
 
-register_clear_hook("incremental_dedup_state", clear_incremental_state)
+register_clear_hook(
+    "incremental_dedup_state", clear_incremental_state, state=_INC_STATE
+)
 
 
 def _inc_corpus_state(spark, sf_dir) -> dict:

@@ -194,7 +194,7 @@ def clear_probe_models() -> None:
     _PROBE_MODELS.clear()
 
 
-register_clear_hook("probe_models", clear_probe_models)
+register_clear_hook("probe_models", clear_probe_models, state=_PROBE_MODELS)
 
 
 def probe_corpus(spark, sf_dir):
@@ -550,7 +550,9 @@ def clear_bm25_stream_state() -> None:
     _BM25_STREAM_STATE.clear()
 
 
-register_clear_hook("bm25_stream_state", clear_bm25_stream_state)
+register_clear_hook(
+    "bm25_stream_state", clear_bm25_stream_state, state=_BM25_STREAM_STATE
+)
 
 
 def _bm25_serve(spark, d, st, ephemeral=False, tomb=None):
@@ -905,7 +907,9 @@ def clear_bm25_delete_state() -> None:
     _BM25_DEL_STATE.clear()
 
 
-register_clear_hook("bm25_delete_state", clear_bm25_delete_state)
+register_clear_hook(
+    "bm25_delete_state", clear_bm25_delete_state, state=_BM25_DEL_STATE
+)
 
 
 def _bm25_delete_fold(spark, state, workdir, tf, dl):
@@ -1121,7 +1125,7 @@ def clear_probe_stats() -> None:
     _PROBE_STATS.clear()
 
 
-register_clear_hook("probe_stats", clear_probe_stats)
+register_clear_hook("probe_stats", clear_probe_stats, state=_PROBE_STATS)
 
 
 @register(
@@ -1381,4 +1385,7 @@ def clear_probe_stream_state() -> None:
     _PROBE_STREAM_STATE.clear()
 
 
-register_clear_hook("probe_stream_state", clear_probe_stream_state)
+register_clear_hook(
+    "probe_stream_state", clear_probe_stream_state,
+    state=_PROBE_STREAM_STATE,
+)

@@ -468,7 +468,7 @@ def clear_kn3_scores() -> None:
     _KN3_SCORES.clear()
 
 
-register_clear_hook("kn3_scores", clear_kn3_scores)
+register_clear_hook("kn3_scores", clear_kn3_scores, state=_KN3_SCORES)
 
 
 @register("doc_kn_trigram", _KN3_SQL, tags=["lm", "quality", "text"])

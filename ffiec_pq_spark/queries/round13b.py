@@ -344,7 +344,9 @@ def clear_kn_stream_state() -> None:
     _KN_STREAM_STATE.clear()
 
 
-register_clear_hook("kn_stream_state", clear_kn_stream_state)
+register_clear_hook(
+    "kn_stream_state", clear_kn_stream_state, state=_KN_STREAM_STATE
+)
 
 
 def _kn_insert_fold(spark, state, workdir):
@@ -539,7 +541,7 @@ def clear_kn_stats() -> None:
     _KN_STATS.clear()
 
 
-register_clear_hook("kn_stats", clear_kn_stats)
+register_clear_hook("kn_stats", clear_kn_stats, state=_KN_STATS)
 
 
 def _kn_full_counts(spark, sf_dir):

@@ -1014,7 +1014,7 @@ def clear_gated_frames() -> None:
     _GATED_FRAMES.clear()
 
 
-register_clear_hook("gated_frames", clear_gated_frames)
+register_clear_hook("gated_frames", clear_gated_frames, state=_GATED_FRAMES)
 
 
 def _gated_frame_build(spark, sf_dir):

@@ -100,7 +100,9 @@ def clear_sc_stream_state() -> None:
     _SC_STREAM_STATE.clear()
 
 
-register_clear_hook("scorecard_stream_state", clear_sc_stream_state)
+register_clear_hook(
+    "scorecard_stream_state", clear_sc_stream_state, state=_SC_STREAM_STATE
+)
 
 
 def _sc_insert_fold(spark, state, workdir):

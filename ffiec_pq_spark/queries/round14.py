@@ -289,7 +289,9 @@ def clear_rrf_stream_state() -> None:
     _RRF_STREAM_STATE.clear()
 
 
-register_clear_hook("rrf_stream_state", clear_rrf_stream_state)
+register_clear_hook(
+    "rrf_stream_state", clear_rrf_stream_state, state=_RRF_STREAM_STATE
+)
 
 
 @register(
@@ -525,7 +527,9 @@ def clear_rrf_delete_state() -> None:
     _RRF_DEL_STATE.clear()
 
 
-register_clear_hook("rrf_delete_state", clear_rrf_delete_state)
+register_clear_hook(
+    "rrf_delete_state", clear_rrf_delete_state, state=_RRF_DEL_STATE
+)
 
 
 @register(
@@ -762,7 +766,7 @@ def clear_ensemble_models() -> None:
     _ENSEMBLE_MODELS.clear()
 
 
-register_clear_hook("ensemble_models", clear_ensemble_models)
+register_clear_hook("ensemble_models", clear_ensemble_models, state=_ENSEMBLE_MODELS)
 
 
 def ensemble_weights(spark, sf_dir):

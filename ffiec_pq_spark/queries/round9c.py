@@ -532,7 +532,7 @@ def clear_ivfpq_models() -> None:
     _IVFPQ_MODELS.clear()
 
 
-register_clear_hook("ivfpq_models", clear_ivfpq_models)
+register_clear_hook("ivfpq_models", clear_ivfpq_models, state=_IVFPQ_MODELS)
 
 
 def _ivfpq_model(spark, sf_dir):

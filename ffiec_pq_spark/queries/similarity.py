@@ -510,7 +510,7 @@ def clear_pca_models() -> None:
     _PCA_MODELS.clear()
 
 
-register_clear_hook("pca_models", clear_pca_models)
+register_clear_hook("pca_models", clear_pca_models, state=_PCA_MODELS)
 
 
 @register("embedding_pca_scores", _pca_sql(iters=5), tags=["similarity", "iterative"])

@@ -41,7 +41,7 @@ def clear_live_runs() -> None:
     _LIVE_RUNS.clear()
 
 
-register_clear_hook("neardup_live_runs", clear_live_runs)
+register_clear_hook("neardup_live_runs", clear_live_runs, state=_LIVE_RUNS)
 
 
 def _recover_state_swap(state_dir: str) -> None:

@@ -246,9 +246,11 @@ QUERIES = [
     "mixture_realized_counts",
     # round-13 tenth wave: the gate-stack ROI view
     "gate_stack_yield",
-    # round-14: the fused-retrieval maintenance lifecycle
+    # round-14: the fused-retrieval maintenance lifecycle + the
+    # learned gate combination
     "stream_rrf_fold",
     "retrieval_unlearn",
+    "gate_ensemble_calibration",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

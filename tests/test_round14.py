@@ -257,3 +257,37 @@ def test_gate_ensemble_trained_and_monotone(spark, sf_dir):
         assert lad[lo]["n_kept"] <= lad[hi]["n_kept"]
         assert lad[lo]["tokens_kept"] <= lad[hi]["tokens_kept"]
         assert lad[lo]["pos_kept"] <= lad[hi]["pos_kept"]
+
+
+def test_resident_state_report_audits_and_clear_frees(spark, sf_dir):
+    """The residency AUDIT: after building maintained state the report
+    shows live entries and nonzero on-disk bytes for the dir-backed
+    caches; clear_all_resident_state() then frees the disk bytes and
+    empties every registered container (exactly — not by convention).
+    The Spark storage section is present as the monitoring input
+    (checkpointed-relation memory is released asynchronously by the
+    context cleaner, so it is reported, not asserted zero)."""
+    from ffiec_pq_spark.catalog import queries
+    from ffiec_pq_spark.resident import (
+        clear_all_resident_state,
+        resident_state_report,
+    )
+
+    # build dir-backed and memo-backed state
+    queries()["stream_rrf_fold"](spark, sf_dir)
+    queries()["doc_kn_trigram"](spark, sf_dir)
+    rep = resident_state_report(spark)
+    assert rep["rrf_stream_state"]["entries"] >= 1
+    assert rep["rrf_stream_state"]["disk_bytes"] > 0
+    assert rep["kn3_scores"]["entries"] >= 1
+    st = rep["_spark_storage"]
+    assert st["cached_rdds"] >= 1 and st["mem_bytes"] >= 0
+
+    cleared = clear_all_resident_state()
+    assert "rrf_stream_state" in cleared and "kn3_scores" in cleared
+    rep2 = resident_state_report()
+    for name, row in rep2.items():
+        if name.startswith("_"):
+            continue
+        assert row["entries"] == 0, (name, row)
+        assert row["disk_bytes"] == 0, (name, row)
