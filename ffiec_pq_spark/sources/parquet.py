@@ -191,9 +191,25 @@ def write_single_parquet(df: DataFrame, out_path: str) -> str:
     """Write exactly one parquet *file* at ``out_path`` (the reference's
     per-dataset contract).  Implemented as a single-partition directory
     write + rename; callers at scale should use ``df.write.parquet`` on
-    a directory instead."""
+    a directory instead.
+
+    ``repartition(1)``, NOT ``coalesce(1)``: coalesce propagates the
+    1-partition constraint INTO the upstream stage, so a grouped
+    aggregation feeding the sink would execute its entire reduce side
+    in one task — the round-14 ETL stage clock named exactly that
+    (``long_build`` warm 1.7 s -> 5.8 s at 8x, the ingest's top
+    grower).  repartition keeps the upstream plan at full parallelism
+    and pays one extra exchange of the FINISHED rows; the single task
+    then only encodes and writes.  A/B at 8x (80k banks,
+    scripts/etl_bench.py warm pass, two samples each): long_build
+    5.8 s -> 4.7/5.0 s, whole warm ingest 18.2 s -> 16.6/16.8 s; 1x
+    warm 10.5 s -> 9.3 s.  The remaining long_build growth is the
+    single-FILE contract's measured floor: one task per type must
+    encode every row (4.8 M at 8x), linear work no core count can
+    absorb — the at-scale paths are ``write_partitioned`` /
+    ``merge_long_increment``, which this sink's callers document."""
     tmp = out_path + "._tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
     part = next(
         p for p in _glob(os.path.join(tmp, "part-*.parquet"))
     )
