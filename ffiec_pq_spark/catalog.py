@@ -77,6 +77,7 @@ _NEVER_SAMPLED_FIRST = [
     "stream_rrf_fold",
     "retrieval_unlearn",
     "gate_ensemble_calibration",
+    "retrieval_cells_recall_curve",
     # --- round-13 tenth wave (round13c.py addition, never sampled) ---
     "gate_stack_yield",
     # --- round-13 ninth wave (round13e.py addition, never sampled) ---

@@ -913,3 +913,178 @@ def gate_ensemble_calibration(spark, sf_dir):
         )
         .alias("pos_precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_cells_recall_curve — the QUALITY half of the IVF geometry
+# story.  The scale harness measures the SPEED of sqrt-scaled cells
+# (scripts/ivf_scale_bench.py); this query certifies what the pruning
+# COSTS: recall@3 of the cell-pruned dense top-k against the exact
+# ground truth, per cell count.  n_cells=1 probes every vector (the
+# degenerate cell join IS brute force — same code path, so the truth
+# arm needs no separate operator and no cartesian node), and the curve
+# shows where recall falls off as cells grow.
+
+_CURVE_CELLS = (1, 2, 4, 8)
+_CURVE_QMOD = 100  # query sample: the truth arm is quadratic by design
+
+
+def _cells_curve_sql() -> str:
+    from ffiec_pq_spark.queries.round13c import (
+        _DENSE_TOPK,
+        _DIM,
+        _EMB_PRED,
+        _NPROBE,
+    )
+    from ffiec_pq_spark.operators.similarity import ivf_centroid
+
+    ctes = [
+        f"""exq AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings WHERE vec_id % {_CURVE_QMOD} = 0 AND {_EMB_PRED}
+    )""",
+        f"""exc AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings WHERE vec_id % 10 <> 0 AND {_EMB_PRED}
+    )""",
+        """qcnt AS (SELECT count(DISTINCT vec_id) AS nq FROM exq)""",
+    ]
+    for n in _CURVE_CELLS:
+        cent_rows = ", ".join(
+            f"({j}, {i + 1}, {v!r}::DOUBLE)"
+            for j in range(n)
+            for i, v in enumerate(ivf_centroid(_DIM, j))
+        )
+        ctes.append(
+            f"cent_{n} AS (SELECT * FROM (VALUES {cent_rows}) AS t(c, i, v))"
+        )
+        for side, src, keep, idc in (
+            ("qcell", "exq", f"rn <= {_NPROBE}", "q_id"),
+            ("ccell", "exc", "rn = 1", "doc_id"),
+        ):
+            ctes.append(
+                f"""{side}_{n} AS (
+      SELECT vec_id AS {idc}, c FROM (
+        SELECT e.vec_id, c.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(sum(e.x * c.v)
+                   / nullif(sqrt(sum(e.x * e.x))
+                            * sqrt(sum(c.v * c.v)), 0.0), 6)
+                   DESC, c.c ASC
+               ) AS rn
+        FROM {src} e JOIN cent_{n} c ON e.i = c.i
+        GROUP BY e.vec_id, c.c
+        HAVING sum(e.x * e.x) > 0
+      ) WHERE {keep}
+    )"""
+            )
+        ctes.append(
+            f"""topk_{n} AS MATERIALIZED (
+      SELECT q_id, doc_id FROM (
+        SELECT q.q_id, cc.doc_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(sum(a.x * b.x)
+                   / nullif(sqrt(sum(a.x * a.x))
+                            * sqrt(sum(b.x * b.x)), 0.0), 6)
+                   DESC, cc.doc_id ASC
+               ) AS d_rank
+        FROM qcell_{n} q
+        JOIN ccell_{n} cc ON cc.c = q.c
+        JOIN exq a ON a.vec_id = q.q_id
+        JOIN exc b ON b.vec_id = cc.doc_id AND b.i = a.i
+        GROUP BY q.q_id, cc.doc_id
+      ) WHERE d_rank <= {_DENSE_TOPK}
+    )"""
+        )
+    arms = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({n} AS BIGINT) AS n_cells, q_id, doc_id FROM topk_{n}"
+        for n in _CURVE_CELLS
+    )
+    ctes.append(f"arms AS ({arms})")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.n_cells,
+           CAST(qc.nq AS BIGINT) AS n_queries,
+           CAST(count(t.doc_id) AS BIGINT) AS n_overlap,
+           CAST((count(t.doc_id) * 1000000)
+                // ({_DENSE_TOPK} * qc.nq) AS BIGINT) AS recall_micro
+    FROM arms a
+    LEFT JOIN topk_{_CURVE_CELLS[0]} t
+      ON t.q_id = a.q_id AND t.doc_id = a.doc_id
+    CROSS JOIN qcnt qc
+    GROUP BY a.n_cells, qc.nq
+    """
+    )
+
+
+@register(
+    "retrieval_cells_recall_curve",
+    _cells_curve_sql(),
+    tags=["retrieval", "similarity", "eval"],
+)
+def retrieval_cells_recall_curve(spark, sf_dir):
+    """Recall@3 of the IVF-pruned dense top-k vs the EXACT top-3, per
+    coarse-quantizer cell count (1/2/4/8, nprobe=2) — the quality half
+    of the cell-geometry story whose speed half the scale harness
+    measures (sqrt-scaled cells, scripts/ivf_scale_bench.py): the
+    curve says what candidate pruning costs in recall as the cell
+    count grows, which is how a deployment picks its cell budget
+    against a recall floor.
+
+    The ground truth IS the n_cells=1 arm: with one cell every corpus
+    vector is a candidate, so the same cell-join plan degenerates to
+    exact brute force — no separate all-pairs operator, no cartesian
+    node (the 'join' is an equi-join on a constant cell id), and the
+    anchor row certifies the construction (recall_micro = 1000000 by
+    definition).  Queries are a deterministic 1% id sample
+    (``vec_id % 100 = 0``): a recall audit runs on a query sample
+    precisely because its truth arm is quadratic by definition.
+
+    Cross-engine exactness: the shared dense contract (6 dp-rounded
+    cosines before every rank, id tiebreaks, the ``_EMB_PRED`` /
+    zero-norm exclusions, nullif-guarded norms); overlap counts and
+    the recall micros are exact integers.
+
+    Plan: one pass per arm through the shared
+    :func:`~ffiec_pq_spark.queries.round13c._corpus_cells` /
+    :func:`_query_cells` / :func:`_dense_rank_cells` helpers; the
+    truth list is persisted and broadcast into each arm's overlap
+    join; the rollup is a 4-group aggregate."""
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % _CURVE_QMOD == 0)
+    c = emb.filter(F.col("vec_id") % 10 != 0)
+    n_q = q.count()
+    arms = {}
+    for n in _CURVE_CELLS:
+        arms[n] = _dense_rank_cells(
+            _query_cells(q, n), _corpus_cells(c, n)
+        ).select("q_id", "doc_id")
+    truth = arms[_CURVE_CELLS[0]].persist()
+    out = None
+    for n in _CURVE_CELLS:
+        arm = (
+            arms[n] if n != _CURVE_CELLS[0] else truth
+        ).withColumn("n_cells", F.lit(n).cast("long"))
+        hit = arm.join(
+            F.broadcast(truth.withColumn("_hit", F.lit(1))),
+            ["q_id", "doc_id"],
+            "left",
+        )
+        out = hit if out is None else out.unionByName(hit)
+    from ffiec_pq_spark.queries.round13c import _DENSE_TOPK
+
+    return out.groupBy("n_cells").agg(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_overlap"),
+    ).withColumn(
+        "recall_micro",
+        F.expr(f"(n_overlap * 1000000) div ({_DENSE_TOPK} * n_queries)"),
+    )

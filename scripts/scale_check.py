@@ -251,6 +251,7 @@ QUERIES = [
     "stream_rrf_fold",
     "retrieval_unlearn",
     "gate_ensemble_calibration",
+    "retrieval_cells_recall_curve",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",

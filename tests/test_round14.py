@@ -291,3 +291,24 @@ def test_resident_state_report_audits_and_clear_frees(spark, sf_dir):
             continue
         assert row["entries"] == 0, (name, row)
         assert row["disk_bytes"] == 0, (name, row)
+
+
+def test_cells_recall_curve_anchor_and_bounds(spark, sf_dir):
+    """The n_cells=1 arm IS the exact ground truth (recall_micro =
+    1000000 by construction — the anchor that certifies the curve's
+    plumbing), every arm's overlap is bounded by the achievable 3 per
+    query, and nprobe=2 over 2 cells probes everything (recall 1.0 at
+    n_cells=2 as well)."""
+    from ffiec_pq_spark.catalog import queries
+
+    rows = {
+        r["n_cells"]: r
+        for r in queries()["retrieval_cells_recall_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows[1]["recall_micro"] == 1_000_000
+    assert rows[2]["recall_micro"] == 1_000_000
+    for n, r in rows.items():
+        assert 0 <= r["n_overlap"] <= 3 * r["n_queries"], (n, r)
+        assert r["recall_micro"] <= 1_000_000
