@@ -143,13 +143,19 @@ def _rrf_insert_fold(spark, state, workdir, tf_dir, dl_dir, cells_dir):
         if epoch_id <= state["epoch"]:
             return
         # dense arm: argmax cell per arriving vector (pure function of
-        # the embedding -> final on arrival)
+        # the embedding -> final on arrival).  repartition(8): a
+        # micro-batch arrives as ONE staged file, and a 1-file-per-epoch
+        # cell table under-parallelizes the serve's candidate scan
+        # (measured at 16x: dense serve 32.9 s from 4 single-file
+        # epochs vs 16.3 s for the batch pass over the well-split
+        # table); at 100 TB the cell table is cell-partitioned across
+        # many files and this is its test-scale stand-in
         vec_b = _valid_vectors(
             batch_df.select(F.col("id").alias("vec_id"), "embedding")
         )
-        _corpus_cells(vec_b, state["nc"]).write.mode("overwrite").parquet(
-            os.path.join(cells_dir, f"epoch={epoch_id}")
-        )
+        _corpus_cells(vec_b, state["nc"]).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(cells_dir, f"epoch={epoch_id}"))
         # lexical arm: postings + lengths for the batch's text docs
         txt_b = batch_df.filter(F.col("text").isNotNull()).select(
             F.col("id").alias("doc_id"), "text"
@@ -342,7 +348,16 @@ def stream_rrf_fold(spark, sf_dir, chunk_order=None):
         st = _rrf_stream_build(spark, corpus, chunk_order)
         if chunk_order is None:
             _RRF_STREAM_STATE[key] = st
-    return _rrf_serve(spark, sf_dir, st, ephemeral=chunk_order is not None)
+    if chunk_order is not None:
+        return _rrf_serve(spark, sf_dir, st, ephemeral=True)
+    # the RESIDENT FUSED TOP-K relation: the index state is immutable
+    # between folds, so the served (eagerly checkpointed) fusion is
+    # cached with it — repeat calls read the maintained asset, the
+    # deploy's steady state; the next fold (a new state dict) or the
+    # clear hook invalidates it together with the state
+    if st.get("serve") is None:
+        st["serve"] = _rrf_serve(spark, sf_dir, st)
+    return st["serve"]
 
 
 # --------------------------------------------------------------------------
@@ -576,8 +591,13 @@ def retrieval_unlearn(spark, sf_dir):
             return spark.createDataFrame([], _RRF_OUT_SCHEMA)
         st = _rrf_delete_build(spark, corpus)
         _RRF_DEL_STATE[key] = st
-    tomb = spark.read.parquet(st["tomb"]).select("doc_id")
-    return _rrf_serve(spark, sf_dir, st, tomb=tomb)
+    # resident fused top-k over the erasure-corrected state (the
+    # stream fold's convention): recomputed only when the state dict
+    # itself is rebuilt or cleared
+    if st.get("serve") is None:
+        tomb = spark.read.parquet(st["tomb"]).select("doc_id")
+        st["serve"] = _rrf_serve(spark, sf_dir, st, tomb=tomb)
+    return st["serve"]
 
 
 # --------------------------------------------------------------------------
