@@ -151,6 +151,10 @@ NOTES = {
     "retrieval_recall_eval": "recall@3 per arm: the three pinned list passes union by name, one label join + (arm,q) count, achievable-set sizes from one (lang,bucket) aggregate broadcast back, 3-group rollup — recall micros integer div",
     "mixture_realized_counts": "realize the sampling plan: |sources|-row plan relation (grouped sum + 1-row normalizer) broadcast against the corpus scan; repetition counted not materialized (no Generate); gate = portable hash vs floor(frac*2^20) of the pinned 4dp repeat; |sources|-group audit rollup",
     "gate_stack_yield": "stack ROI: the SHARED gate construction (one persisted population, three distributed ranks, 1-row budget broadcast) + token join + 8-combo literal explode over slim booleans + 8-group rollup; oracle expands combos by zipped unnest (ONE gt scan — a UNION ALL inlined the gate chain 8x, 318 s vs 13 s)",
+    "stream_rrf_fold": "fused maintained-asset serve: resident checkpointed top-k (the state is immutable between folds); the plan is the checkpoint scan — the build's arms (postings rank + cell-join rank + full-outer RRF merge) run once in the fold, pinned by test_round14",
+    "retrieval_unlearn": "erasure-corrected fused serve: same resident-checkpoint scan; the correction itself is broadcast tombstone anti-joins on both arms + keyed df/meta decrements sized by the erasure batch",
+    "gate_ensemble_calibration": "learned gate: scoring is a shuffle-free zip_with fold over the resident gated population (checkpoint scan); ONE distributed_rank + 5-literal rung explode + broadcast token join + <=5-group rollup; training was one 4-row Gram aggregation + driver GD",
+    "retrieval_cells_recall_curve": "recall-vs-cells: four cell-join arms through the shared dense helpers (the n_cells=1 arm IS brute force via an equi-join on a constant cell — no CartesianProduct node); truth list persisted + broadcast into each overlap join; 4-group rollup",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
     "q20_potential_promotion": "lineitem rollup is the only data-sized shuffle; partsupp joins it on the same composite key; dims broadcast",

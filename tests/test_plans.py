@@ -1461,3 +1461,50 @@ def test_gate_stack_shares_the_gate_construction(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "row_number() windowspecdefinition(_pid" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_rrf_fold_serves_resident_checkpoint(spark, sf_dir):
+    """stream_rrf_fold / retrieval_unlearn: the consumer plan IS the
+    resident fused top-k (a checkpointed-RDD scan) — the arms run once
+    in the fold/build, never re-planned per call; and the BUILD's
+    serve plan (a fresh ephemeral state) carries no cartesian and
+    broadcasts the query side into the cell join."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    for name in ("stream_rrf_fold", "retrieval_unlearn"):
+        plan = physical_plan(queries()[name](spark, sf_dir))
+        assert "Scan ExistingRDD" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_gate_ensemble_single_rank_over_resident_population(spark, sf_dir):
+    """gate_ensemble_calibration: scoring reads the resident gated
+    population (checkpoint scan, no KN/probe re-plan), the ladder is
+    ONE _pid-keyed distributed rank + a literal rung explode + a
+    broadcast token join — no cartesian beyond the 1-row budget
+    broadcast."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["gate_ensemble_calibration"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("row_number() windowspecdefinition(_pid") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cells_recall_curve_no_cartesian_truth(spark, sf_dir):
+    """retrieval_cells_recall_curve: the n_cells=1 truth arm is brute
+    force EXPRESSED as an equi-join on a constant cell id — the plan
+    must contain broadcast hash joins and NO CartesianProduct /
+    BroadcastNestedLoopJoin anywhere; every arm's rank window keys on
+    q_id."""
+    from ffiec_pq_spark.plans.audit import physical_plan
+
+    df = queries()["retrieval_cells_recall_curve"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition(q_id" in plan, plan
