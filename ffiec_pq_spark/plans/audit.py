@@ -96,3 +96,31 @@ def assert_plan(
                 f"scan reads {sorted(got - pruned_to)} beyond the expected "
                 f"pruned set {sorted(pruned_to)}"
             )
+
+
+def unexplained_single_partitions(plan: str, context: int = 3) -> list[str]:
+    """Single-partition exchanges NOT attributable to a one-row global
+    rollup (a ``HashAggregate(keys=[]`` within ``context`` lines) or an
+    AQE runtime bloom-filter merge.  The raw ``plan.count("Exchange
+    SinglePartition") <= N`` pins proved cache-state-sensitive: a
+    persisted relation's InMemoryRelation REPRINTS its build lineage
+    (one-row stats rollups included) at every scan, so the textual
+    count depends on which session cached what first — this checks the
+    SEMANTIC invariant instead (nothing data-sized funnels into one
+    partition) and is reprint-invariant."""
+    lines = plan.splitlines()
+    bad: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        ctx = lines[max(0, i - context): i + context + 1]
+        joined = "\n".join(ctx)
+        if "HashAggregate(keys=[]" in joined or "bloom_filter" in joined:
+            continue
+        # distributed_rank's offset relation: per-range counts (one row
+        # per shuffle partition) funneled through one cumulative window
+        # — bounded by the partition count, never by the data
+        if "_pid#" in joined or "_off#" in joined:
+            continue
+        bad.append(joined)
+    return bad

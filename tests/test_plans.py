@@ -1077,7 +1077,10 @@ def test_bm25_inverted_index_no_cartesian(spark, sf_dir):
     # the only SinglePartition exchange is that scalar aggregate's
     # final rollup (a handful of partial-agg rows, not fact data)
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
-    assert plan.count("Exchange SinglePartition") <= 1, plan
+    from ffiec_pq_spark.plans.audit import unexplained_single_partitions
+    assert not unexplained_single_partitions(plan), (
+        unexplained_single_partitions(plan)
+    )
     # the top-k window keys on q_id, never a global sort
     assert "windowspecdefinition(q_id" in plan, plan
 
@@ -1203,7 +1206,10 @@ def test_rrf_hybrid_no_cartesian_keyed_windows(spark, sf_dir):
     # the only single-partition exchange is the BM25 pass's one-row
     # stats rollup (the docs_bm25_topk pin's allowance) — never fact
     # data
-    assert plan.count("Exchange SinglePartition") <= 1, plan
+    from ffiec_pq_spark.plans.audit import unexplained_single_partitions
+    assert not unexplained_single_partitions(plan), (
+        unexplained_single_partitions(plan)
+    )
 
 
 def test_ndcg_eval_integer_terms_broadcast_counts(spark, sf_dir):
@@ -1234,7 +1240,10 @@ def test_kn_gate_single_rank_pass(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "row_number() windowspecdefinition(_pid" in plan, plan
-    assert plan.count("Exchange SinglePartition") <= 2, plan
+    from ffiec_pq_spark.plans.audit import unexplained_single_partitions
+    assert not unexplained_single_partitions(plan), (
+        unexplained_single_partitions(plan)
+    )
 
 
 def test_fusion_gain_no_cartesian_keyed_everything(spark, sf_dir):
@@ -1255,7 +1264,10 @@ def test_fusion_gain_no_cartesian_keyed_everything(spark, sf_dir):
     # the BM25 one-row stats rollup appears once per lexical pass —
     # the standalone lex arm and the one inside the hybrid arm — and
     # nothing else may be single-partition
-    assert plan.count("Exchange SinglePartition") <= 2, plan
+    from ffiec_pq_spark.plans.audit import unexplained_single_partitions
+    assert not unexplained_single_partitions(plan), (
+        unexplained_single_partitions(plan)
+    )
 
 
 def test_gate_agreement_three_distributed_ranks(spark, sf_dir):
@@ -1341,7 +1353,10 @@ def test_weight_sweep_keyed_windows_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition(w_pct" in plan, plan
-    assert plan.count("Exchange SinglePartition") <= 1, plan
+    from ffiec_pq_spark.plans.audit import unexplained_single_partitions
+    assert not unexplained_single_partitions(plan), (
+        unexplained_single_partitions(plan)
+    )
 
 
 def test_scorecard_two_left_joins_one_rollup(spark, sf_dir):
@@ -1428,7 +1443,10 @@ def test_recall_eval_no_cartesian_keyed_windows(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition(q_id" in plan, plan
-    assert plan.count("Exchange SinglePartition") <= 2, plan
+    from ffiec_pq_spark.plans.audit import unexplained_single_partitions
+    assert not unexplained_single_partitions(plan), (
+        unexplained_single_partitions(plan)
+    )
 
 
 def test_mixture_realization_broadcast_plan_no_explode(spark, sf_dir):
