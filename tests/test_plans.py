@@ -1068,6 +1068,10 @@ def test_bm25_inverted_index_no_cartesian(spark, sf_dir):
     all-pairs scorer) must never appear, the only nested-loop join
     allowed is the broadcast of the one-row stats relation, and the
     final top-k window keys on q_id (never global)."""
+    # cache-free capture: another test's persisted arm would
+    # reprint its lineage (scalar BNLJ / one-row rollups) into
+    # this plan and make the counts suite-order-dependent
+    spark.catalog.clearCache()
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["docs_bm25_topk"](spark, sf_dir)
@@ -1195,6 +1199,10 @@ def test_rrf_hybrid_no_cartesian_keyed_windows(spark, sf_dir):
     over data relations anywhere, the only nested-loop join is the
     one-row BM25 stats broadcast, and every rank window keys on q_id
     (never a global window)."""
+    # cache-free capture: another test's persisted arm would
+    # reprint its lineage (scalar BNLJ / one-row rollups) into
+    # this plan and make the counts suite-order-dependent
+    spark.catalog.clearCache()
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["retrieval_rrf_hybrid"](spark, sf_dir)
@@ -1217,6 +1225,10 @@ def test_ndcg_eval_integer_terms_broadcast_counts(spark, sf_dir):
     in the plan (every DCG term is a precomputed integer literal),
     the ideal-count relations join by broadcast, and no cartesian
     beyond the fused pass's one-row stats broadcast."""
+    # cache-free capture: another test's persisted arm would
+    # reprint its lineage (scalar BNLJ / one-row rollups) into
+    # this plan and make the counts suite-order-dependent
+    spark.catalog.clearCache()
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["retrieval_ndcg_eval"](spark, sf_dir)
@@ -1234,6 +1246,10 @@ def test_kn_gate_single_rank_pass(spark, sf_dir):
     corpus, and the 5-rung explode adds no data-sized shuffle
     (single-partition exchanges only for the rank's offset relation
     and the 1-row count broadcast)."""
+    # cache-free capture: another test's persisted arm would
+    # reprint its lineage (scalar BNLJ / one-row rollups) into
+    # this plan and make the counts suite-order-dependent
+    spark.catalog.clearCache()
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["kn_gate_calibration"](spark, sf_dir)
@@ -1252,6 +1268,10 @@ def test_fusion_gain_no_cartesian_keyed_everything(spark, sf_dir):
     joins are the BM25 one-row stats broadcast and the 3-row arm
     explode base's own build), label joins are hash joins, and no
     global windows appear (every row_number keys on q_id or _pid)."""
+    # cache-free capture: another test's persisted arm would
+    # reprint its lineage (scalar BNLJ / one-row rollups) into
+    # this plan and make the counts suite-order-dependent
+    spark.catalog.clearCache()
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["retrieval_fusion_gain"](spark, sf_dir)
@@ -1347,6 +1367,10 @@ def test_weight_sweep_keyed_windows_no_cartesian(spark, sf_dir):
     literal explode (no data-sized cross join), and the only
     single-partition exchange is the BM25 pass's one-row stats
     rollup."""
+    # cache-free capture: another test's persisted arm would
+    # reprint its lineage (scalar BNLJ / one-row rollups) into
+    # this plan and make the counts suite-order-dependent
+    spark.catalog.clearCache()
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["retrieval_rrf_weight_sweep"](spark, sf_dir)
@@ -1436,6 +1460,10 @@ def test_recall_eval_no_cartesian_keyed_windows(spark, sf_dir):
     shapes, the achievable-set join is a broadcast, every window keys
     on q_id, and only the BM25 one-row stats rollups (once per
     lexical pass: standalone + inside hybrid) are single-partition."""
+    # cache-free capture: another test's persisted arm would
+    # reprint its lineage (scalar BNLJ / one-row rollups) into
+    # this plan and make the counts suite-order-dependent
+    spark.catalog.clearCache()
     from ffiec_pq_spark.plans.audit import physical_plan
 
     df = queries()["retrieval_recall_eval"](spark, sf_dir)
