@@ -73,6 +73,9 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-14 second wave (queries/round14b.py, never sampled) ---
+    "gate_ensemble_heldout_eval",
+    "gate_ensemble_unlearn",
     # --- round-14 first wave (queries/round14.py, never sampled) ---
     "stream_rrf_fold",
     "retrieval_unlearn",
@@ -294,6 +297,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round14b  # noqa: F401
     from ffiec_pq_spark.queries import round14  # noqa: F401
     from ffiec_pq_spark.queries import round13f  # noqa: F401
     from ffiec_pq_spark.queries import round13e  # noqa: F401

@@ -795,30 +795,34 @@ def ensemble_weights(spark, sf_dir):
     the resident gated population (4 rows x 6 columns over the
     shuffle), then the driver-side integer GD on 128 bytes of
     state."""
-    from ffiec_pq_spark.operators.linear_probe import (
-        probe_fit_int,
-        stats_rows_to_abn,
-    )
+    from ffiec_pq_spark.operators.linear_probe import probe_fit_int
 
     key = os.path.abspath(sf_dir)
     if key not in _ENSEMBLE_MODELS:
-        base = _ens_population(spark, sf_dir)
-        ex = base.select(
-            F.posexplode("_xqa").alias("i", "xi"), "_xqa", "y"
+        _ENSEMBLE_MODELS[key] = probe_fit_int(
+            *_ens_stats(_ens_population(spark, sf_dir))
         )
-        rows = ex.groupBy("i").agg(
-            *[
-                F.sum(F.col("xi") * F.element_at("_xqa", j + 1)).alias(
-                    f"a{j}"
-                )
-                for j in range(_ENS_DIM)
-            ],
-            F.sum(F.col("xi") * F.col("y")).alias("b"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()
-        a, b, n = stats_rows_to_abn(rows, _ENS_DIM)
-        _ENSEMBLE_MODELS[key] = probe_fit_int(a, b, n)
     return _ENSEMBLE_MODELS[key]
+
+
+def _ens_stats(base):
+    """(A, B, n) sufficient statistics of an ``_ens_population``-shaped
+    frame: ONE 4-row grouped aggregation, collected (128 bytes).
+    Being exact int64 SUMS, these merge across batches and SUBTRACT
+    for unlearning — the ensemble's streaming/erasure lifecycle rests
+    on that (the ``gram_moment_df`` contract, d=4)."""
+    from ffiec_pq_spark.operators.linear_probe import stats_rows_to_abn
+
+    ex = base.select(F.posexplode("_xqa").alias("i", "xi"), "_xqa", "y")
+    rows = ex.groupBy("i").agg(
+        *[
+            F.sum(F.col("xi") * F.element_at("_xqa", j + 1)).alias(f"a{j}")
+            for j in range(_ENS_DIM)
+        ],
+        F.sum(F.col("xi") * F.col("y")).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    return stats_rows_to_abn(rows, _ENS_DIM)
 
 
 def _ens_population(spark, sf_dir):
@@ -872,11 +876,19 @@ def gate_ensemble_calibration(spark, sf_dir):
     scoring is a shuffle-free zip_with fold; the ladder is ONE
     :func:`distributed_rank` + a 5-literal explode + a broadcast
     token join + a <= 5-group aggregate."""
-    from ffiec_pq_spark.operators.windows import distributed_rank
+    scored = _ens_population(spark, sf_dir).select(
+        "doc_id", "y",
+        _ens_score_col(ensemble_weights(spark, sf_dir)).alias("ens_micro"),
+    )
+    return _ens_ladder(spark, sf_dir, scored)
 
-    w_int = ensemble_weights(spark, sf_dir)
+
+def _ens_score_col(w_int):
+    """Exact int64 ensemble score: zip_with fold of the quantized
+    feature array against the trained integer weights (the
+    ``probe_margins`` shape, d=4)."""
     w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w_int])
-    ens = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             F.col("_xqa"), w_arr,
             lambda x, w: F.coalesce(x * w, F.lit(0).cast("long")),
@@ -884,9 +896,16 @@ def gate_ensemble_calibration(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    scored = _ens_population(spark, sf_dir).select(
-        "doc_id", "y", ens.alias("ens_micro")
-    )
+
+
+def _ens_ladder(spark, sf_dir, scored):
+    """The standard calibration ladder over a (doc_id, y, ens_micro)
+    frame: ONE distributed rank feeding every rung, a 5-literal
+    explode, a broadcast token join, a <= 5-group rollup — shared by
+    the full-corpus calibration and the unlearn path so both sweep
+    the identical construction."""
+    from ffiec_pq_spark.operators.windows import distributed_rank
+
     n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
     ranked = distributed_rank(
         scored,

@@ -252,6 +252,8 @@ QUERIES = [
     "retrieval_unlearn",
     "gate_ensemble_calibration",
     "retrieval_cells_recall_curve",
+    "gate_ensemble_heldout_eval",
+    "gate_ensemble_unlearn",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
