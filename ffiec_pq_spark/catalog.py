@@ -76,6 +76,7 @@ _NEVER_SAMPLED_FIRST = [
     # --- round-14 second wave (queries/round14b.py, never sampled) ---
     "gate_ensemble_heldout_eval",
     "gate_ensemble_unlearn",
+    "retrieval_fusion_significance",
     # --- round-14 first wave (queries/round14.py, never sampled) ---
     "stream_rrf_fold",
     "retrieval_unlearn",

@@ -351,3 +351,225 @@ def gate_ensemble_unlearn(spark, sf_dir):
         "doc_id", "y", _ens_score_col(w2).alias("ens_micro")
     )
     return _ens_ladder(spark, sf_dir, scored)
+
+
+# --------------------------------------------------------------------------
+# retrieval_fusion_significance — is the hybrid's MRR gain over the
+# lexical arm ROBUST, or a few lucky queries?  A deterministic paired
+# bootstrap over per-query reciprocal-rank differences: the eval-rigor
+# step after the point estimate (retrieval_fusion_gain), done with
+# hash-seeded resampling so both engines draw the identical replicates
+# and the whole test is exact integer arithmetic.
+
+_SIG_REPS = 200
+_SIG_SEED = 17
+
+
+def _fusion_sig_sql() -> str:
+    from ffiec_pq_spark.functions.hashing import hash60_sql
+    from ffiec_pq_spark.queries.round13c import _NDCG_BUCKET, _hybrid_ctes
+
+    pick = hash60_sql(
+        "CAST(rep AS VARCHAR) || ':' || CAST(slot AS VARCHAR)",
+        seed=_SIG_SEED,
+    )
+    return f"""
+    WITH {_hybrid_ctes()},
+    qdim AS (
+      SELECT doc_id AS q_id, lang AS q_lang,
+             n_chars // {_NDCG_BUCKET} AS q_bucket
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    cdim AS (
+      SELECT doc_id, lang AS c_lang, n_chars // {_NDCG_BUCKET} AS c_bucket
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    arms AS (
+      SELECT 'lex' AS arm, q_id, CAST(rank AS BIGINT) AS rank, doc_id
+      FROM lex
+      UNION ALL
+      SELECT 'hybrid' AS arm, q_id, rank, doc_id FROM hybrid
+    ),
+    firstrel AS (
+      SELECT a.arm, a.q_id,
+             min(CASE WHEN q.q_lang = c.c_lang
+                       AND q.q_bucket = c.c_bucket THEN a.rank END)
+               AS first_rel
+      FROM arms a
+      JOIN qdim q ON q.q_id = a.q_id
+      JOIN cdim c ON c.doc_id = a.doc_id
+      GROUP BY a.arm, a.q_id
+    ),
+    diffs AS (
+      SELECT q.q_id,
+             CAST(coalesce(1000000 // h.first_rel, 0)
+                - coalesce(1000000 // l.first_rel, 0) AS BIGINT) AS d
+      FROM qdim q
+      LEFT JOIN firstrel h ON h.arm = 'hybrid' AND h.q_id = q.q_id
+      LEFT JOIN firstrel l ON l.arm = 'lex' AND l.q_id = q.q_id
+    ),
+    idx AS MATERIALIZED (
+      SELECT q_id, d,
+             row_number() OVER (ORDER BY q_id ASC) AS i
+      FROM diffs
+    ),
+    nn3 AS (SELECT count(*) AS n FROM idx),
+    grid AS (
+      SELECT r.rep, s.slot,
+             ({pick} % nn3.n) + 1 AS pick
+      FROM (SELECT unnest(generate_series(1, {_SIG_REPS})) AS rep) r
+      CROSS JOIN (
+        SELECT unnest(generate_series(1, (SELECT n FROM nn3))) AS slot
+      ) s
+      CROSS JOIN nn3
+    ),
+    reps AS (
+      SELECT g.rep, CAST(sum(x.d) AS BIGINT) AS rep_sum
+      FROM grid g JOIN idx x ON x.i = g.pick
+      GROUP BY g.rep
+    )
+    SELECT CAST(nn3.n AS BIGINT) AS n_queries,
+           CAST((SELECT sum(d) FROM idx) AS BIGINT) AS sum_diff_micro,
+           CAST({_SIG_REPS} AS BIGINT) AS n_reps,
+           CAST(sum(CASE WHEN rep_sum <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reps_nonpos,
+           CAST(((sum(CASE WHEN rep_sum <= 0 THEN 1 ELSE 0 END) + 1)
+                 * 1000000) // ({_SIG_REPS} + 1) AS BIGINT) AS p_micro
+    FROM reps CROSS JOIN nn3
+    GROUP BY nn3.n
+    """
+
+
+@register(
+    "retrieval_fusion_significance",
+    _fusion_sig_sql(),
+    tags=["retrieval", "eval"],
+)
+def retrieval_fusion_significance(spark, sf_dir):
+    """Paired-bootstrap significance of the hybrid's MRR gain over the
+    lexical arm: per eval query, the reciprocal-rank difference
+    (hybrid − lex, integer micros, 0 for misses) under the strict
+    relevance label; then {_SIG_REPS} bootstrap replicates resample
+    the queries WITH replacement and the test counts replicates whose
+    total gain is ≤ 0 — the add-one bootstrap p
+    (``(n_nonpos + 1) / (R + 1)``, in exact integer micros).  This is
+    the eval-rigor rung above ``retrieval_fusion_gain``'s point
+    estimate: a gain carried by two lucky queries dies here.
+
+    Determinism: replicate draws are the portable 60-bit hash of
+    (rep, slot) modulo n over a total-order query index — both
+    engines draw the IDENTICAL resamples, so the p-value is one exact
+    integer, not a seed-dependent float.
+
+    Plan: the two list passes are the pinned ones; diffs are one
+    label join + a per-(arm, q) aggregate merged on q; the replicate
+    grid is R × n rows of pure hash arithmetic (no data explosion
+    beyond the literal rep array) equi-joined against the n-row
+    indexed diff relation; the rollup is R groups then one row."""
+    from ffiec_pq_spark.functions.hashing import hash60
+    from ffiec_pq_spark.operators.windows import distributed_rank
+    from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
+    from ffiec_pq_spark.queries.round13c import (
+        _NDCG_BUCKET,
+        _dense_topk_frame,
+        _rrf_hybrid_frame,
+    )
+
+    lex_list = _bm25_topk_frame(spark, sf_dir).persist()
+    hyb = _rrf_hybrid_frame(
+        spark, sf_dir, lex=lex_list, dense=_dense_topk_frame(spark, sf_dir)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"n_chars div {_NDCG_BUCKET}")
+    qdim = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("lang").alias("q_lang"),
+        bucket.alias("q_bucket"),
+    )
+    cdim = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.col("lang").alias("c_lang"),
+        bucket.alias("c_bucket"),
+    )
+    rel = (F.col("q_lang") == F.col("c_lang")) & (
+        F.col("q_bucket") == F.col("c_bucket")
+    )
+    arms = lex_list.select(
+        F.lit("lex").alias("arm"),
+        "q_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+    ).unionByName(
+        hyb.select(F.lit("hybrid").alias("arm"), "q_id", "rank", "doc_id")
+    )
+    firstrel = (
+        arms.join(qdim, "q_id")
+        .join(cdim, "doc_id")
+        .groupBy("arm", "q_id")
+        .agg(F.min(F.when(rel, F.col("rank"))).alias("first_rel"))
+    )
+    rr = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"1000000 div {c}"), F.lit(0)
+    ).cast("long")
+    diffs = (
+        qdim.select("q_id")
+        .join(
+            firstrel.filter(F.col("arm") == "hybrid").select(
+                "q_id", F.col("first_rel").alias("fr_h")
+            ),
+            "q_id",
+            "left",
+        )
+        .join(
+            firstrel.filter(F.col("arm") == "lex").select(
+                "q_id", F.col("first_rel").alias("fr_l")
+            ),
+            "q_id",
+            "left",
+        )
+        .select("q_id", (rr("fr_h") - rr("fr_l")).alias("d"))
+    )
+    idx = distributed_rank(
+        diffs, [F.col("q_id").asc()], rank_col="i"
+    ).persist()
+    n_q = idx.count()
+    grid = (
+        spark.range(1, _SIG_REPS + 1)
+        .select(F.col("id").alias("rep"))
+        .join(
+            spark.range(1, n_q + 1).select(F.col("id").alias("slot")),
+            how="cross",
+        )
+        .select(
+            "rep",
+            (
+                hash60(
+                    F.concat(
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("slot").cast("string"),
+                    ),
+                    seed=_SIG_SEED,
+                )
+                % F.lit(n_q)
+                + F.lit(1)
+            ).alias("pick"),
+        )
+    )
+    reps = grid.join(
+        F.broadcast(idx.select(F.col("i").alias("pick"), "d")), "pick"
+    ).groupBy("rep").agg(F.sum("d").cast("long").alias("rep_sum"))
+    total = idx.agg(F.sum("d").cast("long").alias("s")).collect()[0]["s"]
+    nonpos = F.sum(
+        F.when(F.col("rep_sum") <= 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return reps.agg(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        F.lit(int(total)).cast("long").alias("sum_diff_micro"),
+        F.lit(_SIG_REPS).cast("long").alias("n_reps"),
+        nonpos.alias("n_reps_nonpos"),
+        F.expr(
+            f"((sum(CASE WHEN rep_sum <= 0 THEN 1 ELSE 0 END) + 1)"
+            f" * 1000000) div ({_SIG_REPS} + 1)"
+        ).cast("long").alias("p_micro"),
+    )

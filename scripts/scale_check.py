@@ -254,6 +254,7 @@ QUERIES = [
     "retrieval_cells_recall_curve",
     "gate_ensemble_heldout_eval",
     "gate_ensemble_unlearn",
+    "retrieval_fusion_significance",
     # round-9 additions
     "eval_exactsubstr_contamination",
     "docs_stratified_sample",
@@ -310,6 +311,7 @@ RETRIEVAL_DENSE = {
     "retrieval_rrf_weight_sweep",
     "stream_rrf_fold",
     "retrieval_unlearn",
+    "retrieval_fusion_significance",
 }
 _BASE_CELLS = 4
 

@@ -64,3 +64,23 @@ def test_ensemble_heldout_contingency_consistent(spark, sf_dir):
         )
         assert tot == n_split, (split, tot, n_split)
         assert kept == max(n_split // 10, 1), (split, kept, n_split)
+
+
+def test_fusion_significance_deterministic_and_bounded(spark, sf_dir):
+    """The bootstrap is hash-seeded: two invocations return the
+    identical row; p is the add-one estimator in [1/(R+1), 1] micros;
+    the replicate count is pinned."""
+    from ffiec_pq_spark.catalog import queries
+    from ffiec_pq_spark.queries.round14b import _SIG_REPS
+
+    fn = queries()["retrieval_fusion_significance"]
+    r1 = fn(spark, sf_dir).collect()[0]
+    r2 = fn(spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1["n_reps"] == _SIG_REPS
+    lo = 1_000_000 // (_SIG_REPS + 1)
+    assert lo <= r1["p_micro"] <= 1_000_000
+    assert (
+        r1["p_micro"]
+        == (r1["n_reps_nonpos"] + 1) * 1_000_000 // (_SIG_REPS + 1)
+    )
