@@ -533,6 +533,14 @@ def retrieval_fusion_significance(spark, sf_dir):
         diffs, [F.col("q_id").asc()], rank_col="i"
     ).persist()
     n_q = idx.count()
+    if n_q == 0:
+        # empty-corpus contract: the oracle's GROUP BY over zero
+        # replicas yields no rows; mirror it instead of dividing by n=0
+        return spark.createDataFrame(
+            [],
+            "n_queries long, sum_diff_micro long, n_reps long, "
+            "n_reps_nonpos long, p_micro long",
+        )
     grid = (
         spark.range(1, _SIG_REPS + 1)
         .select(F.col("id").alias("rep"))
