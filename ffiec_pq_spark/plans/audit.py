@@ -98,23 +98,70 @@ def assert_plan(
             )
 
 
-def unexplained_single_partitions(plan: str, context: int = 3) -> list[str]:
+def broadcast_hints(df: DataFrame) -> list[str]:
+    """Optimized-logical-plan lines carrying an explicit broadcast
+    JOIN HINT (``strategy=broadcast``) — i.e. every place the query
+    author FORCED a broadcast with ``F.broadcast``/``hint("broadcast")``
+    rather than letting AQE choose from measured sizes.  Plan pins use
+    this to assert forced broadcasts exist only on provably bounded
+    relations (1-row totals, per-range offsets, top-k lists): a hint on
+    a corpus-derived side overrides AQE's size check and is the 100 TB
+    scale killer the audit exists to catch."""
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    return [ln for ln in opt.splitlines() if "strategy=broadcast" in ln]
+
+
+def _tree_depth(line: str) -> int:
+    """Indentation depth of a plan-tree line: the column where its
+    ``+-``/``:-`` connector starts (root lines, with no connector,
+    are depth -1 so every child is deeper)."""
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else -1
+
+
+def unexplained_single_partitions(
+    plan: str, max_total: int | None = 8
+) -> list[str]:
     """Single-partition exchanges NOT attributable to a one-row global
-    rollup (a ``HashAggregate(keys=[]`` within ``context`` lines) or an
-    AQE runtime bloom-filter merge.  The raw ``plan.count("Exchange
-    SinglePartition") <= N`` pins proved cache-state-sensitive: a
-    persisted relation's InMemoryRelation REPRINTS its build lineage
-    (one-row stats rollups included) at every scan, so the textual
-    count depends on which session cached what first — this checks the
-    SEMANTIC invariant instead (nothing data-sized funnels into one
-    partition) and is reprint-invariant."""
+    rollup, an AQE runtime bloom-filter merge, or
+    ``distributed_rank``'s bounded per-range offset relation.  The raw
+    ``plan.count("Exchange SinglePartition") <= N`` pins proved
+    cache-state-sensitive: a persisted relation's InMemoryRelation
+    REPRINTS its build lineage (one-row stats rollups included) at
+    every scan, so the textual count depends on which session cached
+    what first — this checks the SEMANTIC invariant instead (nothing
+    data-sized funnels into one partition) and is reprint-invariant.
+
+    The excuse is judged on the exchange's own INPUT: only the lines
+    strictly deeper in the tree immediately below the exchange (its
+    child subtree's first two operators) may carry the
+    ``HashAggregate(keys=[]`` / ``bloom_filter`` / ``_pid#``/``_off#``
+    marker — a data-sized exchange that merely sits NEAR a one-row
+    rollup reprint no longer passes.  ``max_total`` is a backstop
+    upper bound on DISTINCT SinglePartition exchange SITES, excused or
+    not — keyed on the exchange + child-subtree text, so an
+    InMemoryRelation reprinting one site at every scan counts once
+    (reprint-invariant, like the rest of the check) while N genuinely
+    different funnels count N; exceeding it reports the overflow even
+    when every site is individually excused."""
     lines = plan.splitlines()
     bad: list[str] = []
+    sites: set = set()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        ctx = lines[max(0, i - context): i + context + 1]
-        joined = "\n".join(ctx)
+        depth = _tree_depth(ln)
+        child_ctx: list[str] = []
+        for nxt in lines[i + 1: i + 6]:
+            if _tree_depth(nxt) <= depth:
+                break
+            child_ctx.append(nxt)
+            if len(child_ctx) == 2:
+                break
+        joined = "\n".join(child_ctx)
+        sites.add(
+            "\n".join(re.sub(r"^[\s:+-]*", "", x) for x in [ln] + child_ctx)
+        )
         if "HashAggregate(keys=[]" in joined or "bloom_filter" in joined:
             continue
         # distributed_rank's offset relation: per-range counts (one row
@@ -122,5 +169,10 @@ def unexplained_single_partitions(plan: str, context: int = 3) -> list[str]:
         # — bounded by the partition count, never by the data
         if "_pid#" in joined or "_off#" in joined:
             continue
-        bad.append(joined)
+        bad.append("\n".join([ln] + child_ctx))
+    if max_total is not None and len(sites) > max_total:
+        bad.append(
+            f"{len(sites)} distinct Exchange SinglePartition sites "
+            f"exceed the backstop bound {max_total}"
+        )
     return bad

@@ -390,11 +390,15 @@ def probe_gate_calibration(spark, sf_dir):
     ``embedding_probe_train_scores`` (``probe_weights``).
 
     Plan: one scoring projection over the resident weights (exact
-    int64 margin fold, no Python), ONE :func:`distributed_rank` over
-    the margins shared by every rung, a 5-row literal-relation
-    explode, a broadcast token-count join, and a <= 5-group final
-    aggregate with map-side partials.  Nothing in the ladder grows
-    with the corpus but the single scan + rank exchange."""
+    int64 margin fold, no Python), the corpus-sized token-count
+    relation equi-joined into the scored population BEFORE the rank
+    (no broadcast hint — both sides are one row per document, so a
+    forced broadcast would build a corpus-sized hash table on every
+    executor at 100 TB; AQE chooses from measured sizes), ONE
+    :func:`distributed_rank` shared by every rung, a 5-row
+    literal-relation explode, and a <= 5-group final aggregate with
+    map-side partials.  Nothing in the ladder grows with the corpus
+    but the single scan + join + rank exchange."""
     from ffiec_pq_spark.operators.windows import distributed_rank
     from ffiec_pq_spark.queries.round12b import probe_corpus, probe_weights
     from ffiec_pq_spark.operators.linear_probe import probe_margins
@@ -406,15 +410,15 @@ def probe_gate_calibration(spark, sf_dir):
         probe_weights(spark, sf_dir),
     )
     n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = distributed_rank(
-        scored,
-        [F.col("margin_micro").desc(), F.col("vec_id").asc()],
-        rank_col="rank",
-    )
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.col("doc_id").alias("vec_id"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    ranked = distributed_rank(
+        scored.join(tok, "vec_id", "left"),
+        [F.col("margin_micro").desc(), F.col("vec_id").asc()],
+        rank_col="rank",
     )
     lad = (
         ranked.crossJoin(F.broadcast(n_tot))
@@ -422,7 +426,6 @@ def probe_gate_calibration(spark, sf_dir):
             "thr_pct",
             F.explode(F.array(*[F.lit(p).cast("long") for p in _GATE_PCTS])),
         )
-        .join(F.broadcast(tok), "vec_id", "left")
         .withColumn(
             "kept",
             # exact integer floor on both engines (`div`, matching the

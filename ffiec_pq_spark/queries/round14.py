@@ -901,21 +901,26 @@ def _ens_score_col(w_int):
 def _ens_ladder(spark, sf_dir, scored):
     """The standard calibration ladder over a (doc_id, y, ens_micro)
     frame: ONE distributed rank feeding every rung, a 5-literal
-    explode, a broadcast token join, a <= 5-group rollup — shared by
-    the full-corpus calibration and the unlearn path so both sweep
-    the identical construction."""
+    explode, a <= 5-group rollup — shared by the full-corpus
+    calibration and the unlearn path so both sweep the identical
+    construction.  ``n_tok`` is equi-joined into the scored population
+    BEFORE the rank (one extra long column through the shuffle the
+    rank already pays) and carries NO broadcast hint: both sides are
+    corpus-sized, so forcing a hash table of one-row-per-document onto
+    every executor would be the 100 TB scale killer; AQE picks the
+    strategy from measured sizes instead."""
     from ffiec_pq_spark.operators.windows import distributed_rank
 
     n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = distributed_rank(
-        scored,
-        [F.col("ens_micro").desc(), F.col("doc_id").asc()],
-        rank_col="rank",
-    )
     from ffiec_pq_spark.operators.text import token_count
 
     tok = load_table(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").alias("n_tok")
+    )
+    ranked = distributed_rank(
+        scored.join(tok, "doc_id", "left"),
+        [F.col("ens_micro").desc(), F.col("doc_id").asc()],
+        rank_col="rank",
     )
     lad = (
         ranked.crossJoin(F.broadcast(n_tot))
@@ -925,7 +930,6 @@ def _ens_ladder(spark, sf_dir, scored):
                 F.array(*[F.lit(p).cast("long") for p in _ENS_PCTS])
             ),
         )
-        .join(F.broadcast(tok), "doc_id", "left")
         .withColumn(
             "kept",
             F.col("rank")

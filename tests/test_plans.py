@@ -1526,8 +1526,9 @@ def test_rrf_fold_serves_resident_checkpoint(spark, sf_dir):
 def test_gate_ensemble_single_rank_over_resident_population(spark, sf_dir):
     """gate_ensemble_calibration: scoring reads the resident gated
     population (checkpoint scan, no KN/probe re-plan), the ladder is
-    ONE _pid-keyed distributed rank + a literal rung explode + a
-    broadcast token join — no cartesian beyond the 1-row budget
+    ONE _pid-keyed distributed rank + a literal rung explode — the
+    token-count relation is equi-joined into the population BEFORE the
+    rank with NO hint; no cartesian beyond the 1-row budget
     broadcast."""
     from ffiec_pq_spark.plans.audit import physical_plan
 
@@ -1538,6 +1539,31 @@ def test_gate_ensemble_single_rank_over_resident_population(spark, sf_dir):
     assert "Generate explode" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_calibration_ladders_no_forced_corpus_broadcast(spark, sf_dir):
+    """The three calibration ladders (ensemble calibration + unlearn,
+    probe gate) must carry exactly the two SANCTIONED broadcast hints
+    — the 1-row budget crossJoin and distributed_rank's bounded
+    per-range offset join — and NEITHER may sit on the corpus-keyed
+    token join (``doc_id``/``vec_id``).  A forced broadcast of the
+    one-row-per-document token relation would build a corpus-sized
+    hash table on every executor at 100 TB (and trip the 8 GB
+    broadcast cap long before); the fix joins it through the shuffle
+    the rank already pays, hint-free, so AQE decides from measured
+    sizes."""
+    from ffiec_pq_spark.plans.audit import broadcast_hints
+
+    for name in (
+        "gate_ensemble_calibration",
+        "gate_ensemble_unlearn",
+        "probe_gate_calibration",
+    ):
+        df = queries()[name](spark, sf_dir)
+        hints = broadcast_hints(df)
+        assert len(hints) == 2, (name, hints)
+        for ln in hints:
+            assert "Join Cross" in ln or "_pid#" in ln, (name, ln)
 
 
 def test_cells_recall_curve_no_cartesian_truth(spark, sf_dir):
