@@ -322,12 +322,49 @@ def _bench_rounds(here: str, pattern: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _git_committed_clean(path: str) -> bool:
+    """True when ``path`` is tracked by git with no working-tree
+    modification — i.e. a PRIOR session's committed artifact, not a
+    file this session wrote.  Errs toward True on any git failure (the
+    protective direction: never silently overwrite what might be
+    committed history)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(path))
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "--error-unmatch", path],
+            cwd=here, capture_output=True, timeout=10,
+        ).returncode == 0
+        if not tracked:
+            return False
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--", path],
+            cwd=here, capture_output=True, timeout=10, text=True,
+        )
+        return out.returncode == 0 and out.stdout.strip() == ""
+    except Exception:
+        return True
+
+
 def _this_round(here: str) -> int:
     """The round this bench run belongs to: the driver records
     BENCH_r{N}.json after the builder's session, so the latest existing
-    driver artifact is round N-1."""
+    driver artifact is round N-1.  Guard (r14 advice): if the driver
+    ever skips writing BENCH_r{N}.json, the inferred N would collide
+    with the COMMITTED BENCH_FULL_r{N}.json from round N and overwrite
+    the per-round history the stamped copies exist to keep — so bump
+    past any candidate whose stamped file is committed clean in git.
+    A dirty/untracked BENCH_FULL_r{N}.json is this round's own earlier
+    run and is refreshed in place (in-round re-runs must NOT bump)."""
     rounds = _bench_rounds(here, "BENCH_r*.json")
-    return (rounds[-1][0] + 1) if rounds else 1
+    n = (rounds[-1][0] + 1) if rounds else 1
+    while True:
+        full = os.path.join(here, f"BENCH_FULL_r{n}.json")
+        if os.path.exists(full) and _git_committed_clean(full):
+            n += 1
+            continue
+        return n
 
 
 def delta_vs_prev(

@@ -599,8 +599,13 @@ def ffiec_process(
             ],
             _LOG_SCHEMA,
         ).orderBy("date", "schedule")
+        # the sink's repartition(1) would discard the orderBy above
+        # (round-robin shuffle); sort_by re-establishes it inside the
+        # single writing task so the process-log FILE stays sorted
         write_single_parquet(
-            log_df, os.path.join(out_dir, "ffiec_process_data.parquet")
+            log_df,
+            os.path.join(out_dir, "ffiec_process_data.parquet"),
+            sort_by=["date", "schedule"],
         )
     return {
         "wide": all_wide,

@@ -195,8 +195,12 @@ def _rrf_insert_fold(spark, state, workdir, tf_dir, dl_dir, cells_dir):
                 )
             )
         emit_versioned(state, workdir, {"df": df_b, "meta": meta_b})
-        tf_b.unpersist()
+        # record the epoch the INSTANT the non-idempotent keyed merge
+        # commits: unpersist is mere bookkeeping, but an exception in
+        # it after the pointer flip would leave the epoch unrecorded
+        # and a redelivery would re-merge df/n_docs/sum_dl
         state["epoch"] = epoch_id
+        tf_b.unpersist()
 
     return fold
 

@@ -187,11 +187,21 @@ def compact_parquet_dir(
     }
 
 
-def write_single_parquet(df: DataFrame, out_path: str) -> str:
+def write_single_parquet(
+    df: DataFrame, out_path: str, sort_by: "list[str] | None" = None
+) -> str:
     """Write exactly one parquet *file* at ``out_path`` (the reference's
     per-dataset contract).  Implemented as a single-partition directory
     write + rename; callers at scale should use ``df.write.parquet`` on
     a directory instead.
+
+    ``sort_by``: optional column names establishing the FILE row order.
+    The round-robin ``repartition(1)`` below discards any upstream
+    ``orderBy`` (a shuffle does not preserve order), so callers that
+    want a sorted file must say so here — the sink then runs
+    ``sortWithinPartitions`` AFTER the final exchange, inside the one
+    writing task, where it is a local sort of finished rows.  Without
+    ``sort_by`` the file row order is explicitly NOT contractual.
 
     ``repartition(1)``, NOT ``coalesce(1)``: coalesce propagates the
     1-partition constraint INTO the upstream stage, so a grouped
@@ -209,7 +219,10 @@ def write_single_parquet(df: DataFrame, out_path: str) -> str:
     absorb — the at-scale paths are ``write_partitioned`` /
     ``merge_long_increment``, which this sink's callers document."""
     tmp = out_path + "._tmp"
-    df.repartition(1).write.mode("overwrite").parquet(tmp)
+    one = df.repartition(1)
+    if sort_by:
+        one = one.sortWithinPartitions(*sort_by)
+    one.write.mode("overwrite").parquet(tmp)
     part = next(
         p for p in _glob(os.path.join(tmp, "part-*.parquet"))
     )

@@ -88,6 +88,26 @@ def test_single_file_sink_is_one_file(spark, pq_dir):
         assert os.path.isfile(os.path.join(pq_dir, f))
 
 
+def test_single_file_sink_sort_by_orders_the_file(spark, tmp_path):
+    """sort_by must establish the FILE row order: the sink's
+    repartition(1) is a round-robin shuffle that discards any upstream
+    orderBy, so a caller wanting a sorted file (the process-log
+    contract) says so via sort_by and gets a local sort inside the one
+    writing task.  Read back with pyarrow (no Spark reorder) and pin
+    the physical order."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(3, "b"), (1, "a"), (2, "c"), (1, "b"), (3, "a")],
+        "k int, s string",
+    ).orderBy("s")  # a decoy upstream sort the shuffle will discard
+    out = str(tmp_path / "sorted.parquet")
+    write_single_parquet(df, out, sort_by=["k", "s"])
+    t = pq.read_table(out)
+    got = list(zip(t.column("k").to_pylist(), t.column("s").to_pylist()))
+    assert got == sorted(got), got
+
+
 def test_zip_stats_batch_matches_member_stats(spark, tmp_path):
     """The whole-zip one-job audit batch must reproduce member_stats'
     (bad, problems) counters member-for-member — including the broken
