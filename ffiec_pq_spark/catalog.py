@@ -73,6 +73,8 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
+    # --- round-15 (queries/round14b.py addition, never sampled) ---
+    "stream_ensemble_stats_fold",
     # --- round-14 second wave (queries/round14b.py, never sampled) ---
     "gate_ensemble_heldout_eval",
     "gate_ensemble_unlearn",

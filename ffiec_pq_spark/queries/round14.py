@@ -809,24 +809,30 @@ def ensemble_weights(spark, sf_dir):
     return _ENSEMBLE_MODELS[key]
 
 
-def _ens_stats(base):
-    """(A, B, n) sufficient statistics of an ``_ens_population``-shaped
-    frame: ONE 4-row grouped aggregation, collected (128 bytes).
-    Being exact int64 SUMS, these merge across batches and SUBTRACT
-    for unlearning — the ensemble's streaming/erasure lifecycle rests
-    on that (the ``gram_moment_df`` contract, d=4)."""
-    from ffiec_pq_spark.operators.linear_probe import stats_rows_to_abn
-
+def _ens_stats_rows(base):
+    """The sufficient-statistics RELATION of an
+    ``_ens_population``-shaped frame: ONE grouped aggregation to 4
+    rows ``(i, a0..a3, b, n)`` (the ``gram_moment_df`` shape, d=4).
+    Being exact int64 SUMS, these rows MERGE across batches (keyed
+    add — the streaming fold) and SUBTRACT for unlearning."""
     ex = base.select(F.posexplode("_xqa").alias("i", "xi"), "_xqa", "y")
-    rows = ex.groupBy("i").agg(
+    return ex.groupBy("i").agg(
         *[
             F.sum(F.col("xi") * F.element_at("_xqa", j + 1)).alias(f"a{j}")
             for j in range(_ENS_DIM)
         ],
         F.sum(F.col("xi") * F.col("y")).alias("b"),
         F.count(F.lit(1)).alias("n"),
-    ).collect()
-    return stats_rows_to_abn(rows, _ENS_DIM)
+    )
+
+
+def _ens_stats(base):
+    """(A, B, n) sufficient statistics of an ``_ens_population``-shaped
+    frame: :func:`_ens_stats_rows` collected (128 bytes) for the
+    driver-side integer GD."""
+    from ffiec_pq_spark.operators.linear_probe import stats_rows_to_abn
+
+    return stats_rows_to_abn(_ens_stats_rows(base).collect(), _ENS_DIM)
 
 
 def _ens_population(spark, sf_dir):

@@ -37,6 +37,7 @@ from ffiec_pq_spark.queries.round14 import (
     _ens_score_col,
     _ens_stats,
     _ens_xq_sql,
+    _ensemble_sql,
 )
 
 _ENS_HELDOUT_PRED = "doc_id % 5 <> 0"  # the probe family's 80% slice
@@ -235,10 +236,18 @@ def clear_ensemble_lifecycle_state() -> None:
     _ENS_STATS_MEMO.clear()
 
 
+# one registration PER backing dict so resident_state_report() audits
+# both residents — a hook that clears two containers but registers one
+# undercounts the family's footprint (r14 advice item)
 register_clear_hook(
     "ensemble_lifecycle_state",
     clear_ensemble_lifecycle_state,
     state=_ENS_STATS_MEMO,
+)
+register_clear_hook(
+    "ensemble_split_models",
+    _ENS_SPLIT_MODELS.clear,
+    state=_ENS_SPLIT_MODELS,
 )
 
 
@@ -581,3 +590,165 @@ def retrieval_fusion_significance(spark, sf_dir):
             f" * 1000000) div ({_SIG_REPS} + 1)"
         ).cast("long").alias("p_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# stream_ensemble_stats_fold — the MERGE half of the ensemble's
+# sufficient-statistics lifecycle (the triad's missing rung after
+# round 14: batch train + exact unlearn existed, accumulation didn't).
+
+
+def _ens_stats_fold(spark, state, workdir):
+    """foreachBatch fold factory (module-level for replay/crash
+    tests): each arriving population micro-batch contributes its OWN
+    4-row ``(i, a0..a3, b, n)`` statistics — one aggregation over the
+    BATCH, never the accumulated population — keyed-added into the
+    versioned statistics relation (the ``stream_probe_stats_fold``
+    shape, d=4).  Integer sums are commutative and associative, so
+    the drained relation equals the batch aggregation EXACTLY under
+    any arrival order; the replay guard records the epoch only after
+    the versioned write commits (redelivery after a mid-fold crash
+    re-runs instead of silently skipping)."""
+    from ffiec_pq_spark.queries.round14 import _ens_stats_rows
+    from ffiec_pq_spark.streaming.state import emit_versioned
+
+    sum_cols = [f"a{j}" for j in range(_ENS_DIM)] + ["b", "n"]
+
+    def fold(batch_df, epoch_id):
+        if epoch_id <= state["epoch"]:
+            return
+        stats_b = _ens_stats_rows(batch_df.select("y", "_xqa"))
+        if state["stats"] is not None:
+            stats_b = (
+                spark.read.parquet(state["stats"])
+                .unionByName(stats_b)
+                .groupBy("i")
+                .agg(
+                    *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+                )
+            )
+        emit_versioned(state, workdir, {"stats": stats_b})
+        state["epoch"] = epoch_id
+
+    return fold
+
+
+def _ens_stream_build(spark, pop, chunk_order=None, n_chunks=4):
+    """Run the population ingest stream to completion and return the
+    maintained statistics state ``{workdir, stats}`` (workdir kept —
+    cleanup via the memo's clear hook or the ephemeral caller)."""
+    import shutil
+    import tempfile
+
+    from ffiec_pq_spark.queries.round14 import _stage_chunks
+
+    workdir = tempfile.mkdtemp(prefix="stream_ens_")
+    try:
+        staged = pop.select(F.col("doc_id").alias("id"), "y", "_xqa")
+        src = _stage_chunks(staged, workdir, n_chunks, chunk_order)
+        state = {"stats": None, "version": 0, "epoch": -1}
+        fold = _ens_stats_fold(spark, state, workdir)
+        q = (
+            spark.readStream.format("parquet")
+            .schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {"workdir": workdir, "stats": state["stats"]}
+    except BaseException:
+        shutil.rmtree(workdir, ignore_errors=True)
+        raise
+
+
+_ENS_STREAM_STATE: dict = {}
+
+
+def clear_ensemble_stream_state() -> None:
+    """Invalidate the resident streamed ensemble statistics."""
+    import shutil
+
+    for st in _ENS_STREAM_STATE.values():
+        shutil.rmtree(st["workdir"], ignore_errors=True)
+    _ENS_STREAM_STATE.clear()
+
+
+register_clear_hook(
+    "ensemble_stream_state", clear_ensemble_stream_state,
+    state=_ENS_STREAM_STATE,
+)
+
+
+@register(
+    "stream_ensemble_stats_fold",
+    _ensemble_sql(),  # the batch calibration oracle, verbatim
+    tags=["streaming", "quality", "curation", "iterative"],
+)
+def stream_ensemble_stats_fold(spark, sf_dir, chunk_order=None):
+    """INCREMENTAL training for the learned gate ensemble: scored
+    population rows arrive as micro-batches and each fold keyed-adds
+    their Gram/moment contributions into the resident 4-row
+    sufficient-statistics relation — completing the triad the repo's
+    other trained assets already satisfy (probe, KN, scorecard, fused
+    retrieval): batch train (``gate_ensemble_calibration``), exact
+    unlearn (``gate_ensemble_unlearn``, keyed SUBTRACT), and now
+    streaming accumulation (keyed ADD) — all three arms share the
+    same integer statistics, so all three stay bit-for-bit consistent
+    by construction (the docstring claim of ``_ens_stats`` is now a
+    certified query, not an assertion).
+
+    The serve refits on the drained statistics (driver GD on 128
+    bytes) and sweeps the standard calibration ladder over the
+    resident gated population — certified against the IDENTICAL
+    oracle as ``gate_ensemble_calibration``: accumulating the
+    statistics incrementally must not move a single rung.
+
+    Resident per (session, dataset): cold = population stage + 4-epoch
+    fold replay + refit + ladder; warm = refit + ladder against the
+    resident relation.  An explicit ``chunk_order`` (the
+    order-invariance test) always folds fresh and cleans up after
+    itself."""
+    import shutil
+
+    from ffiec_pq_spark.operators.linear_probe import (
+        probe_fit_int,
+        stats_rows_to_abn,
+    )
+    from ffiec_pq_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    pop = _ens_population(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    st = _ENS_STREAM_STATE.get(key) if chunk_order is None else None
+    ephemeral = False
+    if st is None:
+        if pop.isEmpty():
+            # the batch path's empty contract: zero statistics train
+            # the zero combiner; the ladder over the empty population
+            # is the oracle's empty result
+            scored = pop.select(
+                "doc_id", "y",
+                _ens_score_col([0] * _ENS_DIM).alias("ens_micro"),
+            )
+            return _ens_ladder(spark, sf_dir, scored)
+        st = _ens_stream_build(spark, pop, chunk_order)
+        if chunk_order is None:
+            _ENS_STREAM_STATE[key] = st
+        else:
+            ephemeral = True
+    try:
+        a, b, n = stats_rows_to_abn(
+            spark.read.parquet(st["stats"]).collect(), _ENS_DIM
+        )
+        w = probe_fit_int(a, b, n)
+        scored = pop.select(
+            "doc_id", "y", _ens_score_col(w).alias("ens_micro")
+        )
+        return _ens_ladder(spark, sf_dir, scored)
+    finally:
+        if ephemeral:
+            shutil.rmtree(st["workdir"], ignore_errors=True)

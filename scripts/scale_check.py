@@ -246,6 +246,8 @@ QUERIES = [
     "mixture_realized_counts",
     # round-13 tenth wave: the gate-stack ROI view
     "gate_stack_yield",
+    # round-15: the ensemble statistics accumulation fold
+    "stream_ensemble_stats_fold",
     # round-14: the fused-retrieval maintenance lifecycle + the
     # learned gate combination
     "stream_rrf_fold",
