@@ -291,6 +291,50 @@ def _dense_rank_cells(qcell, ccell):
     )
 
 
+# Resident validated-and-cell-assigned vector relations per
+# (applicationId, abspath(sf_dir), n_cells) — the _gated_frame
+# precedent applied to the retrieval family's vector contract: every
+# family member used to re-derive the valid slice (NULL/empty/zero-norm
+# exclusion), the norms, and the centroid-argmax cells from the parquet
+# scan per query; the memo pays that once per session.  Keyed on the
+# cell count because the scale harness re-parameterizes the geometry.
+# At deployment scale the ccell relation IS a stored cell-partitioned
+# table (exactly what the stream fold maintains on disk); the
+# localCheckpoint is its test-scale resident stand-in.
+_CELL_FRAMES: dict = {}
+
+
+def clear_cell_frames() -> None:
+    """Invalidate the resident cell-assigned vector relations."""
+    _CELL_FRAMES.clear()
+
+
+register_clear_hook("cell_frames", clear_cell_frames, state=_CELL_FRAMES)
+
+
+def _cell_frames(spark, sf_dir, nc=None):
+    """(qcell, ccell): the validated eval-slice query vectors with
+    their top-``_NPROBE`` probe cells and the validated corpus vectors
+    with their argmax cell — eagerly checkpointed once per (session,
+    dataset, geometry) and shared by the batch dense arm, the fused
+    serve, and the erasure path."""
+    if nc is None:
+        nc = _n_cells()
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), nc)
+    cached = _CELL_FRAMES.get(key)
+    if cached is not None:
+        return cached
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    qcell = _query_cells(
+        emb.filter(F.col("vec_id") % 10 == 0), nc
+    ).localCheckpoint(eager=True)
+    ccell = _corpus_cells(
+        emb.filter(F.col("vec_id") % 10 != 0), nc
+    ).localCheckpoint(eager=True)
+    _CELL_FRAMES[key] = (qcell, ccell)
+    return qcell, ccell
+
+
 def _dense_topk_frame(spark, sf_dir):
     """IVF-pruned dense top-k: corpus vectors carry their single
     argmax cell, query vectors their top-``_NPROBE`` cells (both from
@@ -310,10 +354,7 @@ def _dense_topk_frame(spark, sf_dir):
     cosine), and the norm product carries a nullif guard.  The cell
     count resolves at call time (:func:`_n_cells`) so the scale
     harness can measure the sqrt(N)-cells geometry."""
-    nc = _n_cells()
-    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
-    qcell = _query_cells(emb.filter(F.col("vec_id") % 10 == 0), nc)
-    ccell = _corpus_cells(emb.filter(F.col("vec_id") % 10 != 0), nc)
+    qcell, ccell = _cell_frames(spark, sf_dir)
     return _dense_rank_cells(qcell, ccell)
 
 

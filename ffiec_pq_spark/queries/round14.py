@@ -108,11 +108,12 @@ def _rrf_serve(spark, sf_dir, st, ephemeral=False, tomb=None):
         d = load_table(spark, sf_dir, "documents")
         queries_txt = d.filter(F.col("doc_id") % 10 == 0)
         lex = _bm25_rank_postings(tf, dl, df_t, stats, queries_txt)
-        emb = load_table(spark, sf_dir, "embeddings")
-        qcell = _query_cells(
-            _valid_vectors(emb).filter(F.col("vec_id") % 10 == 0),
-            st["nc"],
-        )
+        # the query-side probe cells come from the resident memo (the
+        # eval slice's validation + cell assignment is paid once per
+        # session, not per serve)
+        from ffiec_pq_spark.queries.round13c import _cell_frames
+
+        qcell = _cell_frames(spark, sf_dir, st["nc"])[0]
         dense = _dense_rank_cells(qcell, cells)
         return _rrf_fuse(lex, dense).localCheckpoint(eager=True)
     finally:
