@@ -169,6 +169,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    noise: dict[str, dict] = {}
     for name in names + heavy:
         heavy_runs = max(
             1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2"))
@@ -185,14 +186,15 @@ def main() -> None:
                 "overwrite"
             ).save()
             cold[name] = round(time.perf_counter() - t0, 3)
-            best = float("inf")
+            samples = []
             for _ in range(q_runs):
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(min(samples), 3)
+            noise[name] = _noise_entry(samples)
             spark.catalog.clearCache()
             continue
         # COLD: builder + first sink write together — pays whole-stage
@@ -206,12 +208,21 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
+        samples = []
         for _ in range(q_runs):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        # sub-second plans are where run-to-run jitter (JIT/GC, task
+        # dispatch) rivals the signal — the r14 driver re-run read 2x
+        # on q3 purely from noise.  Extra reps are nearly free exactly
+        # there, so raise them to min-of-5 and record the band.
+        while min(samples) < 1.0 and len(samples) < 5 and name not in HEAVY:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        noise[name] = _noise_entry(samples)
         # measurement isolation (round-10, same rationale as
         # scripts/scale_check.py): the dedup/tfidf/kcenter builders
         # persist session-lifetime relations, so later queries in the
@@ -230,6 +241,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "queries_noise": noise,
         "cold_total": cold_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -245,7 +257,9 @@ def main() -> None:
             out["vs_duckdb_cold"] = round(
                 cold_total / out["duckdb_cold_total"], 2
             )
-    delta = delta_vs_prev(timings, total, sf=out["sf"] and str(out["sf"]))
+    delta = delta_vs_prev(
+        timings, total, sf=out["sf"] and str(out["sf"]), noise=noise
+    )
     if delta:
         out["delta_vs_prev"] = delta
     # cold-column trend: starts producing values the first round after
@@ -307,6 +321,20 @@ def main() -> None:
         line = json.dumps(compact)
     print(line)
     spark.stop()
+
+
+def _noise_entry(samples: list) -> dict:
+    """min / median / rep count of one query's warm samples — the
+    per-round noise band.  (median/min - 1) is the within-run spread;
+    ``delta_vs_prev`` treats a round-over-round delta inside the
+    larger of the two rounds' spreads as noise, not trend."""
+    import statistics
+
+    return {
+        "min": round(min(samples), 3),
+        "median": round(statistics.median(samples), 3),
+        "n_reps": len(samples),
+    }
 
 
 def _bench_rounds(here: str, pattern: str) -> list[tuple[int, str]]:
@@ -372,6 +400,7 @@ def delta_vs_prev(
     total: float,
     sf: str = "",
     prev_key: str = "queries",
+    noise: dict | None = None,
 ) -> dict:
     """Per-query drift vs the most recent committed BENCH_r*.json
     DRIVER artifact (the number of record — never a builder-side run),
@@ -420,6 +449,30 @@ def delta_vs_prev(
     if shared_prev:
         delta["_total"] = round(shared_this / shared_prev - 1.0, 3)
         delta["_total_basis"] = f"{sum(1 for n in timings if prev_q.get(n))} shared queries"
+    # noise-banded regressions: same-round runs disagree by up to 2x
+    # on sub-second queries (r14: q3 0.525 committed vs 1.025 driver
+    # re-run), so a raw per-query delta is unreadable as trend.  The
+    # band is the larger of the two rounds' (median/min - 1) spreads
+    # plus a 5% floor; only deltas OUTSIDE it are listed — the list a
+    # reviewer audits, while the raw deltas stay for the record.
+    if noise is not None:
+        prev_noise = prev.get("queries_noise", {})
+        outside = {}
+        for name, d in delta.items():
+            if name.startswith("_") or abs(d) <= 0.05:
+                continue
+            bands = []
+            for src in (noise.get(name), prev_noise.get(name)):
+                if src and src.get("min"):
+                    bands.append(src["median"] / src["min"] - 1.0)
+            band = max(bands) if bands else 0.0
+            if abs(d) > band + 0.05:
+                outside[name] = d
+        delta["_outside_band"] = outside
+        delta["_band_rule"] = (
+            "max(this,prev) median/min-1 + 0.05 floor; deltas inside "
+            "the band are run-to-run noise"
+        )
     delta["_prev"] = os.path.basename(benches[-1][1])
     delta["_unit"] = "fraction_of_prev (sec_this/sec_prev - 1)"
     return delta
