@@ -238,11 +238,15 @@ def _stage_chunks(corpus, workdir, n_chunks, chunk_order=None):
     return src
 
 
-def _rrf_stream_build(spark, corpus, chunk_order=None, n_chunks=4):
+def _rrf_stream_build(
+    spark, corpus, chunk_order=None, n_chunks=4, files_per_trigger=1
+):
     """Run the ingest stream to completion and return the maintained
     fused-index state ``{workdir, tf, dl, cells, df, meta, nc}``
     (workdir kept — cleanup via the memo's clear hook or the
-    ephemeral serve's finally)."""
+    ephemeral serve's finally).  ``files_per_trigger`` sizes the
+    micro-batches (``scripts/stream_fold_bench.py`` A/Bs the
+    per-trigger fixed cost against it at fixed corpus)."""
     import shutil
     import tempfile
 
@@ -262,7 +266,7 @@ def _rrf_stream_build(spark, corpus, chunk_order=None, n_chunks=4):
         q = (
             spark.readStream.format("parquet")
             .schema(corpus.schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", files_per_trigger)
             .load(src)
             .writeStream.foreachBatch(fold)
             .option("checkpointLocation", os.path.join(workdir, "ckpt"))
