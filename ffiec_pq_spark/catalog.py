@@ -73,7 +73,10 @@ def register(name: str, oracle: Optional[str], tags: list[str] | None = None):
 # name here is missing from the registry, so this list can never again
 # claim queries that do not exist.
 _NEVER_SAMPLED_FIRST = [
-    # --- round-15 (queries/round14b.py addition, never sampled) ---
+    # --- round-15 (queries/round15.py + round14b.py, never sampled) ---
+    "gate_mcnemar_accuracy",
+    "source_keyness_terms",
+    "gate_ensemble_ablation",
     "stream_ensemble_stats_fold",
     # --- round-14 second wave (queries/round14b.py, never sampled) ---
     "gate_ensemble_heldout_eval",
@@ -300,6 +303,7 @@ def _load_all() -> None:
     # then text whose corpus_* entries were past the old cutoff); the
     # longest-green modules (core_relational, reshape, integrity)
     # register last.
+    from ffiec_pq_spark.queries import round15  # noqa: F401
     from ffiec_pq_spark.queries import round14b  # noqa: F401
     from ffiec_pq_spark.queries import round14  # noqa: F401
     from ffiec_pq_spark.queries import round13f  # noqa: F401

@@ -246,8 +246,12 @@ QUERIES = [
     "mixture_realized_counts",
     # round-13 tenth wave: the gate-stack ROI view
     "gate_stack_yield",
-    # round-15: the ensemble statistics accumulation fold
+    # round-15: the ensemble statistics accumulation fold + the
+    # significance/attribution views
     "stream_ensemble_stats_fold",
+    "gate_mcnemar_accuracy",
+    "source_keyness_terms",
+    "gate_ensemble_ablation",
     # round-14: the fused-retrieval maintenance lifecycle + the
     # learned gate combination
     "stream_rrf_fold",
