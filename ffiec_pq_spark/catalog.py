@@ -77,6 +77,7 @@ _NEVER_SAMPLED_FIRST = [
     "gate_mcnemar_accuracy",
     "source_keyness_terms",
     "gate_ensemble_ablation",
+    "probe_margin_reliability",
     "stream_ensemble_stats_fold",
     # --- round-14 second wave (queries/round14b.py, never sampled) ---
     "gate_ensemble_heldout_eval",

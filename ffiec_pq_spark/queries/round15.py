@@ -572,3 +572,97 @@ def gate_ensemble_ablation(spark, sf_dir):
         )
         .alias("pos_precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# probe_margin_reliability — the trained filter's calibration curve.
+
+
+def _probe_reliability_sql() -> str:
+    from ffiec_pq_spark.queries.round12b import _probe_ctes
+
+    ctes, last = _probe_ctes()
+    ctes.append(
+        f"""scored AS (
+      SELECT ex.vec_id, CAST(max(ex.y) AS BIGINT) AS y,
+             CAST(sum(ex.xq * w.v) AS BIGINT) AS margin_micro
+      FROM ex JOIN {last} w USING (i)
+      GROUP BY ex.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+    FROM (
+      SELECT y,
+             CAST(ntile(10) OVER (
+               ORDER BY margin_micro DESC, vec_id ASC
+             ) AS BIGINT) AS decile
+      FROM scored
+    )
+    GROUP BY decile
+    """
+    )
+
+
+@register(
+    "probe_margin_reliability",
+    _probe_reliability_sql(),
+    tags=["quality", "similarity", "eval"],
+)
+def probe_margin_reliability(spark, sf_dir):
+    """Reliability curve for the TRAINED linear-probe filter: the
+    positive-class rate per margin decile (equi-depth ntile over the
+    exact integer margins).  A monotone curve means the margin is
+    calibrated enough to gate on; a flat or non-monotone one means
+    the trained score separates poorly off the top decile — the same
+    audit ``docs_nb_margin_reliability`` gives the NB filter, now for
+    the probe (the scorer the ensemble actually weights highest).
+
+    Cross-engine exactness: margins are exact int64 micros against
+    the resident weights; decile edges come from a total order
+    (margin DESC, vec_id ASC) so ANSI ``ntile(10)`` and
+    :func:`~ffiec_pq_spark.operators.windows.ntile_from_rank` (over
+    :func:`distributed_rank` — never a single-reducer window) agree
+    bit-for-bit; the rate is one rounded division of integers.
+
+    Plan: scoring projection over the resident weights (no Python),
+    one range-partitioned rank, a 1-row count broadcast, a 10-group
+    rollup with map-side partials."""
+    from ffiec_pq_spark.operators.windows import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+    from ffiec_pq_spark.operators.linear_probe import probe_margins
+    from ffiec_pq_spark.queries.round12b import probe_corpus, probe_weights
+
+    emb = probe_corpus(spark, sf_dir)
+    y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
+    scored = probe_margins(
+        emb.withColumn("_yy", y), "embedding", "vec_id", "_yy",
+        probe_weights(spark, sf_dir),
+    )
+    n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = distributed_rank(
+        scored,
+        [F.col("margin_micro").desc(), F.col("vec_id").asc()],
+        rank_col="rank",
+    )
+    binned = ranked.crossJoin(F.broadcast(n_tot)).select(
+        "y",
+        ntile_from_rank(F.col("rank"), F.col("_n"), 10)
+        .cast("long")
+        .alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "pos_rate"
+        ),
+    )

@@ -252,6 +252,7 @@ QUERIES = [
     "gate_mcnemar_accuracy",
     "source_keyness_terms",
     "gate_ensemble_ablation",
+    "probe_margin_reliability",
     # round-14: the fused-retrieval maintenance lifecycle + the
     # learned gate combination
     "stream_rrf_fold",

@@ -119,3 +119,20 @@ def test_round15_plan_shapes(spark, sf_dir):
     plan = physical_plan(queries()["source_keyness_terms"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition(source" in plan, plan
+
+
+def test_probe_reliability_equi_depth_deciles(spark, sf_dir):
+    """Deciles are dense 1..10 (population permitting), sizes are
+    equi-depth (differ by at most 1), and totals reconcile with the
+    probe population."""
+    from ffiec_pq_spark.queries.round12b import probe_corpus
+
+    rows = queries()["probe_margin_reliability"](spark, sf_dir).collect()
+    n_pop = probe_corpus(spark, sf_dir).count()
+    assert sum(r["n"] for r in rows) == n_pop
+    deciles = sorted(r["decile"] for r in rows)
+    assert deciles == list(range(1, len(deciles) + 1))
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n"]
