@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.operators.similarity import cosine, dot, ivf_centroid, norm
-from ffiec_pq_spark.resident import register_clear_hook
+from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
 from ffiec_pq_spark.session import load_table
 
 # --------------------------------------------------------------------------
@@ -858,8 +858,8 @@ def retrieval_fusion_gain(spark, sf_dir):
     and the rollup is 3 groups with map-side partials."""
     from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
 
-    lex_list = _bm25_topk_frame(spark, sf_dir).persist()
-    dense_list = _dense_topk_frame(spark, sf_dir).persist()
+    lex_list = tracked_persist(_bm25_topk_frame(spark, sf_dir))
+    dense_list = tracked_persist(_dense_topk_frame(spark, sf_dir))
     lex = lex_list.select(
         F.lit("lex").alias("arm"),
         "q_id",
@@ -1302,8 +1302,8 @@ def retrieval_recall_eval(spark, sf_dir):
     back; the rollup is 3 groups with map-side partials."""
     from ffiec_pq_spark.queries.round12 import _bm25_topk_frame
 
-    lex_list = _bm25_topk_frame(spark, sf_dir).persist()
-    dense_list = _dense_topk_frame(spark, sf_dir).persist()
+    lex_list = tracked_persist(_bm25_topk_frame(spark, sf_dir))
+    dense_list = tracked_persist(_dense_topk_frame(spark, sf_dir))
     lex = lex_list.select(F.lit("lex").alias("arm"), "q_id", "doc_id")
     dense = dense_list.select(
         F.lit("dense").alias("arm"), "q_id", "doc_id"

@@ -36,7 +36,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
-from ffiec_pq_spark.resident import register_clear_hook
+from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
 from ffiec_pq_spark.session import load_table
 from ffiec_pq_spark.queries.round13c import (
     _corpus_cells,
@@ -1123,7 +1123,7 @@ def retrieval_cells_recall_curve(spark, sf_dir):
         arms[n] = _dense_rank_cells(
             _query_cells(q, n), _corpus_cells(c, n)
         ).select("q_id", "doc_id")
-    truth = arms[_CURVE_CELLS[0]].persist()
+    truth = tracked_persist(arms[_CURVE_CELLS[0]])
     out = None
     for n in _CURVE_CELLS:
         arm = (

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
-from ffiec_pq_spark.resident import register_clear_hook
+from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
 from ffiec_pq_spark.session import load_table
 from ffiec_pq_spark.queries.round14 import (
     _ENS_DIM,
@@ -484,7 +484,7 @@ def retrieval_fusion_significance(spark, sf_dir):
         _rrf_hybrid_frame,
     )
 
-    lex_list = _bm25_topk_frame(spark, sf_dir).persist()
+    lex_list = tracked_persist(_bm25_topk_frame(spark, sf_dir))
     hyb = _rrf_hybrid_frame(
         spark, sf_dir, lex=lex_list, dense=_dense_topk_frame(spark, sf_dir)
     )
@@ -538,9 +538,9 @@ def retrieval_fusion_significance(spark, sf_dir):
         )
         .select("q_id", (rr("fr_h") - rr("fr_l")).alias("d"))
     )
-    idx = distributed_rank(
-        diffs, [F.col("q_id").asc()], rank_col="i"
-    ).persist()
+    idx = tracked_persist(
+        distributed_rank(diffs, [F.col("q_id").asc()], rank_col="i")
+    )
     n_q = idx.count()
     if n_q == 0:
         # empty-corpus contract: the oracle's GROUP BY over zero

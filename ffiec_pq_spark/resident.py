@@ -123,3 +123,37 @@ def clear_all_resident_state() -> list[str]:
     if errors:
         raise errors[0]
     return cleared
+
+
+_TRACKED_PERSISTS: dict = {}
+
+
+def tracked_persist(df):
+    """``df.persist()`` + registration under the resident registry:
+    per-query lazy builders persist shared sub-relations (a fused arm
+    feeding several consumers in one plan) without a natural
+    self-unpersist point — historically these relied on the documented
+    "clearCache() between pipelines" caveat and sat OUTSIDE the
+    governance registry.  Tracking the reference here puts them under
+    :func:`clear_all_resident_state` and the footprint report's entry
+    count (their bytes appear in the report's ``_spark_storage``
+    totals), so a long-lived multi-tenant driver has ONE invalidation
+    call for everything resident."""
+    out = df.persist()
+    _TRACKED_PERSISTS[id(out._jdf)] = out
+    return out
+
+
+def clear_tracked_persists() -> None:
+    """Unpersist every tracked per-query persist."""
+    for df in _TRACKED_PERSISTS.values():
+        try:
+            df.unpersist()
+        except Exception:  # session may already be stopped
+            pass
+    _TRACKED_PERSISTS.clear()
+
+
+register_clear_hook(
+    "query_persists", clear_tracked_persists, state=_TRACKED_PERSISTS
+)
