@@ -136,3 +136,24 @@ def test_probe_reliability_equi_depth_deciles(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1, sizes
     for r in rows:
         assert 0 <= r["n_pos"] <= r["n"]
+
+
+def test_tracked_persist_cleared_by_registry(spark, sf_dir):
+    """tracked_persist puts per-query persists under the governance
+    registry: the reference is visible in resident_state_report and
+    clear_all_resident_state unpersists it (storageLevel reverts to
+    NONE)."""
+    from ffiec_pq_spark.resident import (
+        _TRACKED_PERSISTS,
+        clear_tracked_persists,
+        resident_state_report,
+        tracked_persist,
+    )
+
+    df = tracked_persist(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    df.count()
+    assert df.storageLevel.useMemory
+    assert resident_state_report()["query_persists"]["entries"] >= 1
+    clear_tracked_persists()
+    assert not df.storageLevel.useMemory
+    assert len(_TRACKED_PERSISTS) == 0
