@@ -153,7 +153,12 @@ NOTES = {
     "gate_stack_yield": "stack ROI: the SHARED gate construction (one persisted population, three distributed ranks, 1-row budget broadcast) + token join + 8-combo literal explode over slim booleans + 8-group rollup; oracle expands combos by zipped unnest (ONE gt scan — a UNION ALL inlined the gate chain 8x, 318 s vs 13 s)",
     "stream_rrf_fold": "fused maintained-asset serve: resident checkpointed top-k (the state is immutable between folds); the plan is the checkpoint scan — the build's arms (postings rank + cell-join rank + full-outer RRF merge) run once in the fold, pinned by test_round14",
     "retrieval_unlearn": "erasure-corrected fused serve: same resident-checkpoint scan; the correction itself is broadcast tombstone anti-joins on both arms + keyed df/meta decrements sized by the erasure batch",
-    "gate_ensemble_calibration": "learned gate: scoring is a shuffle-free zip_with fold over the resident gated population (checkpoint scan); ONE distributed_rank + 5-literal rung explode + broadcast token join + <=5-group rollup; training was one 4-row Gram aggregation + driver GD",
+    "gate_ensemble_calibration": "learned gate: scoring is a shuffle-free zip_with fold over the resident gated population (checkpoint scan); token counts equi-joined in BEFORE the rank with NO hint (a forced broadcast of the corpus-sized relation was round 14's one weak grade); ONE distributed_rank + 5-literal rung explode + <=5-group rollup; training was one 4-row Gram aggregation + driver GD",
+    "stream_ensemble_stats_fold": "streamed ensemble statistics: the serve refits driver-side on the drained 4-row relation and reuses the calibration ladder's exact plan (resident-population scan + pre-rank token join + one distributed_rank); the fold itself is one batch-sized aggregation + 4-row keyed add per trigger",
+    "gate_mcnemar_accuracy": "paired gate-accuracy test: resident gated-frame checkpoint scan + broadcast label join + 3-literal pair explode + 3-group rollup; the chi2 is integer div arithmetic over the rollup",
+    "source_keyness_terms": "per-source keyness: one tokenize+explode scan, the per-(source,term) aggregate is the only data-sized shuffle, per-term join + broadcast source totals + 1-row grand total, source-keyed rank window",
+    "gate_ensemble_ablation": "leave-one-out ensemble: four driver-side GD refits on the resident 128-byte statistics, 4-literal arm explode over ONE population scan, one (arm,_pid)-keyed distributed_rank, 1-row budget broadcast, 4-group rollup",
+    "probe_margin_reliability": "probe calibration curve: scoring projection vs resident weights (no Python), one range-partitioned distributed_rank, ntile from rank arithmetic (no second window), 10-group rollup",
     "retrieval_cells_recall_curve": "recall-vs-cells: four cell-join arms through the shared dense helpers (the n_cells=1 arm IS brute force via an equi-join on a constant cell — no CartesianProduct node); truth list persisted + broadcast into each overlap join; 4-group rollup",
     "q2_min_cost_supplier": "derived partsupp (generator over part scan); dims broadcast; grouped-min + equality join share the part key; bounded top-100",
     "q11_important_stock": "one grouped sum; scalar total broadcast-crossed; threshold compares rounded-vs-rounded doubles",
