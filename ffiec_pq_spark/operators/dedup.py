@@ -20,8 +20,11 @@ Scale design
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ffiec_pq_spark.functions.hashing import hash60
 from ffiec_pq_spark.operators.text import fingerprint_md5, shingles, tokens
@@ -606,6 +609,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_every: int | None = None,  # DEPRECATED: every round checkpoints
     stats: dict | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(id, cluster) for every node in the pair graph; cluster = min id
     reachable in the component.
@@ -674,6 +678,64 @@ def connected_components(
     pairs_ck = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
+    # Small-graph fast path (guide §5: a bounded, size-gated driver
+    # step beats an iterative distributed loop whose every round is a
+    # fixed-overhead job).  The edge count is a near-free scan of the
+    # just-materialized checkpoint; below the cap the propagation is a
+    # driver union-find over an EXPLICITLY BOUNDED relation (<= cap
+    # edges, ~100k rows = a few MB — the sanctioned small-state
+    # collect), producing the identical (id, cluster=min reachable id)
+    # labelling.  Above the cap — a 100 TB ingest whose batch near-dup
+    # graph is genuinely large — the distributed O(log d)
+    # pointer-jumping loop below runs unchanged.  ``driver_max_edges=0``
+    # forces the distributed path (tests pin its round bound /
+    # non-convergence contract through this).
+    if driver_max_edges is None:
+        driver_max_edges = int(
+            os.environ.get("FFIEC_PQ_CC_DRIVER_MAX_EDGES", "100000")
+        )
+    if driver_max_edges > 0 and pairs_ck.count() <= driver_max_edges:
+        try:
+            rows = pairs_ck.collect()
+        finally:
+            _free_ckpt(pairs_ck)
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for r in rows:
+            a, b = r[0], r[1]
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                # union by min id: the root IS the component min, the
+                # exact label algebra of the distributed loop
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        if stats is not None:
+            stats["rounds"] = 0
+        # nullability matches the distributed loop's output exactly
+        # (its left joins yield nullable fields) so callers see one
+        # schema regardless of which path ran
+        id_type = pairs_ck.schema["src"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type, True),
+                T.StructField("cluster", id_type, True),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(n, _find(n)) for n in sorted(nodes)], schema
+        )
     edges = (
         pairs_ck.unionByName(
             pairs_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -35,7 +35,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
-from ffiec_pq_spark.resident import register_clear_hook
+from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
 from ffiec_pq_spark.session import load_table
 
 # --------------------------------------------------------------------------
@@ -673,7 +673,20 @@ def _inc_corpus_state(spark, sf_dir) -> dict:
     bands_c = lsh_bands(sig_c, _N_BANDS, _ROWS_PER_BAND).localCheckpoint(
         eager=True
     )
-    st = {"cg": cg, "cq": cq, "sh_c": sh_c, "bands_c": bands_c}
+    # per-rep shingle SET SIZES, rolled up once at state-build time: the
+    # per-ingest fold needs them for Jaccard verification and for the
+    # shingle-nonempty test, and deriving them per call re-scanned the
+    # full corpus shingle relation TWICE per ingest (profiled: the two
+    # largest-input stages of the warm fold) — against this query's own
+    # never-corpus-per-ingest design.  One row per corpus rep.
+    sz_c = (
+        sh_c.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=True)
+    )
+    st = {
+        "cg": cg, "cq": cq, "sh_c": sh_c, "bands_c": bands_c, "sz_c": sz_c
+    }
     _INC_STATE[key] = st
     return st
 
@@ -751,9 +764,14 @@ def dedup_clusters_incremental(spark, sf_dir):
     # ---- stored state (deployment tables; resident per session) ----
     st = _inc_corpus_state(spark, sf_dir)
     cg, cq, sh_c, bands_c = st["cg"], st["cq"], st["sh_c"], st["bands_c"]
+    sz_c = st["sz_c"]
 
     # ---- batch ingest ----
-    bg = _groups_with_hash(batch).persist()  # (id, _chash, rep, g)
+    # (id, _chash, rep, g); materialized eagerly — the md5 fingerprint
+    # over the batch text is CPU-heavy and bg feeds several branches
+    # that execute as concurrent broadcast subqueries (see sh_b below)
+    bg = tracked_persist(_groups_with_hash(batch))
+    bg.count()
     breps = bg.filter(F.col("id") == F.col("rep")).select(
         F.col("id").alias("b_rep"), "_chash"
     )
@@ -768,8 +786,10 @@ def dedup_clusters_incremental(spark, sf_dir):
     )
 
     # quotient node value = min doc id it covers (old label, every
-    # content rep mapped to it, every attached batch min)
-    node_val = (
+    # content rep mapped to it, every attached batch min).  Persisted:
+    # it feeds qfinal AND both repmap orientations, and the consumers
+    # execute as concurrent broadcast subqueries.
+    node_val = tracked_persist(
         cq.select("qnode", F.col("rep_c").alias("v"))
         .unionByName(cq.select("qnode", F.col("qnode").alias("v")))
         .unionByName(
@@ -780,9 +800,17 @@ def dedup_clusters_incremental(spark, sf_dir):
     )
 
     # ---- new edges: batch x corpus-reps + batch x batch, verified ----
-    sh_b = doc_shingles(rem_docs, k=_K).persist()
+    # The final plan executes its many broadcast subqueries CONCURRENTLY;
+    # a merely-lazy persist here lets those racing subquery jobs each
+    # recompute the shingle -> minhash -> bands chain before any of them
+    # publishes the cache (profiled: six 6-10s-CPU stages per warm rep,
+    # all scanning the docs parquet).  Materialize the two shared
+    # relations eagerly, ONCE, before the consumers launch.
+    sh_b = tracked_persist(doc_shingles(rem_docs, k=_K))
+    sh_b.count()
     sig_b = minhash_signatures(rem_docs, k=_K, n_perm=_N_PERM, _shingles=sh_b)
-    bands_b = lsh_bands(sig_b, _N_BANDS, _ROWS_PER_BAND)
+    bands_b = tracked_persist(lsh_bands(sig_b, _N_BANDS, _ROWS_PER_BAND))
+    bands_b.count()
     cand_bc = (
         bands_b.select(F.col("id").alias("id_a"), "band", "bkey")
         .join(bands_c.select(F.col("id").alias("id_b"), "band", "bkey"),
@@ -799,7 +827,11 @@ def dedup_clusters_incremental(spark, sf_dir):
         .distinct()
     )
 
-    def verify(cand, sh_right):
+    # batch-side shingle set sizes, once for both verify arms; the
+    # corpus-side sizes come precomputed from the resident state
+    sz_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def verify(cand, sh_right, sz_right):
         a_sh = sh_b.select(F.col("id").alias("id_a"), "shingle")
         r_sh = sh_right.select(F.col("id").alias("id_b"), "shingle")
         inter = (
@@ -808,18 +840,28 @@ def dedup_clusters_incremental(spark, sf_dir):
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        sz_a = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("size_a"))
-        sz_r = sh_right.groupBy("id").agg(F.count(F.lit(1)).alias("size_b"))
         return _project_jaccard(
-            inter.join(sz_a.withColumnRenamed("id", "id_a"), "id_a")
-            .join(sz_r.withColumnRenamed("id", "id_b"), "id_b"),
+            inter.join(
+                sz_b.select(
+                    F.col("id").alias("id_a"), F.col("n_sh").alias("size_a")
+                ),
+                "id_a",
+            ).join(
+                sz_right.select(
+                    F.col("id").alias("id_b"), F.col("n_sh").alias("size_b")
+                ),
+                "id_b",
+            ),
             _THRESHOLD,
         ).select("id_a", "id_b")
 
-    pairs = verify(cand_bc, sh_c).unionByName(verify(cand_bb, sh_b))
+    pairs = verify(cand_bc, sh_c, sz_c).unionByName(
+        verify(cand_bb, sh_b, sz_b)
+    )
 
-    # rep id -> quotient node value, for edge projection
-    repmap = (
+    # rep id -> quotient node value, for edge projection (persisted:
+    # joined on both edge endpoints)
+    repmap = tracked_persist(
         cq.select(F.col("rep_c").alias("node_id"), "qnode")
         .unionByName(
             rem_reps.select(
@@ -854,8 +896,8 @@ def dedup_clusters_incremental(spark, sf_dir):
     )
     # consumed twice (the copy-count gate and the kept expansion) —
     # persist so the hash/qnode/label join chain runs once
-    members = (
-        all_docs_hash.join(hq, "_chash").join(qfinal, "qnode").persist()
+    members = tracked_persist(
+        all_docs_hash.join(hq, "_chash").join(qfinal, "qnode")
     )
 
     # a quotient node is a CLUSTER iff it merged via a new edge, was
@@ -865,8 +907,11 @@ def dedup_clusters_incremental(spark, sf_dir):
     # row, so presence in the stored sh_c / fresh sh_b relation IS the
     # set_size > 0 test (NULL-text docs produce no rows).
     old_q = cq.filter(F.col("in_old_cluster")).select("qnode").distinct()
+    # presence in sh_c/sh_b IS the set_size > 0 test; the corpus side
+    # reads the precomputed one-row-per-rep size table, not the full
+    # corpus shingle relation
     nonempty_q = (
-        sh_c.select("id")
+        sz_c.select("id")
         .unionByName(sh_b.select("id"))
         .distinct()
         .select(F.col("id").alias("qnode"))

@@ -50,7 +50,7 @@ def test_connected_components_deep_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
-    labels = connected_components(pairs, max_iter=40)
+    labels = connected_components(pairs, max_iter=40, driver_max_edges=0)
     got = {r["id"]: r["cluster"] for r in labels.collect()}
     assert got == {i: 0 for i in range(31)}
 
@@ -68,7 +68,7 @@ def test_connected_components_pointer_jump_round_bound(spark):
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
     stats: dict = {}
-    labels = connected_components(pairs, max_iter=70, stats=stats)
+    labels = connected_components(pairs, max_iter=70, stats=stats, driver_max_edges=0)
     got = {r["id"]: r["cluster"] for r in labels.collect()}
     assert got == {i: 0 for i in range(64)}
     # per-call stats dict: the ONLY round-count surface (the shared
@@ -90,7 +90,39 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(300)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=3)
+        connected_components(pairs, max_iter=3, driver_max_edges=0)
+
+
+def test_connected_components_driver_fast_path_equivalence(spark):
+    """The size-gated driver union-find (round 15) must produce the
+    exact labelling of the distributed pointer-jumping loop — same
+    (id, cluster=min reachable id) rows, same schema — and report
+    rounds=0 so callers can tell which path ran."""
+    from ffiec_pq_spark.operators.dedup import connected_components
+
+    # two chains, one triangle, one isolated edge; shuffled ids
+    edges = (
+        [(i, i + 1) for i in range(0, 6)]
+        + [(100, 101), (101, 102), (102, 100)]
+        + [(50, 40)]
+        + [(7, 9), (9, 8)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    st_fast: dict = {}
+    fast = connected_components(pairs, stats=st_fast)  # default cap >> 12
+    st_dist: dict = {}
+    dist = connected_components(
+        pairs, stats=st_dist, driver_max_edges=0
+    )
+    assert st_fast["rounds"] == 0 and st_dist["rounds"] >= 1
+    assert fast.schema == dist.schema, (fast.schema, dist.schema)
+    f = {(r["id"], r["cluster"]) for r in fast.collect()}
+    d = {(r["id"], r["cluster"]) for r in dist.collect()}
+    assert f == d
+    # the cap is exact: edge count above it must take the loop
+    st: dict = {}
+    connected_components(pairs, stats=st, driver_max_edges=len(edges) - 1)
+    assert st["rounds"] >= 1
 
 
 def test_connected_components_checkpoint_every_deprecated(spark):
@@ -100,7 +132,7 @@ def test_connected_components_checkpoint_every_deprecated(spark):
 
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     with pytest.warns(DeprecationWarning, match="checkpoint_every"):
-        connected_components(pairs, max_iter=5, checkpoint_every=2)
+        connected_components(pairs, max_iter=5, checkpoint_every=2, driver_max_edges=0)
 
 
 def _embedding(seed: int, dim: int = 8) -> list[float]:

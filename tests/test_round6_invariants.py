@@ -216,7 +216,7 @@ def test_connected_components_releases_round_storage(spark):
         )
 
     before = n_cached()
-    labels = connected_components(pairs, max_iter=20)
+    labels = connected_components(pairs, max_iter=20, driver_max_edges=0)
     got = {r["id"]: r["cluster"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     after = n_cached()
