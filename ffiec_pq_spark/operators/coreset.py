@@ -31,11 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ffiec_pq_spark.functions.lits import double_array
+
 
 def _nano_dist(vec, cent: list[float]):
     """round(Σ (x-c)^2, 9) in integer nano units — the portable
     distance (same fold order and rounding as operators/kmeans)."""
-    c_arr = F.array(*[F.lit(float(v)) for v in cent])
+    c_arr = double_array(cent)
     d = F.round(
         F.aggregate(
             F.zip_with(vec, c_arr, lambda x, c: (x - c) * (x - c)),

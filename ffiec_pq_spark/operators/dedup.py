@@ -535,9 +535,17 @@ def minhash_near_dups(
     1.0.  Output is identical to the naive pipeline (the SQL oracle
     replays the naive one), but duplicate-heavy corpora no longer grow
     the candidate verification quadratically."""
+    from ffiec_pq_spark.resident import tracked_persist
+
     assert n_perm % n_bands == 0
     if collapse_exact:
-        groups = _content_groups(df, text_col, id_col).persist()
+        # eager: the final plan's broadcast subqueries execute
+        # CONCURRENTLY, and a merely-lazy persist lets the racing
+        # subquery jobs each recompute the content-hash window before
+        # any of them publishes the cache (the round-15 profile showed
+        # the same subtree's shuffle bytes written twice per rep)
+        groups = tracked_persist(_content_groups(df, text_col, id_col))
+        groups.count()
         rep_docs = df.join(
             groups.filter(F.col("id") == F.col("rep")).select(
                 F.col("id").alias(id_col)
@@ -572,13 +580,29 @@ def minhash_near_dups(
     # branches, and the set sizes all read the same (id, shingle) frame
     # (uncached, shingling — the CPU-heavy stage — would run 4x).
     # Session-lifetime cache by design (CacheManager dedupes same-plan
-    # persists; clearCache() between pipelines on long-lived sessions)
-    sh = doc_shingles(df, text_col, id_col, k).persist()
+    # persists; clearCache() between pipelines on long-lived sessions).
+    # MATERIALIZED EAGERLY: the consumers execute as concurrent
+    # broadcast subqueries, and a lazy persist lets each racing job
+    # recompute the shingle chain before any publishes the cache.
+    sh = tracked_persist(doc_shingles(df, text_col, id_col, k))
+    sh.count()
     sig = minhash_signatures(
         df, text_col, id_col, k, n_perm, seed, _shingles=sh
     )
-    cand = lsh_candidates(sig, n_bands, n_perm // n_bands)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    # the candidate relation feeds BOTH verify joins (each a separate
+    # broadcast subquery): persist+materialize so banding runs once —
+    # its size is the LSH-bounded pair count, never n^2
+    cand = tracked_persist(lsh_candidates(sig, n_bands, n_perm // n_bands))
+    cand.count()
+    # one row per doc, consumed by BOTH jaccard divisor sides (sa/sb
+    # below are two plan references — Spark does not dedupe common
+    # subtrees, so unpersisted this groupBy over the cached shingle
+    # relation runs twice per execution); the collapse branch's
+    # sizes_rep probe resolves to this same cached plan
+    sizes = tracked_persist(
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    sizes.count()
     # PAIR-DRIVEN exact verify (round-9 rewrite, measured 2.2x faster
     # warm at sf0.1 — 3.4s vs 7.4s — identical output): expand each
     # candidate pair by id_a's shingles (keyed join on the doc id),

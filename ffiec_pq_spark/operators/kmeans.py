@@ -30,7 +30,9 @@ def _sq_dist(vec, cent: list[float]):
     SQL replay (or a different partitioning) may sum in any order, and a
     last-ulp difference on a near-tie would otherwise flip the
     assignment."""
-    c_arr = F.array(*[F.lit(float(v)) for v in cent])
+    from ffiec_pq_spark.functions.lits import double_array
+
+    c_arr = double_array(cent)
     return F.round(
         F.aggregate(
             F.zip_with(vec, c_arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),

@@ -50,6 +50,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ffiec_pq_spark.functions.lits import double_array
+
 PCA_SCALE = 1_000_000  # L-inf magnitude of the integer iteration state
 PCA_COV_Q = 10_000_000  # covariance quantization (7 dp)
 
@@ -79,7 +81,7 @@ def covariance_matrix(
 ) -> list[list[float]]:
     """Sample covariance (rounded), via the explode-i / sum-j grouped
     aggregation described in the module docstring."""
-    m_arr = F.array(*[F.lit(float(m)) for m in means])
+    m_arr = double_array(means)
     cv = df.select(
         F.zip_with(
             F.col(vec_col).cast("array<double>"),
@@ -184,8 +186,8 @@ def pca_scores(
             F.lit(None).cast("double").alias("pc1_score"),
         )
     means, v = model
-    m_arr = F.array(*[F.lit(float(m)) for m in means])
-    v_arr = F.array(*[F.lit(float(c)) for c in v])
+    m_arr = double_array(means)
+    v_arr = double_array(v)
     centered = F.zip_with(
         F.col(vec_col).cast("array<double>"), m_arr, lambda x, m: x - m
     )

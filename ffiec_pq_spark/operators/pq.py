@@ -54,6 +54,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ffiec_pq_spark.functions.lits import double_array, double_array2
+
 # Past this many codebook floats (m·k·sub_dim) the literal assignment
 # expression is replaced by the pandas-UDF scorer.  Set from the A/B
 # (scripts/pq_assign_bench.py, sf0.1 + 8x/16x replicas, full
@@ -104,15 +106,12 @@ def pq_subvectors(
 
 
 def _codebook_lit(codebooks: list[list[list[float]]]):
-    """The full [sub][cell][j] codebook as one nested array literal."""
-    return F.array(
-        *[
-            F.array(
-                *[F.array(*[F.lit(float(x)) for x in cent]) for cent in sub_cents]
-            )
-            for sub_cents in codebooks
-        ]
-    )
+    """The full [sub][cell][j] codebook as one nested array literal
+    (single-``F.expr`` rendering — the element-wise ``F.lit`` form paid
+    one py4j round trip per coordinate and dominated ANN warm reps)."""
+    from ffiec_pq_spark.functions.lits import double_array3
+
+    return double_array3(codebooks)
 
 
 def _assign_expr(codebooks: list[list[list[float]]]):
@@ -360,7 +359,7 @@ def pq_adc_topk(
         F.aggregate(
             F.zip_with(
                 F.slice(
-                    F.array(*[F.lit(float(x)) for x in probe]),
+                    double_array(probe),
                     F.col("sub") * sub_dim + 1,
                     sub_dim,
                 ),
@@ -408,9 +407,7 @@ def ivfpq_residuals(
     into the residual Lloyd loop.  Pure projection — no shuffle."""
     from ffiec_pq_spark.operators.kmeans import assign_cells
 
-    cc = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
-    )
+    cc = double_array2(coarse)
     base = df.select(
         F.col(id_col).alias("id"),
         assign_cells(df, coarse, vec_col).alias("ccell"),
@@ -469,14 +466,14 @@ def ivfpq_cell_ranks(
     differs from both engines.  The full ranking drives the
     single-pass nprobe design sweep (``rank <= nprobe`` gates); the
     probed set for any nprobe is its prefix."""
-    q = F.array(*[F.lit(float(x)) for x in probe])
+    q = double_array(probe)
     entries = [
         F.struct(
             F.round(
                 F.aggregate(
                     F.zip_with(
                         q,
-                        F.array(*[F.lit(float(v)) for v in c]),
+                        double_array(c),
                         lambda x, cv: (x - cv) * (x - cv),
                     ),
                     F.lit(0.0),
@@ -515,30 +512,33 @@ def ivfpq_adc_nano_expr(
     residuals) scored against the row's PQ centroid.  Shared by the
     probed top-k search and the nprobe design sweep (which scores ALL
     cells once and gates by cell rank)."""
-    cc = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
-    cb = _codebook_lit(codebooks)
+    # rendered as ONE SQL string / F.expr call: the element-wise
+    # DataFrame construction of this expression (nested lambdas +
+    # nested codebook literals) cost ~540 py4j round trips per build —
+    # the dominant warm cost of the BUILD_TIMED ANN reps (guide §1.2:
+    # per-task work includes the DRIVER's plan construction).  The
+    # parsed tree is the identical zip_with/aggregate/round pipeline.
+    from ffiec_pq_spark.functions.lits import (
+        double_array2_sql,
+        double_array3_sql,
+        double_array_sql,
+    )
+
+    cc = double_array2_sql(coarse)
+    cb = double_array3_sql(codebooks)
     sub_dim = len(codebooks[0][0])
-    q = F.array(*[F.lit(float(x)) for x in probe])
-    q_res = F.transform(
-        F.zip_with(q, F.element_at(cc, F.col("ccell") + 1), lambda x, c: x - c),
-        lambda r: F.round(r, 9),
+    q = double_array_sql(probe)
+    q_res = (
+        f"transform(zip_with({q}, element_at({cc}, ccell + 1), "
+        "(x, c) -> x - c), r -> round(r, 9))"
     )
-    qr_sub = F.slice(q_res, F.col("sub") * sub_dim + 1, sub_dim)
-    d_q = F.round(
-        F.aggregate(
-            F.zip_with(
-                qr_sub,
-                F.element_at(
-                    F.element_at(cb, F.col("sub") + 1), F.col("cell") + 1
-                ),
-                lambda x, cv: (x - cv) * (x - cv),
-            ),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ),
-        9,
+    qr_sub = f"slice({q_res}, sub * {sub_dim} + 1, {sub_dim})"
+    d_q = (
+        f"round(aggregate(zip_with({qr_sub}, "
+        f"element_at(element_at({cb}, sub + 1), cell + 1), "
+        "(x, cv) -> (x - cv) * (x - cv)), 0.0D, (acc, d) -> acc + d), 9)"
     )
-    return F.round(d_q * F.lit(1e9), 0).cast("long")
+    return F.expr(f"CAST(round({d_q} * 1.0E9D, 0) AS BIGINT)")
 
 
 def ivfpq_adc_topk(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ffiec_pq_spark.functions.lits import double_array
+
 # guard for the all-zero vector: scale stays finite, codes all 0
 _EPS = 1e-30
 
@@ -82,7 +84,7 @@ def linear_score(vec: Column, weights: list[float], bias: float) -> Column:
     order, matching a sequential SQL sum over the index — same IEEE
     operation order, bit-identical doubles on both engines (unlike a
     parallel/tree reduction)."""
-    w = F.array(*[F.lit(float(x)) for x in weights])
+    w = double_array(weights)
     prods = F.zip_with(vec, w, lambda x, y: x.cast("double") * y)
     return (
         F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p) + F.lit(float(bias))

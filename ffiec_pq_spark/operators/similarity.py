@@ -17,9 +17,12 @@
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ffiec_pq_spark.functions.lits import double_array
 
 _PAIR_IDS = itertools.count()
 
@@ -106,7 +109,7 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k rows by cosine similarity to a constant probe vector."""
-    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    probe_col = double_array(probe)
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), probe_col), 6).alias("score"),
@@ -265,7 +268,7 @@ def hyperplane_lsh_buckets(
     with high probability; bucket-join + exact verify = scalable ANN."""
     sig = None
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _pseudo_plane(dim, p)])
+        plane = double_array(_pseudo_plane(dim, p))
         bit = (dot(F.col(vec_col), plane) > 0).cast("long") * F.lit(2**p).cast("long")
         sig = bit if sig is None else sig + bit
     return df.select(F.col(id_col).alias("id"), sig.alias("bucket"))
@@ -295,7 +298,7 @@ def ivf_cell(
     cents = centroids or [ivf_centroid(dim, j) for j in range(n_cells)]
     entries = []
     for j, c in enumerate(cents):
-        cent = F.array(*[F.lit(float(v)) for v in c])
+        cent = double_array(c)
         entries.append(
             F.struct(
                 cosine(vec, cent).alias("s"),
@@ -559,6 +562,7 @@ def semantic_dedup_counts(
     tau: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Per-cell SemDeDup counts ``(cell, n_members, n_dropped,
     n_kept)``: a vector is DROPPED iff some smaller-id vector in its
@@ -596,11 +600,20 @@ def semantic_dedup_counts(
     grouped = e.withColumn("rep", F.min("vid").over(w)).withColumn(
         "g", F.count(F.lit(1)).over(w)
     )
-    reps = (
+    # persisted + materialized eagerly: reps feeds BOTH pair sides plus
+    # the within-group rollup (three plan references — Spark does not
+    # dedupe common subtrees, so unpersisted the content-hash window
+    # and the assignment join run once per reference); one row per
+    # DISTINCT vector, the same bounded-cache contract as the shingle
+    # relation in minhash_near_dups
+    from ffiec_pq_spark.resident import tracked_persist
+
+    reps = tracked_persist(
         grouped.filter(F.col("vid") == F.col("rep"))
         .select("vid", "v", "g", norm(F.col("v")).alias("nrm"))
         .join(asg.withColumnRenamed("id", "vid"), "vid")
     )
+    reps.count()
     a = reps.select(
         F.col("vid").alias("id_a"),
         "cell",
@@ -621,9 +634,42 @@ def semantic_dedup_counts(
         ),
         6,
     )
+    # The within-cell pair join EXPLODES after its exchange: the
+    # pre-join sides are a few MB, so AQE's byte-based coalescing packs
+    # the whole Σ_cell C(n_cell,2) cosine computation into ONE task
+    # (round-15 profile: a single 2.5 s task while 31 cores idled).
+    # Salt the join key (guide §2.5): id_a picks one deterministic salt,
+    # the b side replicates across all salts, so every (a, b) pair still
+    # meets exactly once but the work spreads over cells x salts groups.
+    # The a side is REPARTITIONED with an explicit partition count —
+    # user-specified counts are exempt from AQE coalescing, which pins
+    # the parallelism of the join stage.  n_salt derives from the
+    # session's parallelism divided by the cell count (scale-adaptive:
+    # a production quantizer has >> cores cells, n_salt collapses to 1
+    # and the b-side replication cost vanishes).
+    sc = emb.sparkSession.sparkContext
+    n_salt = int(
+        os.environ.get(
+            "FFIEC_PQ_SEMDEDUP_SALTS",
+            str(max(1, sc.defaultParallelism // max(1, n_cells or 1)))
+            if n_cells
+            else "1",
+        )
+    )
+    if n_salt > 1:
+        a_s = a.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_salt)).cast("int"),
+        ).repartition(sc.defaultParallelism, F.col("cell"), F.col("_salt"))
+        b_s = b.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
+        )
+        pair_src = a_s.join(b_s, ["cell", "_salt"])
+    else:
+        pair_src = a.join(b, "cell")
     cross_dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pair_src.filter(F.col("id_a") < F.col("id_b"))
         .select("cell", F.col("id_b").alias("rep"), cos.alias("cos"))
         .filter(F.col("cos") >= tau)
         .select("cell", "rep")

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.lits import double_array
 from ffiec_pq_spark.operators.pq import pq_codes, pq_fit
 from ffiec_pq_spark.queries.round9c import _ITERS, _M, _SUB_DIM, _pq_ctes
 from ffiec_pq_spark.session import load_table
@@ -886,21 +887,17 @@ def ann_ivfpq_nprobe_recall_curve(spark, sf_dir):
     per session) and 3.4 s warm.  The round-10 per-point shape was
     22.8 s of which the sweep itself multiplied full probe/agg
     lineages; that multiplication is what this rewrite removed."""
-    from ffiec_pq_spark.operators.pq import (
-        ivfpq_adc_nano_expr,
-        ivfpq_cell_ranks,
-        ivfpq_codes,
-    )
-    from ffiec_pq_spark.queries.round9c import _ivfpq_model
+    from ffiec_pq_spark.operators.pq import ivfpq_adc_nano_expr
+    from ffiec_pq_spark.queries.round9c import _ivfpq_serve_state
     from ffiec_pq_spark.queries.similarity import _PROBE
 
     top_k = 10
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse, books, resid = _ivfpq_model(spark, sf_dir)
-    codes = ivfpq_codes(resid, books)
+    st = _ivfpq_serve_state(spark, sf_dir)
+    coarse, books, codes = st["coarse"], st["books"], st["codes"]
 
     # rank[cell] = 1-based probe-distance rank of the coarse cell
-    order = ivfpq_cell_ranks(spark, coarse, _PROBE)
+    order = st["ranks"]
     rank_arr = [0] * len(order)
     for r, c in enumerate(order):
         rank_arr[c] = r + 1
@@ -923,7 +920,7 @@ def ann_ivfpq_nprobe_recall_curve(spark, sf_dir):
         .persist()
     )
 
-    q_arr = F.array(*[F.lit(float(x)) for x in _PROBE])
+    q_arr = double_array(_PROBE)
     d_exact = F.round(
         F.aggregate(
             F.zip_with(
@@ -1259,7 +1256,7 @@ def ann_pq_compression_recall_curve(spark, sf_dir):
     top_k = 10
     emb = load_table(spark, sf_dir, "embeddings")
 
-    q_arr = F.array(*[F.lit(float(x)) for x in _PROBE])
+    q_arr = double_array(_PROBE)
     d_exact = F.round(
         F.aggregate(
             F.zip_with(

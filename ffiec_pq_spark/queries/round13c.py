@@ -42,6 +42,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.lits import double_array
 from ffiec_pq_spark.operators.similarity import cosine, dot, ivf_centroid, norm
 from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
 from ffiec_pq_spark.session import load_table
@@ -222,7 +223,7 @@ def _cell_structs(vec, nc):
     negated cell in the descending sort)."""
     entries = []
     for j in range(nc):
-        cent = F.array(*[F.lit(float(v)) for v in ivf_centroid(_DIM, j)])
+        cent = double_array(ivf_centroid(_DIM, j))
         entries.append(
             F.struct(
                 F.round(cosine(vec, cent), 6).alias("s"),

@@ -30,6 +30,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.functions.lits import double_array
 from ffiec_pq_spark.operators.similarity import dot, norm
 from ffiec_pq_spark.session import load_table
 
@@ -129,7 +130,7 @@ def embedding_dim_ablation(spark, sf_dir):
         psl = probe[:d]
         qn = math.sqrt(sum(x * x for x in psl))
         sl = F.slice(F.col("embedding"), 1, d)
-        plit = F.array(*[F.lit(float(x)) for x in psl])
+        plit = double_array(psl)
         cos = F.round(
             dot(sl, plit)
             / F.nullif(norm(sl) * F.lit(qn), F.lit(0.0)),
