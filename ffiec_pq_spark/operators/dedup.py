@@ -544,8 +544,10 @@ def minhash_near_dups(
         # subquery jobs each recompute the content-hash window before
         # any of them publishes the cache (the round-15 profile showed
         # the same subtree's shuffle bytes written twice per rep)
+        # populated by the recursive call's cand.count() (groups is an
+        # ancestor of rep_docs) — one materialization job covers the
+        # whole nested chain
         groups = tracked_persist(_content_groups(df, text_col, id_col))
-        groups.count()
         rep_docs = df.join(
             groups.filter(F.col("id") == F.col("rep")).select(
                 F.col("id").alias(id_col)
@@ -585,7 +587,6 @@ def minhash_near_dups(
     # broadcast subqueries, and a lazy persist lets each racing job
     # recompute the shingle chain before any publishes the cache.
     sh = tracked_persist(doc_shingles(df, text_col, id_col, k))
-    sh.count()
     sig = minhash_signatures(
         df, text_col, id_col, k, n_perm, seed, _shingles=sh
     )
@@ -593,6 +594,9 @@ def minhash_near_dups(
     # broadcast subquery): persist+materialize so banding runs once —
     # its size is the LSH-bounded pair count, never n^2
     cand = tracked_persist(lsh_candidates(sig, n_bands, n_perm // n_bands))
+    # ONE materialization job populates the whole nested chain (sh is
+    # an ancestor of cand, so this count caches both) BEFORE the
+    # racing subquery consumers launch — the minimal barrier set
     cand.count()
     # one row per doc, consumed by BOTH jaccard divisor sides (sa/sb
     # below are two plan references — Spark does not dedupe common

@@ -372,6 +372,84 @@ def _bm25_topk_sql(corpus_where: str = "WHERE doc_id % 10 <> 0") -> str:
 _BM25_TOPK_SQL = _bm25_topk_sql()
 
 
+# Session-resident BM25 inverted index per (applicationId, dataset) —
+# the stored index a deployed retrieval service reads (exactly the
+# state the streaming fold maintains incrementally on disk); the
+# ``_IVFPQ_SERVE`` / ``_CELL_FRAMES`` convention.  Before the memo,
+# EVERY warm rep of every lexical-arm consumer re-ran the corpus
+# tokenize → tf chain, and the merely-lazy persist let the plan's
+# concurrent broadcast subqueries each recompute it before any
+# published the cache (round-15 profile of retrieval_rrf_hybrid:
+# three 13–18 s-CPU jobs over the same documents scan per warm rep).
+_BM25_INDEX: dict = {}
+
+
+def clear_bm25_index() -> None:
+    """Invalidate the resident BM25 index relations (call after
+    rewriting a dataset in place)."""
+    _BM25_INDEX.clear()
+
+
+register_clear_hook("bm25_index", clear_bm25_index, state=_BM25_INDEX)
+
+
+def _bm25_index(spark, sf_dir):
+    """(tf, dl, df_t, stats) — the BM25 inverted index over the default
+    corpus slice, eagerly materialized once per (session, dataset).
+
+    ``tf`` is REPARTITIONED by term with an explicit partition count
+    before the persist: the groupBy's AQE-coalesced output is ONE
+    post-shuffle partition at test scale, and the cache freezes that
+    layout, so every downstream consumer (the scoring join above all)
+    inherited single-task parallelism (round-15 profile: a 2.9 s
+    one-task scoring stage while 31 cores idled).  A user-specified
+    partition count is exempt from AQE coalescing; term-hash layout IS
+    the inverted index's natural storage layout, and the df_t rollup
+    reuses it shuffle-free (guide §2.4)."""
+    from ffiec_pq_spark.operators.text import tokens
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    st = _BM25_INDEX.get(key)
+    if st is not None:
+        return st
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    tok = corpus.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tracked_persist(
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition(spark.sparkContext.defaultParallelism, "term")
+    )
+    dl = tracked_persist(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    )
+    # ONE materialization job populates tf AND dl (nested chain);
+    # df_t then reads the tf cache
+    dl.count()
+    df_t = tracked_persist(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    df_t.count()
+    # ONE row; eagerly checkpointed so consumers (each a broadcast
+    # subquery) stop re-scanning the corpus for the same two scalars
+    stats = (
+        corpus.join(dl, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("double")
+                / F.nullif(F.count(F.lit(1)), F.lit(0))
+            ).alias("avdl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    st = (tf, dl, df_t, stats)
+    _BM25_INDEX[key] = st
+    return st
+
+
 def _bm25_topk_frame(spark, sf_dir):
     """Shared BM25 scoring pass: (q_id, rank, doc_id, score_micro) —
     top-{k} corpus docs per eval-slice query doc.
@@ -384,36 +462,13 @@ def _bm25_topk_frame(spark, sf_dir):
     arithmetic is log-free rational (the ``corpus_tfidf_top_terms``
     idf precedent — bit-identical IEEE on both engines), scaled to
     integer micros BEFORE the per-(query, doc) sum so summation order
-    cannot move the hash; ranks break ties on doc_id."""
-    from ffiec_pq_spark.operators.text import tokens
-    from pyspark.sql import Window
-
+    cannot move the hash; ranks break ties on doc_id.  The index
+    relations come from the session-resident :func:`_bm25_index` (cold
+    = build from parquet + score, warm = score only — the deployed
+    retrieval service's steady state)."""
     d = load_table(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 10 != 0)
     queries = d.filter(F.col("doc_id") % 10 == 0)
-
-    tok = corpus.select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    ).filter(F.col("term") != "")
-    # the posting list feeds FOUR consumers (doc lengths, document
-    # frequencies, the avdl scalar via dl, and the match join) —
-    # without the persist the tokenize+count pipeline re-executes per
-    # consumer (session-lifetime cache by the repo convention;
-    # clearCache() between pipelines)
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = corpus.join(dl, "doc_id", "left").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("double")
-            / F.nullif(F.count(F.lit(1)), F.lit(0))
-        ).alias("avdl"),
-    )
+    tf, dl, df_t, stats = _bm25_index(spark, sf_dir)
     return _bm25_rank_postings(tf, dl, df_t, stats, queries)
 
 
@@ -426,12 +481,20 @@ def _bm25_rank_postings(tf, dl, df_t, stats, queries):
     index its micro-batches accumulated), so both produce the
     identical physical scoring plan."""
     from ffiec_pq_spark.operators.text import tokens
+    from ffiec_pq_spark.session import spread
     from pyspark.sql import Window
 
     # (q_id, term) is already distinct after the per-doc
     # array_distinct (q_id IS the doc) — a .distinct() here would add
-    # a full shuffle to re-prove it
-    qterm = queries.select(
+    # a full shuffle to re-prove it.  With the index relations all
+    # BROADCAST, the whole scoring pipeline (query tokenize -> three
+    # hash-join probes -> partial agg) executes at the parallelism of
+    # the query-side SCAN — one file = one task (round-15 profile: a
+    # 1.3 s single-task stage); spread() repartitions only when the
+    # scan yields fewer splits than the cluster can use, and the
+    # projection keeps the exchange to the two columns the scorer
+    # reads (guide §2.3).
+    qterm = spread(queries.select("doc_id", "text")).select(
         F.col("doc_id").alias("q_id"),
         F.explode(F.array_distinct(tokens("text"))).alias("term"),
     ).filter(F.col("term") != "")
@@ -771,7 +834,6 @@ def dedup_clusters_incremental(spark, sf_dir):
     # over the batch text is CPU-heavy and bg feeds several branches
     # that execute as concurrent broadcast subqueries (see sh_b below)
     bg = tracked_persist(_groups_with_hash(batch))
-    bg.count()
     breps = bg.filter(F.col("id") == F.col("rep")).select(
         F.col("id").alias("b_rep"), "_chash"
     )
@@ -807,9 +869,10 @@ def dedup_clusters_incremental(spark, sf_dir):
     # all scanning the docs parquet).  Materialize the two shared
     # relations eagerly, ONCE, before the consumers launch.
     sh_b = tracked_persist(doc_shingles(rem_docs, k=_K))
-    sh_b.count()
     sig_b = minhash_signatures(rem_docs, k=_K, n_perm=_N_PERM, _shingles=sh_b)
     bands_b = tracked_persist(lsh_bands(sig_b, _N_BANDS, _ROWS_PER_BAND))
+    # ONE materialization job populates the whole nested chain (bg and
+    # sh_b are ancestors of bands_b) before the racing consumers
     bands_b.count()
     cand_bc = (
         bands_b.select(F.col("id").alias("id_a"), "band", "bkey")
@@ -828,7 +891,11 @@ def dedup_clusters_incremental(spark, sf_dir):
     )
 
     # batch-side shingle set sizes, once for both verify arms; the
-    # corpus-side sizes come precomputed from the resident state
+    # corpus-side sizes come precomputed from the resident state.
+    # (A fused single-pass verify over the unioned candidates/shingle
+    # relations was A/B-measured at 21 s warm vs 7.7 s for this
+    # two-arm form — the union defeats the per-arm join-strategy and
+    # statistics choices — and was reverted; see OPTIMIZATION_r15.md.)
     sz_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     def verify(cand, sh_right, sz_right):
@@ -872,6 +939,9 @@ def dedup_clusters_incremental(spark, sf_dir):
         .join(node_val, "qnode")
         .select("node_id", "val")
     )
+    # node_val and repmap are populated by connected_components'
+    # synchronous edge materialization below (both are ancestors of
+    # edge_vals), before any racing consumer launches
     edge_vals = (
         pairs.join(repmap.withColumnRenamed("node_id", "id_a")
                    .withColumnRenamed("val", "val_a"), "id_a")
@@ -899,6 +969,7 @@ def dedup_clusters_incremental(spark, sf_dir):
     members = tracked_persist(
         all_docs_hash.join(hq, "_chash").join(qfinal, "qnode")
     )
+    members.count()  # eager: the copy-count gate and the kept expansion race
 
     # a quotient node is a CLUSTER iff it merged via a new edge, was
     # already an old cluster, or is a single content with >= 2 total

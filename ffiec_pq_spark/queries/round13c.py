@@ -325,7 +325,14 @@ def _cell_frames(spark, sf_dir, nc=None):
     cached = _CELL_FRAMES.get(key)
     if cached is not None:
         return cached
-    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    # spread BEFORE the checkpoint: localCheckpoint freezes the RDD
+    # layout, and a single-file embeddings scan froze ccell at ONE
+    # partition — every downstream candidate-join + exact-cosine stage
+    # (the dense arm's real work) then ran as one task (round-15
+    # profile: 1.23 s single-task stage while 31 cores idled)
+    from ffiec_pq_spark.session import spread
+
+    emb = _valid_vectors(spread(load_table(spark, sf_dir, "embeddings")))
     qcell = _query_cells(
         emb.filter(F.col("vec_id") % 10 == 0), nc
     ).localCheckpoint(eager=True)

@@ -83,6 +83,7 @@ def tfidf_cosine_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     from ffiec_pq_spark.operators.dedup import exact_dedup_groups
     from ffiec_pq_spark.operators.text import shingles
+    from ffiec_pq_spark.resident import tracked_persist
     from ffiec_pq_spark.session import spread
 
     reps = exact_dedup_groups(docs).select(F.col("rep_id").alias("doc_id"))
@@ -94,7 +95,12 @@ def tfidf_cosine_pairs(spark, sf_dir):
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nn = rd.agg(F.count(F.lit(1)).alias("n"))
-    w = (
+    # MATERIALIZED EAGERLY: w feeds THREE plan references (norms + both
+    # pair sides) that execute as concurrent subquery jobs — a lazy
+    # persist let each race recompute the shingle -> tf -> df chain
+    # before any published the cache (round-15 profile: two 7-12 s-CPU
+    # jobs over the same scan per warm rep)
+    w = tracked_persist(
         tf.join(stats, "term")
         .crossJoin(F.broadcast(nn))
         .filter(F.col("df") <= _MAX_DF)
@@ -106,9 +112,16 @@ def tfidf_cosine_pairs(spark, sf_dir):
                 * ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
             ).alias("w"),
         )
-        .persist()
     )
-    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # one row per doc, consumed by BOTH cosine divisor sides; this ONE
+    # materialization job populates w AND norms (nested chain) before
+    # the racing pair-side consumers launch
+    norms = tracked_persist(
+        w.groupBy("id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+        )
+    )
+    norms.count()
     a = w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa"))
     b = w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("wb"))
     pairs = (
@@ -181,10 +194,14 @@ def doc_top_terms(spark, sf_dir):
 
     from ffiec_pq_spark.operators.dedup import _content_groups
     from ffiec_pq_spark.operators.text import shingles
+    from ffiec_pq_spark.resident import tracked_persist
     from ffiec_pq_spark.session import spread
 
     docs = load_table(spark, sf_dir, "documents")
-    groups = _content_groups(docs).persist()
+    # eager: feeds the rep slice AND the copy-expansion join (two
+    # concurrent subquery consumers; the lazy-persist race precedent)
+    groups = tracked_persist(_content_groups(docs))
+    groups.count()
     reps = groups.filter(F.col("id") == F.col("rep")).select(
         F.col("id").alias("doc_id"), "g"
     )
