@@ -193,8 +193,14 @@ def jaccard_pairs(
     same value the naive pipeline derives pairwise.  The SQL oracle
     runs the NAIVE formulation, so the driver's hash compare proves
     this rewrite, not just exercises it."""
+    from ffiec_pq_spark.resident import tracked_persist
+
     if not collapse_exact:
-        sh = doc_shingles(df, text_col, id_col, k).persist()
+        # lazy by measurement: an eager count() barrier here was A/B'd
+        # at sf0.1 (round 15) and did NOT pay — the racing consumers
+        # re-derive only a cheap subtree while the barrier adds a full
+        # materialization pass (OPTIMIZATION_r15.md, eager-barrier A/B)
+        sh = tracked_persist(doc_shingles(df, text_col, id_col, k))
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
         if max_shingle_df is not None:
             keep = (
@@ -222,12 +228,14 @@ def jaccard_pairs(
             inter.join(sa, "id_a").join(sb, "id_b"), threshold
         )
 
-    groups = _content_groups(df, text_col, id_col).persist()
+    groups = tracked_persist(_content_groups(df, text_col, id_col))
     rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
     rep_docs = df.join(
         rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
-    sh = doc_shingles(rep_docs, text_col, id_col, k).persist()
+    # lazy by measurement (round-15 eager-barrier A/B: the count()
+    # barrier cost more than the racing consumers' cheap re-derivation)
+    sh = tracked_persist(doc_shingles(rep_docs, text_col, id_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     shc = sh
     if max_shingle_df is not None:
@@ -939,7 +947,13 @@ def dup_components_collapsed(
     (empty-shingle docs produce no signature and never pair — matching
     the naive pipeline, they stay out).
     """
-    groups = _content_groups(df, text_col, id_col).persist()
+    from ffiec_pq_spark.resident import tracked_persist
+
+    # no barrier needed here: minhash_near_dups' internal eager
+    # materialization (cand.count()) executes at BUILD time and groups
+    # is an ancestor of its shingle chain, so the cache is populated
+    # before any racing consumer launches
+    groups = tracked_persist(_content_groups(df, text_col, id_col))
     rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
     rep_docs = df.join(
         rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
@@ -996,12 +1010,14 @@ def jaccard_pairs_prefix(
     """
     from pyspark.sql import Window
 
-    groups = _content_groups(df, text_col, id_col).persist()
+    from ffiec_pq_spark.resident import tracked_persist
+
+    groups = tracked_persist(_content_groups(df, text_col, id_col))
     rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
     rep_docs = df.join(
         rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
-    sh = doc_shingles(rep_docs, text_col, id_col, k).persist()
+    sh = tracked_persist(doc_shingles(rep_docs, text_col, id_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = sh.join(dfreq, "shingle").withColumn(
@@ -1080,14 +1096,19 @@ def simhash_near_dups(
     set yields no fingerprint row and no pairs, matching the naive
     join the SQL oracle runs).
     """
+    from ffiec_pq_spark.resident import tracked_persist
+
     assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs h <= bands-1"
     band_w = n_bits // n_bands
-    groups = _content_groups(df, text_col, id_col).persist()
+    groups = tracked_persist(_content_groups(df, text_col, id_col))
     rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
     rep_docs = df.join(
         rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
-    sims = simhash(rep_docs, text_col, id_col, n_bits, hash_fn).persist()
+    # lazy by measurement (round-15 eager-barrier A/B at sf0.1:
+    # identical stage counts with and without a count() barrier — the
+    # consumers here do not race-recompute the simhash chain)
+    sims = tracked_persist(simhash(rep_docs, text_col, id_col, n_bits, hash_fn))
     bands = sims.select(
         "id",
         "simhash",

@@ -461,10 +461,14 @@ def minhash_calibration(spark, sf_dir):
         minhash_signatures,
     )
 
+    from ffiec_pq_spark.resident import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
     reps = exact_dedup_groups(docs).select(F.col("rep_id").alias("doc_id"))
     rd = docs.join(reps, "doc_id", "left_semi")
-    sh = doc_shingles(rd, k=_K).persist()
+    # lazy by measurement (round-15 eager-barrier A/B at sf0.1: the
+    # barrier removed 7 recompute stages but cost MORE total task CPU)
+    sh = tracked_persist(doc_shingles(rd, k=_K))
     sigs = minhash_signatures(rd, k=_K, n_perm=_N_PERM, _shingles=sh)
     cands = lsh_candidates(sigs, _CAL_BANDS, _CAL_RPB)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
@@ -699,7 +703,11 @@ def dedup_ensemble_consensus(spark, sf_dir):
     # detectors fire on identical content (minhash needs a non-empty
     # shingle set, simhash a non-empty token set).  The naive
     # full-corpus oracle proves the arithmetic.
-    groups = _content_groups(docs).persist()
+    from ffiec_pq_spark.resident import tracked_persist
+
+    # populated at build time by minhash_near_dups' internal eager
+    # count (groups is an ancestor of its shingle chain)
+    groups = tracked_persist(_content_groups(docs))
     rep_ids = groups.filter(F.col("id") == F.col("rep")).select("id", "g")
     rep_docs = docs.join(
         rep_ids.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
