@@ -189,21 +189,31 @@ def probe_margins(
     """Score every vector against the trained integer probe:
     ``margin_micro = Σ xq_i·w_i`` (exact int64 fold, scale SX·SW=1e6)
     — one narrow projection, no shuffle, no Python.  Downstream gates
-    (the top-p%% keep decision) rank these exact integers."""
-    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w_int])
-    # coalesce: zip_with pads the shorter side with NULL, so a vector
-    # with fewer dims than the probe would otherwise fold to a NULL
-    # margin while the oracle's subscript join computes the partial
-    # dot product — the null-safe product makes both engines agree on
-    # ANY dimension (missing dims contribute 0, the oracle semantics)
-    mi = F.aggregate(
-        F.zip_with(
-            _xq_col(vec_col),
-            w_arr,
-            lambda x, w: F.coalesce(x * w, F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    (the top-p%% keep decision) rank these exact integers.
+
+    The whole fold renders as ONE ``F.expr`` string (the
+    ``lits.double_array`` / IVF-PQ ADC precedent, guide §1.2 step 2):
+    the element-wise ``F.array(*[F.lit(w) ...])`` + three Python
+    lambdas cost ~140 py4j round trips PER CALL, which made driver
+    plan construction — not execution — the dominant warm cost of the
+    probe family (round-15 profile: 0.53 s build vs 0.1 s of scoring
+    jobs per rep).  The parsed tree is the identical
+    aggregate/zip_with/transform pipeline over the identical integer
+    literals.
+
+    coalesce: zip_with pads the shorter side with NULL, so a vector
+    with fewer dims than the probe would otherwise fold to a NULL
+    margin while the oracle's subscript join computes the partial
+    dot product — the null-safe product makes both engines agree on
+    ANY dimension (missing dims contribute 0, the oracle semantics)."""
+    w_sql = "array(" + ",".join(f"{int(v)}L" for v in w_int) + ")"
+    xq_sql = (
+        f"transform(cast(`{vec_col}` as array<double>), "
+        f"x -> cast(round(x * {float(PROBE_SX)!r}D, 0) as bigint))"
+    )
+    mi = F.expr(
+        f"aggregate(zip_with({xq_sql}, {w_sql}, "
+        f"(x, w) -> coalesce(x * w, 0L)), 0L, (acc, v) -> acc + v)"
     )
     y = F.coalesce(F.col(y_col), F.lit(0)).cast("long")
     return df.select(

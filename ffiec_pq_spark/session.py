@@ -44,6 +44,14 @@ def get_spark(app_name: str = "ffiec_pq_spark", cpus: int | None = None) -> Spar
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has
         # no nanos timestamp — read as long and convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4 wraps EVERY DataFrame/Column op to capture the
+        # Python call site for error context: 3 py4j round trips per
+        # op (conf read + origin set + clear).  Round-15 profile: 34%
+        # of per-query driver plan-construction time.  Results and
+        # JVM-side error context are unchanged; only the Python
+        # call-site line in error messages is dropped (guide §1.2 —
+        # per-task work includes the driver's plan construction).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,6 +68,20 @@ def ensure_session_confs(spark: SparkSession) -> None:
     UTC-naive DuckDB oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # perf, not semantics (safe on a caller-owned session): drop the
+    # 3-py4j-calls-per-op Python call-site capture unless the caller
+    # already pinned it explicitly.  PySpark caches the flag at first
+    # use, so setting it in the first load_table of a bare driver
+    # session covers that session's whole lifetime.
+    try:
+        if spark.conf.get(
+            "spark.python.sql.dataFrameDebugging.enabled", None
+        ) is None:
+            spark.conf.set(
+                "spark.python.sql.dataFrameDebugging.enabled", "false"
+            )
+    except Exception:
+        pass  # conf API unavailable (mocked sessions in unit tests)
 
 
 # backward-compat alias (prior name)

@@ -184,6 +184,12 @@ def test_stream_bm25_delete_fold_equals_surviving_batch(spark, sf_dir):
     import ffiec_pq_spark.queries.round12 as r12
 
     orig = r12.load_table
+    # substituting the surviving-corpus view for the documents table is
+    # an in-place dataset rewrite as far as the session-resident BM25
+    # index memo is concerned: per the resident-state contract it must
+    # be invalidated before AND after, or the memo built from the
+    # patched view would poison the unpatched key (and vice versa)
+    r12.clear_bm25_index()
     try:
         # the surviving-corpus view stands in for the documents table
         r12.load_table = lambda s, sd, t: (
@@ -195,6 +201,7 @@ def test_stream_bm25_delete_fold_equals_surviving_batch(spark, sf_dir):
         }
     finally:
         r12.load_table = orig
+        r12.clear_bm25_index()
     assert folded == batch and len(folded) > 0
     full = {
         (r["q_id"], r["rank"]): (r["doc_id"], r["score_micro"])
