@@ -88,6 +88,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
 ensure_nanos_conf = ensure_session_confs
 
 
+# Partition-count probe memo for spread(), keyed on (applicationId,
+# analyzed-plan semanticHash): the probe itself (`df.rdd`) runs FULL
+# physical planning on a fresh plan — measured ~80-120 ms of driver
+# time per call (round 15), paid by every shingle/scoring builder on
+# every invocation — while the answer is a pure function of (session,
+# plan) because the same plan over the same files splits identically.
+# Same invalidation contract as every resident memo: a dataset
+# rewritten in place requires clear_all_resident_state().
+_SPREAD_COUNTS: dict = {}
+
+
 def spread(df, min_partitions: int | None = None):
     """Repartition ONLY when the input has too few partitions to feed
     the cluster — the guard for compute-heavy operators (shingling,
@@ -97,9 +108,31 @@ def spread(df, min_partitions: int | None = None):
     On a real multi-split input (100 TB = thousands of splits) the
     condition is false and no shuffle is added."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        n = _SPREAD_COUNTS.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPREAD_COUNTS[key] = n
+    except Exception:  # non-classic session (e.g. connect): probe direct
+        n = df.rdd.getNumPartitions()
+    if n < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def _register_spread_hook() -> None:
+    from ffiec_pq_spark.resident import register_clear_hook
+
+    register_clear_hook(
+        "spread_partition_probe", _SPREAD_COUNTS.clear, state=_SPREAD_COUNTS
+    )
+
+
+_register_spread_hook()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
