@@ -279,6 +279,8 @@ def main() -> None:
     # written to BENCH_FULL.json (committed per round) and stdout gets
     # a compact summary whose size is asserted against the tail budget.
     here = os.path.dirname(os.path.abspath(__file__))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    out["cpus"] = cpus
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(out, f, indent=1)
     # ALSO write the round-stamped copy: BENCH_FULL.json is overwritten
@@ -288,8 +290,17 @@ def main() -> None:
     # erase the previous round's numbers.  The round number is inferred
     # as (latest committed driver artifact) + 1: the driver writes
     # BENCH_r{N}.json AFTER this script runs in round N.
+    # SCALING runs (a core count below the machine's, e.g. the driver's
+    # low-core scaling pass) stamp a _c{cpus} sibling instead: round 15's
+    # 8-core run refreshed the dirty same-round BENCH_FULL in place and
+    # destroyed the 32-core run's per-query DuckDB numbers (the
+    # "in-round re-runs must not bump" rule is right for SAME-shape
+    # re-runs, wrong across core counts).  delta_vs_prev's glob
+    # (BENCH_FULL_r*.json, anchored _r(\d+).json$) never reads the
+    # _c-suffixed files, so the trend line stays full-core only.
+    suffix = "" if cpus >= (os.cpu_count() or cpus) else f"_c{cpus}"
     with open(
-        os.path.join(here, f"BENCH_FULL_r{_this_round(here):02d}.json"),
+        os.path.join(here, f"BENCH_FULL_r{_this_round(here):02d}{suffix}.json"),
         "w",
     ) as f:
         json.dump(out, f, indent=1)
