@@ -372,15 +372,20 @@ def minhash_signatures(
         df, text_col, id_col, k
     )
     hashed = sh.select("id", hash_fn(F.col("shingle")).alias("h"))
-    mins = [
-        F.min(
-            (F.lit(a) * (F.col("h") % F.lit(MINHASH_PRIME)) + F.lit(b))
-            % F.lit(MINHASH_PRIME)
-        ).alias(f"mh{i}")
-        for i, a, b in perms
-    ]
-    sig = hashed.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"mh{i}" for i, _, _ in perms]).alias("sig"))
+    # The whole signature as ONE parsed expression (an array of min
+    # aggregates), not n_perm Column trees: the per-permutation
+    # ``F.lit/F.col`` construction cost ~8 py4j round trips per perm —
+    # ~1000 per call at n_perm=128, ~0.15 s of pure driver time paid by
+    # every builder invocation (round-16 profile) — while one SQL
+    # string parses in a single round trip.  Value-identical: same
+    # ``min((a*(h%P)+b)%P)`` arithmetic with the same int-typed
+    # literals (a, b, P all < 2^31), same array order (pinned by
+    # tests/test_dedup_ops.py's cross-form signature checks).
+    arr = ", ".join(
+        f"min(({a} * (h % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME})"
+        for _, a, b in perms
+    )
+    return hashed.groupBy("id").agg(F.expr(f"array({arr}) AS sig"))
 
 
 def minhash_sig_expr(
@@ -491,11 +496,22 @@ def lsh_bands(
     relation is a pure set union across shards/micro-batches, so both
     the batch candidate join and the incremental streaming fold
     (queries/round8.py) derive from the same rows."""
+    # one parsed expression instead of n_bands x rows_per_band Column
+    # trees (the same py4j-round-trip economy as minhash_signatures;
+    # named_struct('band',...,'bkey',...) is exactly F.struct with
+    # those aliases, and the literal band indexes stay int-typed)
+    structs = ", ".join(
+        "named_struct('band', {bi}, 'bkey', md5(concat_ws(',', {cols})))".format(
+            bi=bi,
+            cols=", ".join(
+                f"cast(element_at(sig, {bi * rows_per_band + ri + 1}) as string)"
+                for ri in range(rows_per_band)
+            ),
+        )
+        for bi in range(n_bands)
+    )
     return signatures.select(
-        "id",
-        F.explode(
-            lsh_band_structs(F.col("sig"), n_bands, rows_per_band)
-        ).alias("bk"),
+        "id", F.explode(F.expr(f"array({structs})")).alias("bk")
     ).select("id", "bk.band", "bk.bkey")
 
 
@@ -769,8 +785,15 @@ def connected_components(
                 T.StructField("cluster", id_type, True),
             ]
         )
-        return pairs.sparkSession.createDataFrame(
-            [(n, _find(n)) for n in sorted(nodes)], schema
+        # Arrow-backed local relation, NOT createDataFrame(list): the
+        # labelling is scanned by several consumers per query, and the
+        # pickled-RDD scan launched 32 Python-worker tasks each time
+        # (profiled round 16: ~7 s of task time per scan of a 152-row
+        # labelling inside dedup_clusters_incremental's warm fold).
+        from ffiec_pq_spark.session import local_frame
+
+        return local_frame(
+            pairs.sparkSession, [(n, _find(n)) for n in sorted(nodes)], schema
         )
     edges = (
         pairs_ck.unionByName(

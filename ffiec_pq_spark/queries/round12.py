@@ -871,9 +871,20 @@ def dedup_clusters_incremental(spark, sf_dir):
     sh_b = tracked_persist(doc_shingles(rem_docs, k=_K))
     sig_b = minhash_signatures(rem_docs, k=_K, n_perm=_N_PERM, _shingles=sh_b)
     bands_b = tracked_persist(lsh_bands(sig_b, _N_BANDS, _ROWS_PER_BAND))
+    # batch-side shingle set sizes, shared by both verify arms (and by
+    # cand_bb's arm twice).  PERSISTED: left lazy, each of its three
+    # broadcast-subquery consumers re-aggregated the full sh_b relation
+    # (round-16 profile: three identical 997-row HashAggregate stages,
+    # ~3.5 s task time each, per warm rep).
+    sz_b = tracked_persist(
+        sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     # ONE materialization job populates the whole nested chain (bg and
-    # sh_b are ancestors of bands_b) before the racing consumers
-    bands_b.count()
+    # sh_b are ancestors of bands_b; the union leg covers sz_b) before
+    # the racing broadcast-subquery consumers launch
+    bands_b.select(F.lit(1).alias("_one")).unionAll(
+        sz_b.select(F.lit(1).alias("_one"))
+    ).count()
     cand_bc = (
         bands_b.select(F.col("id").alias("id_a"), "band", "bkey")
         .join(bands_c.select(F.col("id").alias("id_b"), "band", "bkey"),
@@ -890,13 +901,10 @@ def dedup_clusters_incremental(spark, sf_dir):
         .distinct()
     )
 
-    # batch-side shingle set sizes, once for both verify arms; the
-    # corpus-side sizes come precomputed from the resident state.
     # (A fused single-pass verify over the unioned candidates/shingle
     # relations was A/B-measured at 21 s warm vs 7.7 s for this
     # two-arm form — the union defeats the per-arm join-strategy and
     # statistics choices — and was reverted; see OPTIMIZATION_r15.md.)
-    sz_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     def verify(cand, sh_right, sz_right):
         a_sh = sh_b.select(F.col("id").alias("id_a"), "shingle")
