@@ -216,12 +216,18 @@ def distributed_rank(
     instead of one reducer sorting a billion rows.  The caller must
     ensure the composite (part_cols + order_cols) key is unique
     (append a unique id as the last order column)."""
+    # Construction cost matters here: this builder has ~20 consumer
+    # queries and the original withColumn/withColumnRenamed/drop chain
+    # measured ~0.21 s of driver plan-construction time per call
+    # (round 16) — the fused selects below build the identical relation
+    # in ~¼ of the py4j round trips.
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    out_cols = df.columns
     by_range = df.repartitionByRange(
         n_ranges, *[F.col(c) for c in part_cols], *order_exprs
-    ).withColumn("_pid", F.spark_partition_id())
+    ).select("*", F.spark_partition_id().alias("_pid"))
     wl = Window.partitionBy("_pid", *part_cols).orderBy(*order_exprs)
-    local = by_range.withColumn("_lrn", F.row_number().over(wl))
+    local = by_range.select("*", F.row_number().over(wl).alias("_lrn"))
     sizes = local.groupBy("_pid", *part_cols).agg(
         F.count(F.lit(1)).alias("_sz")
     )
@@ -230,27 +236,21 @@ def distributed_rank(
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = sizes.select(
-        "_pid",
-        *part_cols,
+    # offset side carries disambiguated names so the final projection
+    # can drop it wholesale (no per-column rename/drop round trips)
+    off = sizes.select(
+        F.col("_pid").alias("_o_pid"),
+        *[F.col(c).alias(f"_o_{c}") for c in part_cols],
         F.coalesce(F.sum("_sz").over(wo), F.lit(0)).alias("_off"),
     )
     # null-SAFE equi-join on the partition key: a window's PARTITION BY
     # treats NULL as its own group, so a plain join (NULL != NULL)
     # would silently drop every row of a NULL-keyed group
-    off = offsets
-    renames = {c: f"_o_{c}" for c in part_cols}
-    for c, rc in renames.items():
-        off = off.withColumnRenamed(c, rc)
-    cond = local["_pid"] == off["_pid"]
-    for c, rc in renames.items():
-        cond = cond & local[c].eqNullSafe(off[rc])
-    return (
-        local.join(F.broadcast(off), cond)
-        .drop(off["_pid"])
-        .drop(*renames.values())
-        .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
-        .drop("_pid", "_lrn", "_off")
+    cond = local["_pid"] == off["_o_pid"]
+    for c in part_cols:
+        cond = cond & local[c].eqNullSafe(off[f"_o_{c}"])
+    return local.join(F.broadcast(off), cond).select(
+        *out_cols, (F.col("_lrn") + F.col("_off")).alias(rank_col)
     )
 
 
@@ -297,16 +297,19 @@ def distributed_prefix_sum(
     quality order until N tokens"): the global sorted prefix decides
     membership, and no reducer ever sees more than 1/n_ranges of the
     data."""
+    # same fused-select construction as distributed_rank (shared
+    # rationale there: ~20 consumers, driver plan-construction cost)
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    out_cols = df.columns
     by_range = df.repartitionByRange(
         n_ranges, *[F.col(c) for c in part_cols], *order_exprs
-    ).withColumn("_pid", F.spark_partition_id())
+    ).select("*", F.spark_partition_id().alias("_pid"))
     wl = (
         Window.partitionBy("_pid", *part_cols)
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = by_range.withColumn("_lcs", F.sum(value_col).over(wl))
+    local = by_range.select("*", F.sum(value_col).over(wl).alias("_lcs"))
     sizes = local.groupBy("_pid", *part_cols).agg(
         F.sum(value_col).alias("_sz")
     )
@@ -315,22 +318,14 @@ def distributed_prefix_sum(
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = sizes.select(
-        "_pid",
-        *part_cols,
+    off = sizes.select(
+        F.col("_pid").alias("_o_pid"),
+        *[F.col(c).alias(f"_o_{c}") for c in part_cols],
         F.coalesce(F.sum("_sz").over(wo), F.lit(0)).alias("_off"),
     )
-    off = offsets
-    renames = {c: f"_o_{c}" for c in part_cols}
-    for c, rc in renames.items():
-        off = off.withColumnRenamed(c, rc)
-    cond = local["_pid"] == off["_pid"]
-    for c, rc in renames.items():
-        cond = cond & local[c].eqNullSafe(off[rc])
-    return (
-        local.join(F.broadcast(off), cond)
-        .drop(off["_pid"])
-        .drop(*renames.values())
-        .withColumn(out_col, F.col("_lcs") + F.col("_off"))
-        .drop("_pid", "_lcs", "_off")
+    cond = local["_pid"] == off["_o_pid"]
+    for c in part_cols:
+        cond = cond & local[c].eqNullSafe(off[f"_o_{c}"])
+    return local.join(F.broadcast(off), cond).select(
+        *out_cols, (F.col("_lcs") + F.col("_off")).alias(out_col)
     )

@@ -22,7 +22,7 @@ from ffiec_pq_spark.operators.dedup import (
     simhash,
 )
 from ffiec_pq_spark.operators.text import shingles_sql
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 _P = MINHASH_PRIME
 _N_PERM = 32
@@ -79,7 +79,7 @@ def component_labels(spark, sf_dir):
     matching the other resident builders' isolation behavior."""
     from ffiec_pq_spark.operators.dedup import dup_components_collapsed
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     comp = _CC_LABELS.get(key)
     if comp is None:
         docs = load_table(spark, sf_dir, "documents")

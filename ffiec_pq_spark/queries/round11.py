@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.queries.round8 import _stream_neardup_oracle
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 
 @register(
@@ -57,7 +57,7 @@ def stream_minhash_neardup_bounded(spark, sf_dir):
 
     from ffiec_pq_spark.streaming.neardup import run_neardup_bounded_stream
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     out = _BOUNDED_NEARDUP_RUNS.get(key)
     if out is None:
         out = run_neardup_bounded_stream(spark, sf_dir)

@@ -35,8 +35,9 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.streaming.state import read_state
 from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 # --------------------------------------------------------------------------
 # users_weekly_snapshot_scd2
@@ -216,7 +217,7 @@ def stream_scd2_snapshot_fold(spark, sf_dir):
             if state["path"] is None:
                 merged = b
             else:
-                prev = spark.read.parquet(state["path"])
+                prev = read_state(spark, state["path"])
                 closed = prev.filter(F.col("is_current") == 0)
                 open_ = prev.filter(F.col("is_current") == 1).select(
                     "user_id",
@@ -287,7 +288,7 @@ def stream_scd2_snapshot_fold(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        final = spark.read.parquet(state["path"]).select(
+        final = read_state(spark, state["path"]).select(
             "user_id", "event_type", "valid_from", "valid_to", "is_current"
         )
         return final.localCheckpoint(eager=True)
@@ -408,7 +409,7 @@ def _bm25_index(spark, sf_dir):
     reuses it shuffle-free (guide §2.4)."""
     from ffiec_pq_spark.operators.text import tokens
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _BM25_INDEX.get(key)
     if st is not None:
         return st
@@ -706,7 +707,7 @@ def _inc_corpus_state(spark, sf_dir) -> dict:
     )
     from ffiec_pq_spark.queries.round9c import _INC_BATCH_MIN, _INC_MOD
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _INC_STATE.get(key)
     if st is not None:
         return st

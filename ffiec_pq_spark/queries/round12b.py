@@ -20,8 +20,9 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.streaming.state import read_state
 from ffiec_pq_spark.resident import register_clear_hook
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 from ffiec_pq_spark.queries.round12 import _BM25_TOPK_SQL
 from ffiec_pq_spark.operators.linear_probe import (
     PROBE_D_PER_N,
@@ -210,7 +211,7 @@ def probe_weights(spark, sf_dir):
     """The full-corpus trained probe, memoized per dataset
     (``_PROBE_MODELS``) — shared by the batch scorer and the
     gate-calibration sweep so both serve the SAME resident model."""
-    key = os.path.abspath(sf_dir)
+    key = dataset_key(None, sf_dir)
     if key not in _PROBE_MODELS:
         emb = probe_corpus(spark, sf_dir)
         y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
@@ -311,7 +312,7 @@ def embedding_probe_heldout_eval(spark, sf_dir):
     )
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
     is_train = F.col("vec_id") % 5 != 0
-    key = os.path.abspath(sf_dir) + "#train80"
+    key = dataset_key(None, sf_dir) + ("train80",)
     if key not in _PROBE_MODELS:
         a, b, n = gram_moment(
             emb.filter(is_train).select("embedding", y.alias("_yy")),
@@ -521,7 +522,7 @@ def stream_bm25_index_fold(spark, sf_dir, chunk_order=None):
     out_schema = (
         "q_id long, rank long, doc_id long, score_micro long"
     )
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _BM25_STREAM_STATE.get(key) if chunk_order is None else None
     if st is None:
         if corpus.isEmpty():
@@ -565,12 +566,12 @@ def _bm25_serve(spark, d, st, ephemeral=False, tomb=None):
     from ffiec_pq_spark.queries.round12 import _bm25_rank_postings
 
     try:
-        tf = spark.read.parquet(st["tf"])
+        tf = read_state(spark, st["tf"])
         if tomb is not None:
             tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
-        dl = spark.read.parquet(st["dl"])
-        df_t = spark.read.parquet(st["df"])
-        stats = spark.read.parquet(st["meta"]).select(
+        dl = read_state(spark, st["dl"])
+        df_t = read_state(spark, st["df"])
+        stats = read_state(spark, st["meta"]).select(
             F.col("n_docs"),
             (
                 F.col("sum_dl").cast("double")
@@ -626,12 +627,12 @@ def _bm25_insert_fold(spark, state, workdir, tf_dir, dl_dir):
         )
         if state["df"] is not None:
             df_b = (
-                spark.read.parquet(state["df"])
+                read_state(spark, state["df"])
                 .unionByName(df_b)
                 .groupBy("term")
                 .agg(F.sum("df").alias("df"))
             )
-            prev_meta = spark.read.parquet(state["meta"])
+            prev_meta = read_state(spark, state["meta"])
             meta_b = (
                 prev_meta.unionByName(meta_b)
                 .agg(
@@ -884,14 +885,14 @@ def stream_bm25_delete_fold(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     out_schema = "q_id long, rank long, doc_id long, score_micro long"
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _BM25_DEL_STATE.get(key)
     if st is None:
         if corpus.isEmpty():
             return spark.createDataFrame([], out_schema)
         st = _bm25_delete_build(spark, corpus)
         _BM25_DEL_STATE[key] = st
-    tomb = spark.read.parquet(st["tomb"]).select("doc_id")
+    tomb = read_state(spark, st["tomb"]).select("doc_id")
     return _bm25_serve(spark, d, st, tomb=tomb)
 
 
@@ -933,7 +934,7 @@ def _bm25_delete_fold(spark, state, workdir, tf, dl):
         df_dec = del_tf.groupBy("term").agg(
             F.count(F.lit(1)).alias("dec")
         )
-        df_prev = spark.read.parquet(state["df"])
+        df_prev = read_state(spark, state["df"])
         df_new = (
             df_prev.join(df_dec, "term", "left")
             .select(
@@ -950,13 +951,13 @@ def _bm25_delete_fold(spark, state, workdir, tf, dl):
             .cast("long")
             .alias("dl_del"),
         )
-        meta_prev = spark.read.parquet(state["meta"])
+        meta_prev = read_state(spark, state["meta"])
         meta_new = meta_prev.crossJoin(F.broadcast(dec_meta)).select(
             (F.col("n_docs") - F.col("n_del")).alias("n_docs"),
             (F.col("sum_dl") - F.col("dl_del")).alias("sum_dl"),
         )
         tomb_new = (
-            spark.read.parquet(state["tomb"]).unionByName(batch_ids)
+            read_state(spark, state["tomb"]).unionByName(batch_ids)
         )
         emit_versioned(
             state, workdir,
@@ -1164,7 +1165,7 @@ def embedding_probe_unlearn(spark, sf_dir):
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")
-    key = os.path.abspath(sf_dir)
+    key = dataset_key(None, sf_dir)
     if key not in _PROBE_STATS:
         _PROBE_STATS[key] = gram_moment(
             emb.select("embedding", y.alias("_yy")), "embedding", "_yy",
@@ -1260,7 +1261,7 @@ def stream_probe_stats_fold(spark, sf_dir):
     out_schema = (
         "vec_id long, y long, margin_micro long, rank long, kept boolean"
     )
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _PROBE_STREAM_STATE.get(key)
     if st is None:
         if emb.isEmpty():
@@ -1315,7 +1316,7 @@ def stream_probe_stats_fold(spark, sf_dir):
                 )
                 if state["stats"] is not None:
                     stats_b = (
-                        spark.read.parquet(state["stats"])
+                        read_state(spark, state["stats"])
                         .unionByName(stats_b)
                         .groupBy("i")
                         .agg(
@@ -1348,7 +1349,7 @@ def stream_probe_stats_fold(spark, sf_dir):
             raise
 
     a, b, n = stats_rows_to_abn(
-        spark.read.parquet(st["stats"]).collect(), _DIM
+        read_state(spark, st["stats"]).collect(), _DIM
     )
     w = probe_fit_int(a, b, n, iters=PROBE_ITERS)
     y = (F.coalesce(F.col("label"), F.lit(0)) == 0).cast("long")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.resident import register_clear_hook
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 # --------------------------------------------------------------------------
 # doc_kn_trigram — interpolated modified Kneser-Ney trigrams.
@@ -505,7 +505,7 @@ def doc_kn_trigram(spark, sf_dir):
     relation is RESIDENT per (session, dataset) — estimation runs
     once (the cold column), every repeat call and every downstream
     consumer serves the checkpointed relation."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     cached = _KN3_SCORES.get(key)
     if cached is not None:
         return cached

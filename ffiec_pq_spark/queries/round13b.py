@@ -18,8 +18,9 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.streaming.state import read_state
 from ffiec_pq_spark.resident import register_clear_hook
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 _D = 0.75  # exact in binary: (n2 - 0.75) is one correctly-rounded op
 
@@ -373,7 +374,7 @@ def _kn_insert_fold(spark, state, workdir):
         )
         if state["c2"] is not None:
             c2_b = (
-                spark.read.parquet(state["c2"])
+                read_state(spark, state["c2"])
                 .unionByName(c2_b)
                 .groupBy("w1", "w2")
                 .agg(F.sum("n2").cast("long").alias("n2"))
@@ -443,7 +444,7 @@ def _kn_serve(spark, docs, st, ephemeral=False):
     import shutil
 
     try:
-        c2 = spark.read.parquet(st["c2"])
+        c2 = read_state(spark, st["c2"])
         served = _kn_scores(c2, _bigrams(docs))
         return served.localCheckpoint(eager=True)
     finally:
@@ -483,7 +484,7 @@ def stream_kn_counts_fold(spark, sf_dir, chunk_order=None):
 
     ensure_session_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _KN_STREAM_STATE.get(key) if chunk_order is None else None
     if st is None:
         if docs.isEmpty():
@@ -545,7 +546,7 @@ register_clear_hook("kn_stats", clear_kn_stats, state=_KN_STATS)
 
 
 def _kn_full_counts(spark, sf_dir):
-    key = os.path.abspath(sf_dir)
+    key = dataset_key(None, sf_dir)
     c2 = _KN_STATS.get(key)
     if c2 is None:
         docs = load_table(spark, sf_dir, "documents")

@@ -45,7 +45,7 @@ from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.functions.lits import double_array
 from ffiec_pq_spark.operators.similarity import cosine, dot, ivf_centroid, norm
 from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 # --------------------------------------------------------------------------
 # retrieval_rrf_hybrid
@@ -321,7 +321,7 @@ def _cell_frames(spark, sf_dir, nc=None):
     serve, and the erasure path."""
     if nc is None:
         nc = _n_cells()
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), nc)
+    key = dataset_key(spark, sf_dir) + (nc,)
     cached = _CELL_FRAMES.get(key)
     if cached is not None:
         return cached
@@ -1137,7 +1137,7 @@ def _gated_frame(spark, sf_dir):
     checkpointed, the intermediate population is unpersisted
     immediately after, and every consumer reads the cached relation
     (so repeated calls no longer accumulate per-call persists)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     cached = _GATED_FRAMES.get(key)
     if cached is not None:
         return cached

@@ -27,8 +27,9 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.streaming.state import read_state
 from ffiec_pq_spark.resident import register_clear_hook
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 _SC_OUT_SCHEMA = (
     "source string, n_docs long, n_tokens long, mean_quality double"
@@ -122,7 +123,7 @@ def _sc_insert_fold(spark, state, workdir):
         st_b = _sc_stats(batch_df)
         if state["stats"] is not None:
             st_b = (
-                spark.read.parquet(state["stats"])
+                read_state(spark, state["stats"])
                 .unionByName(st_b)
                 .groupBy("source")
                 .agg(
@@ -220,7 +221,7 @@ def stream_scorecard_fold(spark, sf_dir, chunk_order=None):
 
     ensure_session_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _SC_STREAM_STATE.get(key) if chunk_order is None else None
     if st is None:
         if docs.isEmpty():
@@ -228,7 +229,7 @@ def stream_scorecard_fold(spark, sf_dir, chunk_order=None):
         st = _sc_stream_build(spark, docs, chunk_order)
         if chunk_order is None:
             _SC_STREAM_STATE[key] = st
-    served = _sc_serve(spark.read.parquet(st["stats"]))
+    served = _sc_serve(read_state(spark, st["stats"]))
     if chunk_order is not None:
         import shutil
 

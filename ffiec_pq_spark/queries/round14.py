@@ -36,8 +36,9 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.streaming.state import read_state
 from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 from ffiec_pq_spark.queries.round13c import (
     _corpus_cells,
     _dense_rank_cells,
@@ -89,16 +90,16 @@ def _rrf_serve(spark, sf_dir, st, ephemeral=False, tomb=None):
     from ffiec_pq_spark.queries.round12 import _bm25_rank_postings
 
     try:
-        tf = spark.read.parquet(st["tf"]).select("doc_id", "term", "tf")
-        dl = spark.read.parquet(st["dl"]).select("doc_id", "dl")
-        cells = spark.read.parquet(st["cells"]).select(
+        tf = read_state(spark, st["tf"]).select("doc_id", "term", "tf")
+        dl = read_state(spark, st["dl"]).select("doc_id", "dl")
+        cells = read_state(spark, st["cells"]).select(
             "doc_id", "_ce", "_nc", "cell"
         )
         if tomb is not None:
             tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
             cells = cells.join(F.broadcast(tomb), "doc_id", "left_anti")
-        df_t = spark.read.parquet(st["df"])
-        stats = spark.read.parquet(st["meta"]).select(
+        df_t = read_state(spark, st["df"])
+        stats = read_state(spark, st["meta"]).select(
             F.col("n_docs"),
             (
                 F.col("sum_dl").cast("double")
@@ -182,13 +183,13 @@ def _rrf_insert_fold(spark, state, workdir, tf_dir, dl_dir, cells_dir):
         )
         if state["df"] is not None:
             df_b = (
-                spark.read.parquet(state["df"])
+                read_state(spark, state["df"])
                 .unionByName(df_b)
                 .groupBy("term")
                 .agg(F.sum("df").alias("df"))
             )
             meta_b = (
-                spark.read.parquet(state["meta"])
+                read_state(spark, state["meta"])
                 .unionByName(meta_b)
                 .agg(
                     F.sum("n_docs").cast("long").alias("n_docs"),
@@ -345,11 +346,7 @@ def stream_rrf_fold(spark, sf_dir, chunk_order=None):
 
     ensure_session_confs(spark)
     corpus = _fusion_corpus(spark, sf_dir)
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        _n_cells(),
-    )
+    key = dataset_key(spark, sf_dir) + (_n_cells(),)
     st = _RRF_STREAM_STATE.get(key) if chunk_order is None else None
     if st is None:
         if corpus.isEmpty():
@@ -407,7 +404,7 @@ def _rrf_delete_fold(spark, state, workdir, tf, dl):
         batch_ids = batch_df.select("doc_id")
         del_tf = tf.join(F.broadcast(batch_ids), "doc_id", "left_semi")
         df_dec = del_tf.groupBy("term").agg(F.count(F.lit(1)).alias("dec"))
-        df_prev = spark.read.parquet(state["df"])
+        df_prev = read_state(spark, state["df"])
         df_new = (
             df_prev.join(df_dec, "term", "left")
             .select(
@@ -425,12 +422,12 @@ def _rrf_delete_fold(spark, state, workdir, tf, dl):
             F.count(F.lit(1)).cast("long").alias("n_del"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dl_del"),
         )
-        meta_prev = spark.read.parquet(state["meta"])
+        meta_prev = read_state(spark, state["meta"])
         meta_new = meta_prev.crossJoin(F.broadcast(dec_meta)).select(
             (F.col("n_docs") - F.col("n_del")).alias("n_docs"),
             (F.col("sum_dl") - F.col("dl_del")).alias("sum_dl"),
         )
-        tomb_new = spark.read.parquet(state["tomb"]).unionByName(batch_ids)
+        tomb_new = read_state(spark, state["tomb"]).unionByName(batch_ids)
         emit_versioned(
             state, workdir,
             {"df": df_new, "meta": meta_new, "tomb": tomb_new},
@@ -589,11 +586,7 @@ def retrieval_unlearn(spark, sf_dir):
 
     ensure_session_confs(spark)
     corpus = _fusion_corpus(spark, sf_dir)
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        _n_cells(),
-    )
+    key = dataset_key(spark, sf_dir) + (_n_cells(),)
     st = _RRF_DEL_STATE.get(key)
     if st is None:
         if corpus.isEmpty():
@@ -604,7 +597,7 @@ def retrieval_unlearn(spark, sf_dir):
     # stream fold's convention): recomputed only when the state dict
     # itself is rebuilt or cleared
     if st.get("serve") is None:
-        tomb = spark.read.parquet(st["tomb"]).select("doc_id")
+        tomb = read_state(spark, st["tomb"]).select("doc_id")
         st["serve"] = _rrf_serve(spark, sf_dir, st, tomb=tomb)
     return st["serve"]
 
@@ -806,7 +799,7 @@ def ensemble_weights(spark, sf_dir):
     state."""
     from ffiec_pq_spark.operators.linear_probe import probe_fit_int
 
-    key = os.path.abspath(sf_dir)
+    key = dataset_key(None, sf_dir)
     if key not in _ENSEMBLE_MODELS:
         _ENSEMBLE_MODELS[key] = probe_fit_int(
             *_ens_stats(_ens_population(spark, sf_dir))

@@ -27,8 +27,9 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.streaming.state import read_state
 from ffiec_pq_spark.resident import register_clear_hook, tracked_persist
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 from ffiec_pq_spark.queries.round14 import (
     _ENS_DIM,
     _ENS_PCTS,
@@ -185,7 +186,7 @@ def gate_ensemble_heldout_eval(spark, sf_dir):
 
     base = _ens_population(spark, sf_dir)
     is_train = F.col("doc_id") % 5 != 0
-    key = os.path.abspath(sf_dir) + "#train80"
+    key = dataset_key(None, sf_dir) + ("train80",)
     if key not in _ENS_SPLIT_MODELS:
         _ENS_SPLIT_MODELS[key] = probe_fit_int(
             *_ens_stats(base.filter(is_train))
@@ -345,7 +346,7 @@ def gate_ensemble_unlearn(spark, sf_dir):
 
     base = _ens_population(spark, sf_dir)
     erased = F.col("doc_id") % _ENS_FORGET_MOD == _ENS_FORGET_SLOT
-    key = os.path.abspath(sf_dir)
+    key = dataset_key(None, sf_dir)
     if key not in _ENS_STATS_MEMO:
         _ENS_STATS_MEMO[key] = _ens_stats(base)
     a, b, n = _ENS_STATS_MEMO[key]
@@ -620,7 +621,7 @@ def _ens_stats_fold(spark, state, workdir):
         stats_b = _ens_stats_rows(batch_df.select("y", "_xqa"))
         if state["stats"] is not None:
             stats_b = (
-                spark.read.parquet(state["stats"])
+                read_state(spark, state["stats"])
                 .unionByName(stats_b)
                 .groupBy("i")
                 .agg(
@@ -722,7 +723,7 @@ def stream_ensemble_stats_fold(spark, sf_dir, chunk_order=None):
 
     ensure_session_confs(spark)
     pop = _ens_population(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _ENS_STREAM_STATE.get(key) if chunk_order is None else None
     ephemeral = False
     if st is None:
@@ -742,7 +743,7 @@ def stream_ensemble_stats_fold(spark, sf_dir, chunk_order=None):
             ephemeral = True
     try:
         a, b, n = stats_rows_to_abn(
-            spark.read.parquet(st["stats"]).collect(), _ENS_DIM
+            read_state(spark, st["stats"]).collect(), _ENS_DIM
         )
         w = probe_fit_int(a, b, n)
         scored = pop.select(

@@ -28,7 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 
 # --------------------------------------------------------------------------
@@ -516,7 +516,7 @@ def gate_ensemble_ablation(spark, sf_dir):
     import os as _os
 
     pop = _ens_population(spark, sf_dir)
-    key = _os.path.abspath(sf_dir)
+    key = dataset_key(None, sf_dir)
     if key not in _ENS_STATS_MEMO:
         _ENS_STATS_MEMO[key] = _ens_stats(pop)
     a, b, n = _ENS_STATS_MEMO[key]

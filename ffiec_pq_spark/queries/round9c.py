@@ -45,7 +45,7 @@ from ffiec_pq_spark.functions.lits import double_array
 from ffiec_pq_spark.resident import register_clear_hook
 from ffiec_pq_spark.operators.pq import pq_adc_topk, pq_codes, pq_fit
 from ffiec_pq_spark.queries.similarity import _DIM, _PROBE
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 # PQ geometry for the certified queries: 64-dim embeddings split into
 # m=4 subspaces of 16 dims, k=4 codes per subspace, 3 Lloyd steps —
@@ -547,7 +547,7 @@ def _ivfpq_model(spark, sf_dir):
     from ffiec_pq_spark.operators.pq import ivfpq_residuals, pq_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = os.path.abspath(sf_dir)
+    key = dataset_key(None, sf_dir)
     model = _IVFPQ_MODELS.get(key)
     if model is None:
         coarse = kmeans_fit(emb, k=_CO_K, dim=_DIM, iters=_CO_ITERS)
@@ -591,7 +591,7 @@ def _ivfpq_serve_state(spark, sf_dir) -> dict:
     from ffiec_pq_spark.operators.pq import ivfpq_cell_ranks, ivfpq_codes
     from ffiec_pq_spark.queries.similarity import _PROBE
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = dataset_key(spark, sf_dir)
     st = _IVFPQ_SERVE.get(key)
     if st is None:
         coarse, books, resid = _ivfpq_model(spark, sf_dir)

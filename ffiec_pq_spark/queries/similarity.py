@@ -15,7 +15,7 @@ from ffiec_pq_spark.operators.similarity import (
     cosine_pairs_within,
     hyperplane_lsh_buckets,
 )
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import dataset_key, load_table
 
 # Deterministic probe: an explicit constant vector (alternating ±1 ramp)
 # so the query needs no data-dependent driver lookup.
@@ -292,7 +292,7 @@ def _kmeans_cents(spark, sf_dir, k: int = 4, iters: int = 3) -> list:
     """Train-or-fetch the shared embedding-corpus quantizer."""
     from ffiec_pq_spark.operators.kmeans import kmeans_fit
 
-    key = (os.path.abspath(sf_dir), k, iters)
+    key = dataset_key(None, sf_dir) + (k, iters)
     if key not in _KMEANS_MODELS:
         emb = load_table(spark, sf_dir, "embeddings")
         _KMEANS_MODELS[key] = kmeans_fit(emb, k=k, dim=_DIM, iters=iters)
@@ -576,7 +576,7 @@ def embedding_pca_scores(spark, sf_dir):
     from ffiec_pq_spark.operators.pca import pca_fit, pca_scores
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = os.path.abspath(sf_dir)
+    key = dataset_key(None, sf_dir)
     if key not in _PCA_MODELS:
         _PCA_MODELS[key] = pca_fit(emb, "embedding", _DIM, iters=5)
     return pca_scores(

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.streaming.state import read_state
 
 _SINK_IDS = itertools.count()
 
@@ -354,7 +355,7 @@ def stream_upsert_latest(spark, sf_dir):
                 F.max(payload).alias("s")
             )
             if state["path"] is not None:
-                prev = spark.read.parquet(state["path"])
+                prev = read_state(spark, state["path"])
                 reduced = (
                     prev.select("user_id", payload.alias("s"))
                     .unionByName(reduced)
@@ -374,7 +375,7 @@ def stream_upsert_latest(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        final = spark.read.parquet(state["path"])
+        final = read_state(spark, state["path"])
         agg = final.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_users"),
             F.round(F.sum("value"), 4).alias("total_latest_value"),
@@ -488,7 +489,7 @@ def stream_incremental_agg(spark, sf_dir):
                 F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
             )
             if state["path"] is not None:
-                prev = spark.read.parquet(state["path"])
+                prev = read_state(spark, state["path"])
                 part = (
                     prev.unionByName(part)
                     .groupBy("user_id", "event_type")
@@ -507,7 +508,7 @@ def stream_incremental_agg(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        final = spark.read.parquet(state["path"])
+        final = read_state(spark, state["path"])
         agg = final.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum("n").alias("n_events"),

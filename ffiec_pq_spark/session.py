@@ -58,6 +58,16 @@ def get_spark(app_name: str = "ffiec_pq_spark", cpus: int | None = None) -> Spar
     return spark
 
 
+# Sessions whose confs ensure_session_confs already pinned, by
+# applicationId: the pin itself is 3-4 py4j round trips and
+# ensure_session_confs runs inside every load_table call (round-16
+# profile: a visible slice of each query's driver time).  Pinning is
+# idempotent for the session's lifetime — nothing legitimately unpins
+# mid-session — and clear_all_resident_state drops the memo with the
+# rest of the resident registry.
+_CONFED_APPS: dict = {}
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Defensively pin the runtime-settable confs our semantics rely on.
 
@@ -65,9 +75,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     (e.g. the round driver's own harness): without nanosAsLong, reading
     the TIMESTAMP(NANOS) events table raises PARQUET_TYPE_ILLEGAL; a
     non-UTC session timezone would shift timestamp values away from the
-    UTC-naive DuckDB oracle."""
+    UTC-naive DuckDB oracle.  Pinned once per applicationId."""
+    try:
+        app = spark.sparkContext.applicationId
+        if app in _CONFED_APPS:
+            return
+    except Exception:
+        app = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if app is not None:
+        _CONFED_APPS[app] = True
     # perf, not semantics (safe on a caller-owned session): drop the
     # 3-py4j-calls-per-op Python call-site capture unless the caller
     # already pinned it explicitly.  PySpark caches the flag at first
@@ -124,15 +142,63 @@ def spread(df, min_partitions: int | None = None):
     return df
 
 
-def _register_spread_hook() -> None:
+def dataset_fingerprint(sf_dir: str) -> tuple:
+    """Cheap on-disk identity of a dataset directory: the sorted
+    (name, mtime_ns, size) of its ``*.parquet`` entries — a handful of
+    stat calls, no Spark.  Folding this into every resident memo key
+    makes staleness after an in-place dataset rewrite impossible by
+    construction (the rewrite changes mtimes, so it changes the key)
+    instead of relying on callers remembering
+    ``clear_all_resident_state()`` (the round-15 BM25-memo lesson)."""
+    try:
+        with os.scandir(sf_dir) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                    if e.name.endswith(".parquet")
+                )
+            )
+    except OSError:
+        return ("<unlistable>",)
+
+
+def dataset_key(spark, sf_dir: str) -> tuple:
+    """The canonical resident-memo key for per-(session, dataset)
+    state: (applicationId, abspath, on-disk fingerprint).  Pass
+    ``spark=None`` for memos that deliberately outlive sessions
+    (driver-side model constants)."""
+    return (
+        spark.sparkContext.applicationId if spark is not None else None,
+        os.path.abspath(sf_dir),
+        dataset_fingerprint(sf_dir),
+    )
+
+
+# Loaded driver-table DataFrames per (applicationId, file, on-disk
+# fingerprint): spark.read.parquet pays schema inference + file
+# listing on EVERY call (~70 ms profiled round 16), and every query
+# builder starts with 1-3 load_table calls.  A DataFrame is an
+# immutable plan, so reusing the object is safe; the fingerprint in
+# the key picks up in-place rewrites automatically.
+_TABLE_FRAMES: dict = {}
+
+
+def _register_session_hooks() -> None:
     from ffiec_pq_spark.resident import register_clear_hook
 
     register_clear_hook(
         "spread_partition_probe", _SPREAD_COUNTS.clear, state=_SPREAD_COUNTS
     )
+    register_clear_hook(
+        "session_conf_pins", _CONFED_APPS.clear, state=_CONFED_APPS
+    )
+    register_clear_hook(
+        "table_frames", _TABLE_FRAMES.clear, state=_TABLE_FRAMES
+    )
 
 
-_register_spread_hook()
+_register_session_hooks()
 
 
 def local_frame(spark: SparkSession, rows, schema):
@@ -198,13 +264,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     to Spark's native microsecond timestamp (floor division, matching
     DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_event_ts(df)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        fp = (st.st_mtime_ns, st.st_size)
+        app = spark.sparkContext.applicationId
+    except Exception:
+        # missing file (read below raises the standard error) or a
+        # mocked session: skip the memo, keep the classic behavior
+        df = spark.read.parquet(path)
+        return normalize_event_ts(df) if name == "events" else df
+    key = (app, os.path.abspath(path), fp)
+    df = _TABLE_FRAMES.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = normalize_event_ts(df)
+        _TABLE_FRAMES[key] = df
     return df
 
 

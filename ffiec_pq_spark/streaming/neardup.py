@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.resident import register_clear_hook
+from ffiec_pq_spark.session import dataset_key
 
 # Live stream workdirs keyed by (sf_dir, compact_every): a durable
 # stream's checkpoint + state OUTLIVE any one attach — re-running the
@@ -93,7 +94,7 @@ def run_neardup_stream(
 
     ensure_session_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    key = (os.path.abspath(sf_dir), compact_every)
+    key = dataset_key(None, sf_dir) + (compact_every,)
     workdir = _LIVE_RUNS.get(key)
     fresh = workdir is None or not os.path.isdir(workdir)
     if fresh:

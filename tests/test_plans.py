@@ -1181,9 +1181,10 @@ def test_kn_stream_serve_scores_from_folded_state(spark, sf_dir):
     )
     from ffiec_pq_spark.session import load_table
 
+    from ffiec_pq_spark.session import dataset_key
+
     stream_kn_counts_fold(spark, sf_dir)  # ensure resident state
-    key = (spark.sparkContext.applicationId, __import__("os").path.abspath(sf_dir))
-    st = _KN_STREAM_STATE[key]
+    st = _KN_STREAM_STATE[dataset_key(spark, sf_dir)]
     docs = load_table(spark, sf_dir, "documents")
     served = _kn_scores(spark.read.parquet(st["c2"]), _bigrams(docs))
     plan = physical_plan(served)

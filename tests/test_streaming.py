@@ -384,7 +384,9 @@ def test_neardup_reattach_heals_compaction_crash(spark, sf_dir):
     baseline = sorted(
         map(tuple, neardup.run_neardup_stream(spark, sf_dir).collect())
     )
-    workdir = neardup._LIVE_RUNS[(os.path.abspath(sf_dir), None)]
+    from ffiec_pq_spark.session import dataset_key
+
+    workdir = neardup._LIVE_RUNS[dataset_key(None, sf_dir) + (None,)]
     state_dir = os.path.join(workdir, "band_state")
     # simulate the crash landing between the two renames: only the
     # .old sibling exists when the next attach starts
