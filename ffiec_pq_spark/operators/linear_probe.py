@@ -63,14 +63,24 @@ PROBE_ITERS = 5
 _I64_MAX = (1 << 63) - 1
 
 
+def _xq_sql(vec_col: str) -> str:
+    """The quantization rendered as SQL — the SINGLE source both the
+    training side (:func:`_xq_col` / ``gram_moment_df``) and the
+    scoring side (:func:`probe_margins`) parse, so the two can never
+    silently diverge (r15 ADVICE item).  Backticks in the column name
+    are escaped (`` -> ````) so arbitrary names keep working."""
+    quoted = vec_col.replace("`", "``")
+    return (
+        f"transform(cast(`{quoted}` as array<double>), "
+        f"x -> cast(round(x * {float(PROBE_SX)!r}D, 0) as bigint))"
+    )
+
+
 def _xq_col(vec_col: str) -> F.Column:
     """Quantized integer copy of the embedding array (exact on both
     engines: float->double exact, *SX correctly rounded to the same
     double, round() half-away-from-zero in Spark and DuckDB)."""
-    return F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * F.lit(float(PROBE_SX)), 0).cast("long"),
-    )
+    return F.expr(_xq_sql(vec_col))
 
 
 def gram_moment_df(
@@ -207,10 +217,7 @@ def probe_margins(
     dot product — the null-safe product makes both engines agree on
     ANY dimension (missing dims contribute 0, the oracle semantics)."""
     w_sql = "array(" + ",".join(f"{int(v)}L" for v in w_int) + ")"
-    xq_sql = (
-        f"transform(cast(`{vec_col}` as array<double>), "
-        f"x -> cast(round(x * {float(PROBE_SX)!r}D, 0) as bigint))"
-    )
+    xq_sql = _xq_sql(vec_col)
     mi = F.expr(
         f"aggregate(zip_with({xq_sql}, {w_sql}, "
         f"(x, w) -> coalesce(x * w, 0L)), 0L, (acc, v) -> acc + v)"

@@ -566,10 +566,13 @@ def _bm25_serve(spark, d, st, ephemeral=False, tomb=None):
     from ffiec_pq_spark.queries.round12 import _bm25_rank_postings
 
     try:
-        tf = read_state(spark, st["tf"])
+        # explicit projections: the insert fold's per-epoch state dirs
+        # surface a partition-discovery ``epoch`` column the scorer
+        # must never see (the round-14 serve's convention)
+        tf = read_state(spark, st["tf"]).select("doc_id", "term", "tf")
         if tomb is not None:
             tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
-        dl = read_state(spark, st["dl"])
+        dl = read_state(spark, st["dl"]).select("doc_id", "dl")
         df_t = read_state(spark, st["df"])
         stats = read_state(spark, st["meta"]).select(
             F.col("n_docs"),
@@ -606,18 +609,33 @@ def _bm25_insert_fold(spark, state, workdir, tf_dir, dl_dir):
         # (at-most-once), dropping that batch's updates
         if epoch_id <= state["epoch"]:
             return
-        tf_b = (
+        # tf is written per-epoch (epoch=N subdir, OVERWRITE) from the
+        # UNCACHED plan and read back for the derivations — three wins
+        # over the former persist()+append (round-16 fold profile):
+        # (1) the cached plan froze the pre-AQE 32-partition layout, so
+        # every epoch appended 32 near-empty files and every
+        # derivation ran a 32-task map side; the uncached write is
+        # AQE-sized (guide §6); (2) per-epoch OVERWRITE makes the
+        # data-sized write idempotent under at-least-once redelivery
+        # (the round-14 dual-arm fold's contract — strictly stronger
+        # than append); (3) the read-back replaces the cache with the
+        # state file the fold was writing anyway.
+        tf_path = os.path.join(tf_dir, f"epoch={epoch_id}")
+        (
             batch_df.select(
                 "doc_id", F.explode(tokens("text")).alias("term")
             )
             .filter(F.col("term") != "")
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .persist()
+            .write.mode("overwrite")
+            .parquet(tf_path)
         )
-        tf_b.write.mode("append").parquet(tf_dir)
+        tf_b = spark.read.parquet(tf_path)
         dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        dl_b.write.mode("append").parquet(dl_dir)
+        dl_b.write.mode("overwrite").parquet(
+            os.path.join(dl_dir, f"epoch={epoch_id}")
+        )
         df_b = tf_b.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         meta_b = batch_df.join(dl_b, "doc_id", "left").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -641,7 +659,6 @@ def _bm25_insert_fold(spark, state, workdir, tf_dir, dl_dir):
                 )
             )
         emit_versioned(state, workdir, {"df": df_b, "meta": meta_b})
-        tf_b.unpersist()
         state["epoch"] = epoch_id
 
     return fold

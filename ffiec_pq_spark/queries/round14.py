@@ -144,6 +144,8 @@ def _rrf_insert_fold(spark, state, workdir, tf_dir, dl_dir, cells_dir):
     def fold(batch_df, epoch_id):
         if epoch_id <= state["epoch"]:
             return
+        from concurrent.futures import ThreadPoolExecutor
+
         # dense arm: argmax cell per arriving vector (pure function of
         # the embedding -> final on arrival).  repartition(8): a
         # micro-batch arrives as ONE staged file, and a 1-file-per-epoch
@@ -155,27 +157,46 @@ def _rrf_insert_fold(spark, state, workdir, tf_dir, dl_dir, cells_dir):
         vec_b = _valid_vectors(
             batch_df.select(F.col("id").alias("vec_id"), "embedding")
         )
-        _corpus_cells(vec_b, state["nc"]).repartition(8).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(cells_dir, f"epoch={epoch_id}"))
-        # lexical arm: postings + lengths for the batch's text docs
+        cells_b = _corpus_cells(vec_b, state["nc"]).repartition(8)
+
+        def _write_cells():
+            cells_b.write.mode("overwrite").parquet(
+                os.path.join(cells_dir, f"epoch={epoch_id}")
+            )
+
+        # lexical arm: postings + lengths for the batch's text docs.
+        # tf is written from the UNCACHED plan and read back for the
+        # derivations: the former .persist() froze the pre-AQE
+        # 32-partition shuffle layout into the cache (cached plans are
+        # exempt from AQE coalescing), so every epoch wrote 32
+        # near-empty parquet files and every derivation ran 32-task
+        # map sides — profiled round 16 at ~2.6 s of per-trigger fixed
+        # cost, writes dominating.  AQE sizes the uncached write
+        # (guide §6 output sizing at any scale), and the read-back is
+        # the same rows from the state dir the fold was writing anyway.
         txt_b = batch_df.filter(F.col("text").isNotNull()).select(
             F.col("id").alias("doc_id"), "text"
         )
-        tf_b = (
+        tf_path = os.path.join(tf_dir, f"epoch={epoch_id}")
+        tf_plan = (
             txt_b.select("doc_id", F.explode(tokens("text")).alias("term"))
             .filter(F.col("term") != "")
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .persist()
         )
-        tf_b.write.mode("overwrite").parquet(
-            os.path.join(tf_dir, f"epoch={epoch_id}")
-        )
-        dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        dl_b.write.mode("overwrite").parquet(
-            os.path.join(dl_dir, f"epoch={epoch_id}")
-        )
+        # the two arms are independent jobs — overlap them (§2.6); the
+        # epoch is recorded only after EVERY write committed, so a
+        # failure in either arm leaves the epoch unrecorded and the
+        # redelivery overwrites both epoch dirs idempotently
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_cells = pool.submit(_write_cells)
+            tf_plan.write.mode("overwrite").parquet(tf_path)
+            tf_b = spark.read.parquet(tf_path)
+            dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            dl_b.write.mode("overwrite").parquet(
+                os.path.join(dl_dir, f"epoch={epoch_id}")
+            )
+            fut_cells.result()
         df_b = tf_b.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         meta_b = txt_b.join(dl_b, "doc_id", "left").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -198,11 +219,9 @@ def _rrf_insert_fold(spark, state, workdir, tf_dir, dl_dir, cells_dir):
             )
         emit_versioned(state, workdir, {"df": df_b, "meta": meta_b})
         # record the epoch the INSTANT the non-idempotent keyed merge
-        # commits: unpersist is mere bookkeeping, but an exception in
-        # it after the pointer flip would leave the epoch unrecorded
-        # and a redelivery would re-merge df/n_docs/sum_dl
+        # commits (the established ordering: recording first would
+        # turn a post-crash redelivery into a silent skip)
         state["epoch"] = epoch_id
-        tf_b.unpersist()
 
     return fold
 

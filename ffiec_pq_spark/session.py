@@ -127,12 +127,16 @@ def spread(df, min_partitions: int | None = None):
     condition is false and no shuffle is added."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
-        key = (
-            df.sparkSession.sparkContext.applicationId,
-            df._jdf.queryExecution().analyzed().semanticHash(),
-        )
+        app = df.sparkSession.sparkContext.applicationId
+        key = (app, df._jdf.queryExecution().analyzed().semanticHash())
         n = _SPREAD_COUNTS.get(key)
         if n is None:
+            # evict entries of other (stopped) sessions on insert: a
+            # long-lived multi-session process otherwise accumulates
+            # dead (appId, hash) tuples forever (r15 ADVICE item)
+            stale = [k for k in _SPREAD_COUNTS if k[0] != app]
+            for k in stale:
+                del _SPREAD_COUNTS[k]
             n = df.rdd.getNumPartitions()
             _SPREAD_COUNTS[key] = n
     except Exception:  # non-classic session (e.g. connect): probe direct

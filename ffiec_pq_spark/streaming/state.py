@@ -108,10 +108,29 @@ def emit_versioned(state: dict, workdir: str, rels: dict) -> None:
     state["version"] += 1
     v = state["version"]
     paths = {}
-    for name, rel in rels.items():
-        out = os.path.join(workdir, f"{name}_v{v}")
-        rel.write.parquet(out)
-        paths[name] = out
+    if len(rels) > 1:
+        # the versioned relations are independent write jobs — overlap
+        # them (guide §2.6).  The flip below still happens only after
+        # EVERY write returned (futures joined), so the write-all-
+        # then-flip crash contract is unchanged: a failure in any
+        # write leaves every pointer on the previous version (the
+        # partially written v-dirs are unreferenced and swept by
+        # retire_versions once two newer versions commit).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            name, rel = item
+            out = os.path.join(workdir, f"{name}_v{v}")
+            rel.write.parquet(out)
+            return name, out
+
+        with ThreadPoolExecutor(max_workers=min(3, len(rels))) as pool:
+            paths = dict(pool.map(_write, rels.items()))
+    else:
+        for name, rel in rels.items():
+            out = os.path.join(workdir, f"{name}_v{v}")
+            rel.write.parquet(out)
+            paths[name] = out
     state.update(paths)
     for name in rels:
         retire_versions(workdir, name, v)

@@ -138,7 +138,7 @@ def test_probe_heldout_eval_contract(spark, sf_dir):
         ).collect()
     }
     keys = set(round12b._PROBE_MODELS)
-    assert any(k.endswith("#train80") for k in keys)
+    assert any(k[-1] == "train80" for k in keys)
     queries()["embedding_probe_train_scores"](spark, sf_dir)
     assert len(round12b._PROBE_MODELS) == 2  # independent models
     for split in ("train", "heldout"):
@@ -224,3 +224,46 @@ def test_margins_partial_dim_vector(spark):
     }
     assert out[1] == 1 * 7  # second weight unused
     assert out[2] == 1 * 7 + (-2) * (-3)  # third dim has no weight
+
+
+def test_probe_margins_expr_matches_column_formulation(spark):
+    """probe_margins' generated-SQL scoring must stay exactly the
+    quantize-fold the training side uses (r15 ADVICE: the two were
+    separate formulations that could silently diverge; they now share
+    _xq_sql, and this test pins the semantics against an INDEPENDENT
+    Column-lambda rendering, including NULL vectors, short vectors and
+    a backticked column name)."""
+    w = [3, -2, 5]
+    rows = [
+        (1, [0.1, 0.2, 0.3], 1),
+        (2, [1.0, -1.0], 0),       # shorter than the probe
+        (3, None, 1),              # NULL vector
+        (4, [0.0004, -0.0006, 2.5], None),  # round-half cases, NULL y
+    ]
+    df = spark.createDataFrame(rows, "id long, `e``mb` array<double>, y long")
+    got = {
+        r["id"]: (r["y"], r["margin_micro"])
+        for r in probe_margins(df, "e`mb", "id", "y", w).collect()
+    }
+    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    xq = F.transform(
+        F.col("`e``mb`").cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(PROBE_SX)), 0).cast("long"),
+    )
+    ref_margin = F.aggregate(
+        F.zip_with(
+            xq, w_arr,
+            lambda x, wv: F.coalesce(x * wv, F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    ref = {
+        r["id"]: (r["y"], r["m"])
+        for r in df.select(
+            "id",
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+            ref_margin.alias("m"),
+        ).collect()
+    }
+    assert got == ref and len(got) == 4
