@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.functions.hashing import hash60, hash60_sql
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import local_frame, load_table
 
 
 @register(
@@ -581,7 +581,7 @@ def consistent_hash_routing(spark, sf_dir):
     ]
 
     def ring_df(pairs):
-        rows = spark.createDataFrame(pairs, "shard int, r int")
+        rows = local_frame(spark, pairs, "shard int, r int")
         pos = hash60(
             F.concat(
                 F.lit("s:"), F.col("shard"), F.lit(":r:"), F.col("r")
@@ -904,7 +904,7 @@ def benford_first_digit(spark, sf_dir):
         F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
     )
     nn = digits.agg(F.count(F.lit(1)).alias("n"))
-    exp_ = spark.createDataFrame(_BENFORD_ROWS, ["digit", "p"])
+    exp_ = local_frame(spark, _BENFORD_ROWS, "digit long, p double")
     e = F.col("p") * F.col("n")
     return (
         digits.join(F.broadcast(exp_), "digit")

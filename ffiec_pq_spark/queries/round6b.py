@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ffiec_pq_spark.catalog import register
 from ffiec_pq_spark.functions.hashing import hash60, hash60_sql
 from ffiec_pq_spark.operators.windows import distributed_rank
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import local_frame, load_table
 
 # ---------------------------------------------------------------------------
 # source_overlap_matrix — cross-source exact-duplication matrix
@@ -238,7 +238,7 @@ def corpus_vocab_coverage(spark, sf_dir):
             for k in _CUTOFFS
         ],
     )
-    cutoffs = spark.createDataFrame([(k,) for k in _CUTOFFS], "k int")
+    cutoffs = local_frame(spark, [(k,) for k in _CUTOFFS], "k int")
     covered = F.coalesce(
         *[
             F.when(F.col("k") == k, F.col(f"c{k}"))

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import functions as F
 
 from ffiec_pq_spark.catalog import register
+from ffiec_pq_spark.session import local_frame
 from ffiec_pq_spark.streaming.state import read_state
 
 _SINK_IDS = itertools.count()
@@ -381,7 +382,7 @@ def stream_upsert_latest(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("total_latest_value"),
         )
         rows = agg.collect()  # <= |event types| rows, sanctioned
-        return spark.createDataFrame(rows, agg.schema)
+        return local_frame(spark, rows, agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -405,7 +406,7 @@ def stream_tier_rollup(spark, sf_dir):
     from ffiec_pq_spark.streaming.events import stream_events
 
     stream = stream_events(spark, sf_dir)
-    tiers = spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    tiers = local_frame(spark, _TIERS, "tier string, lo double, hi double")
     joined = range_join_binned(stream, "value", tiers, _BIN_W)
     agg = joined.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -515,6 +516,6 @@ def stream_incremental_agg(spark, sf_dir):
             F.round(F.sum("v"), 4).alias("total_value"),
         )
         rows = agg.collect()  # <= |event types| rows, sanctioned
-        return spark.createDataFrame(rows, agg.schema)
+        return local_frame(spark, rows, agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -17,7 +17,7 @@ from ffiec_pq_spark.operators.timeseries import (
     gap_fill,
     range_join_binned,
 )
-from ffiec_pq_spark.session import load_table
+from ffiec_pq_spark.session import local_frame, load_table
 
 # Value tiers: [lo, hi) half-open, covering the events.value domain.
 _TIERS = [
@@ -54,7 +54,7 @@ def events_range_join_tiers(spark, sf_dir):
     ranges.  The oracle runs the naive BETWEEN join, proving the
     decomposition."""
     ev = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    tiers = local_frame(spark, _TIERS, "tier string, lo double, hi double")
     joined = range_join_binned(ev, "value", tiers, _BIN_W)
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),

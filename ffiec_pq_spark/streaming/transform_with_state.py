@@ -123,6 +123,8 @@ def running_totals_tws(spark, sf_dir: str):
             )
         )
         rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        from ffiec_pq_spark.session import local_frame
+
+        return local_frame(spark, rows, final.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
